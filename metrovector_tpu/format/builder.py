@@ -1,0 +1,438 @@
+"""MVT write path: Builder → BuiltFile → Writer.
+
+Capability parity with the reference write path (``src/builder.rs`` in
+thegenem0/metrovector): named vector spaces (``add_vector_space``,
+``src/builder.rs:113-135``), incremental vector appends with dimension
+validation/auto-inference (``add_vectors``, ``src/builder.rs:151-196``),
+columnar metadata with a deduplicating string heap (``add_metadata_column``,
+``src/builder.rs:211-236``), fluent index configuration
+(``VectorSpaceBuilderRef``, ``src/builder.rs:332-390``) and block layout with
+per-block CRC32 (``build``, ``src/builder.rs:241-308``).
+
+Differences by design:
+
+* Blocks are **tile-padded** (see :mod:`.packing`) and 512-byte aligned so a
+  space loads straight into a TPU-shaped array.
+* ``save()`` streams blocks to the file instead of materializing the whole
+  image twice in RAM (the reference duplicates the dataset in memory,
+  ``README.md:131``).
+* Squared L2 norms are precomputed per space into a sidecar block.
+* Int8/UInt8 spaces accept float input and scalar-quantize it, recording
+  scale/zero-point in the manifest (the reference can only encode
+  Float32/Float16, ``src/builder.rs:175-192``).
+* Tombstones are actually writable (``delete_vector``) — the reference
+  declares the schema but always writes ``tombstones: None``
+  (``src/builder.rs:485``).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Any, BinaryIO, Iterable
+
+import numpy as np
+
+from ..errors import (
+    BuildError,
+    DimensionMismatchError,
+    IndexOutOfBoundsError,
+    InvalidVectorTypeError,
+    VectorSpaceNotFoundError,
+)
+from .constants import (
+    BLOCK_ALIGN,
+    FOOTER_LEN_SIZE,
+    FORMAT_VERSION,
+    MAGIC,
+    CompressionAlgorithm,
+    DataType,
+    DistanceMetric,
+    IndexKind,
+    TombstoneFormat,
+    VECTOR_DTYPES,
+    VectorType,
+    numpy_dtype,
+)
+from .manifest import (
+    BlockInfo,
+    ColumnInfo,
+    IndexInfo,
+    Manifest,
+    QuantizationInfo,
+    SpaceInfo,
+    TombstoneInfo,
+)
+from .packing import (
+    StringHeap,
+    as_vector_array,
+    compress,
+    crc32,
+    pack_block,
+    squared_norms,
+)
+
+
+class _PendingColumn:
+    def __init__(self, name: str, dtype: DataType):
+        self.name = name
+        self.dtype = dtype
+        self.values: list[Any] = []
+
+
+class _PendingSpace:
+    def __init__(
+        self,
+        name: str,
+        dim: int,
+        vector_type: VectorType,
+        metric: DistanceMetric,
+        dtype: DataType,
+        pad_dims: bool,
+    ):
+        self.name = name
+        self.dim = dim
+        self.vector_type = vector_type
+        self.metric = metric
+        self.dtype = dtype
+        self.pad_dims = pad_dims
+        self.chunks: list[np.ndarray] = []
+        self.num_vectors = 0
+        self.columns: dict[str, _PendingColumn] = {}
+        self.heap = StringHeap()
+        self.index = IndexInfo()
+        self.quantization: QuantizationInfo | None = None
+        self.deleted: set[int] = set()
+
+
+class VectorSpaceHandle:
+    """Fluent configuration handle returned by ``add_vector_space``
+    (reference ``VectorSpaceBuilderRef``, ``src/builder.rs:332-390``)."""
+
+    def __init__(self, builder: "Builder", name: str):
+        self._builder = builder
+        self.name = name
+
+    def with_flat_index(self) -> "VectorSpaceHandle":
+        self._space().index = IndexInfo(kind=IndexKind.FLAT)
+        return self
+
+    def with_ivf_index(self, num_clusters: int, nprobe: int = 8) -> "VectorSpaceHandle":
+        self._space().index = IndexInfo(
+            kind=IndexKind.IVF,
+            params={"num_clusters": int(num_clusters), "nprobe": int(nprobe)},
+        )
+        return self
+
+    def with_hnsw_index(self, m: int = 16, ef_construction: int = 200) -> "VectorSpaceHandle":
+        self._space().index = IndexInfo(
+            kind=IndexKind.HNSW,
+            params={"m": int(m), "ef_construction": int(ef_construction)},
+        )
+        return self
+
+    def with_quantization(self, scale: float, zero_point: float = 0.0) -> "VectorSpaceHandle":
+        self._space().quantization = QuantizationInfo(
+            scale=float(scale), zero_point=float(zero_point)
+        )
+        return self
+
+    def add_vectors(self, data) -> "VectorSpaceHandle":
+        self._builder.add_vectors(self.name, data)
+        return self
+
+    def _space(self) -> _PendingSpace:
+        return self._builder._get_space(self.name)
+
+
+class Builder:
+    """Accumulates vector spaces and metadata in memory, then lays out the
+    MVT file (reference ``MvfBuilder``, ``src/builder.rs:44-51,93-308``)."""
+
+    def __init__(self):
+        self._spaces: dict[str, _PendingSpace] = {}
+
+    # -- registration -------------------------------------------------------
+
+    def add_vector_space(
+        self,
+        name: str,
+        dim: int = 0,
+        vector_type: VectorType = VectorType.DENSE,
+        metric: DistanceMetric = DistanceMetric.L2,
+        dtype: DataType = DataType.FLOAT32,
+        pad_dims: bool = True,
+    ) -> VectorSpaceHandle:
+        """Register a named space. ``dim == 0`` auto-infers from the first
+        ``add_vectors`` call (reference semantics, ``src/builder.rs:165-173``)."""
+        if name in self._spaces:
+            raise BuildError(f"vector space {name!r} already exists")
+        dtype = DataType(dtype)
+        if dtype not in VECTOR_DTYPES:
+            raise InvalidVectorTypeError(
+                f"{dtype.name} cannot be a vector space element type"
+            )
+        if VectorType(vector_type) == VectorType.SPARSE:
+            raise InvalidVectorTypeError(
+                "sparse vector spaces are declared in the format but not yet "
+                "supported by the builder (the reference builder cannot encode "
+                "them either: src/builder.rs:175-192)"
+            )
+        self._spaces[name] = _PendingSpace(
+            name, int(dim), VectorType(vector_type), DistanceMetric(metric), dtype, pad_dims
+        )
+        return VectorSpaceHandle(self, name)
+
+    def _get_space(self, name: str) -> _PendingSpace:
+        try:
+            return self._spaces[name]
+        except KeyError:
+            raise VectorSpaceNotFoundError(name) from None
+
+    # -- data ---------------------------------------------------------------
+
+    def add_vectors(self, name: str, data) -> None:
+        """Append rows to a space. Accepts any array-like of shape ``[N, D]``
+        (or a list of row sequences). Float input into an int8/uint8 space is
+        scalar-quantized: with explicit ``with_quantization`` params if set,
+        else auto-calibrated symmetric (int8) / affine (uint8) on this chunk."""
+        sp = self._get_space(name)
+        arr = np.asarray(data)
+        if arr.ndim == 1 and arr.size:
+            arr = arr.reshape(1, -1)
+        if arr.ndim != 2:
+            raise DimensionMismatchError(expected=max(sp.dim, 1), actual=arr.ndim)
+        if sp.dim == 0:
+            if arr.shape[1] == 0:
+                raise BuildError("cannot infer dimension from empty vectors")
+            sp.dim = int(arr.shape[1])
+        if arr.shape[1] != sp.dim:
+            raise DimensionMismatchError(expected=sp.dim, actual=int(arr.shape[1]))
+
+        if sp.dtype in (DataType.INT8, DataType.UINT8) and np.issubdtype(
+            arr.dtype, np.floating
+        ):
+            arr = self._quantize(sp, arr.astype(np.float32))
+        rows = as_vector_array(arr, sp.dim, sp.dtype)
+        sp.chunks.append(rows)
+        sp.num_vectors += int(rows.shape[0])
+
+    @staticmethod
+    def _quantize(sp: _PendingSpace, arr: np.ndarray) -> np.ndarray:
+        if sp.quantization is None:
+            if sp.dtype == DataType.INT8:
+                scale = float(np.max(np.abs(arr))) / 127.0 or 1.0
+                zp = 0.0
+            else:  # UINT8 affine
+                lo, hi = float(arr.min(initial=0.0)), float(arr.max(initial=0.0))
+                scale = (hi - lo) / 255.0 or 1.0
+                zp = -lo / scale
+            sp.quantization = QuantizationInfo(scale=scale, zero_point=zp)
+        q = sp.quantization
+        scaled = np.rint(arr / q.scale + q.zero_point)
+        if sp.dtype == DataType.INT8:
+            return np.clip(scaled, -128, 127).astype(np.int8)
+        return np.clip(scaled, 0, 255).astype(np.uint8)
+
+    def add_metadata_column(
+        self,
+        space_name: str,
+        column_name: str,
+        values: Iterable[Any],
+        dtype: DataType | None = None,
+    ) -> None:
+        """Attach a columnar metadata column (reference
+        ``add_metadata_column``, ``src/builder.rs:211-236``). Strings go to
+        the space's dedup'ing heap as ``STRING_REF``; numeric values are
+        stored as raw little-endian arrays."""
+        sp = self._get_space(space_name)
+        vals = list(values)
+        if dtype is None:
+            dtype = _infer_column_dtype(vals)
+        dtype = DataType(dtype)
+        if column_name in sp.columns:
+            raise BuildError(
+                f"metadata column {column_name!r} already exists in {space_name!r}"
+            )
+        col = _PendingColumn(column_name, dtype)
+        col.values = vals
+        sp.columns[column_name] = col
+
+    def delete_vector(self, space_name: str, index: int) -> None:
+        """Mark a row deleted; emitted as a BITMAP tombstone block at build.
+        The reference declares tombstones but never writes them
+        (``src/builder.rs:485``)."""
+        sp = self._get_space(space_name)
+        if index < 0 or index >= sp.num_vectors:
+            raise IndexOutOfBoundsError(index, sp.num_vectors)
+        sp.deleted.add(int(index))
+
+    # -- layout -------------------------------------------------------------
+
+    def build(
+        self,
+        compression: CompressionAlgorithm = CompressionAlgorithm.NONE,
+        compression_level: int = 3,
+    ) -> "BuiltFile":
+        """Lay out all blocks, compute offsets and CRCs, produce the footer
+        (reference ``build``, ``src/builder.rs:241-308``)."""
+        if not self._spaces:
+            raise BuildError("cannot build an MVT file with no vector spaces")
+        manifest = Manifest(version=FORMAT_VERSION)
+        payloads: list[bytes | np.ndarray] = []
+        offset = len(MAGIC)
+        compression = CompressionAlgorithm(compression)
+
+        def push_block(data, compressible: bool = True) -> int:
+            nonlocal offset
+            raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+            algo = compression if compressible else CompressionAlgorithm.NONE
+            stored = compress(raw, algo, compression_level)
+            if len(stored) >= len(raw):
+                algo, stored = CompressionAlgorithm.NONE, raw
+            pad = (-offset) % BLOCK_ALIGN
+            if pad:
+                payloads.append(b"\x00" * pad)
+                offset += pad
+            info = BlockInfo(
+                offset=offset,
+                size=len(stored),
+                crc32=crc32(stored),
+                compression=algo,
+                uncompressed_size=len(raw),
+            )
+            manifest.blocks.append(info)
+            payloads.append(stored)
+            offset += len(stored)
+            return len(manifest.blocks) - 1
+
+        total_logical = 0
+        for sp in self._spaces.values():
+            rows = (
+                np.concatenate(sp.chunks, axis=0)
+                if sp.chunks
+                else np.zeros((0, max(sp.dim, 1)), dtype=numpy_dtype(sp.dtype))
+            )
+            block, pr, pd = pack_block(rows, sp.dtype, sp.pad_dims)
+            vec_block = push_block(block)
+            norms = np.zeros(pr, dtype="<f4")
+            norms[: rows.shape[0]] = squared_norms(rows) if rows.size else 0.0
+            norms_block = push_block(norms)
+
+            info = SpaceInfo(
+                name=sp.name,
+                dim=sp.dim,
+                num_vectors=sp.num_vectors,
+                dtype=sp.dtype,
+                vector_type=sp.vector_type,
+                metric=sp.metric,
+                padded_dim=pd,
+                padded_rows=pr,
+                vectors_block=vec_block,
+                norms_block=norms_block,
+                index=sp.index,
+                quantization=sp.quantization,
+            )
+
+            for col in sp.columns.values():
+                data = _encode_column(col, sp.heap)
+                cb = push_block(data)
+                info.columns.append(
+                    ColumnInfo(
+                        name=col.name, dtype=col.dtype, block=cb, count=len(col.values)
+                    )
+                )
+            if len(sp.heap):
+                info.string_heap_block = push_block(sp.heap.to_bytes())
+            if sp.deleted:
+                bitmap = np.zeros((sp.num_vectors + 7) // 8, dtype=np.uint8)
+                idx = np.fromiter(sp.deleted, dtype=np.int64)
+                np.bitwise_or.at(bitmap, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+                tb = push_block(bitmap)
+                info.tombstones = TombstoneInfo(
+                    format=TombstoneFormat.BITMAP, block=tb, count=len(sp.deleted)
+                )
+            manifest.spaces.append(info)
+            total_logical += sp.num_vectors
+
+        manifest.stats = {
+            "num_spaces": len(manifest.spaces),
+            "total_vectors": total_logical,
+            "data_bytes": offset - len(MAGIC),
+        }
+        return BuiltFile(manifest, payloads)
+
+
+def _infer_column_dtype(vals: list[Any]) -> DataType:
+    if any(isinstance(v, (str, bytes)) for v in vals):
+        return DataType.STRING_REF
+    if any(isinstance(v, float) for v in vals):
+        return DataType.FLOAT32
+    arr = np.asarray(vals)
+    if arr.dtype == np.int64 and (arr.size == 0 or (arr >= -(2**31)).all() and (arr < 2**31).all()):
+        return DataType.INT32
+    return {
+        np.dtype(np.int32): DataType.INT32,
+        np.dtype(np.int64): DataType.INT64,
+        np.dtype(np.uint32): DataType.UINT32,
+        np.dtype(np.uint64): DataType.UINT64,
+        np.dtype(np.float32): DataType.FLOAT32,
+        np.dtype(np.float64): DataType.FLOAT64,
+    }.get(arr.dtype, DataType.FLOAT32)
+
+
+def _encode_column(col: _PendingColumn, heap: StringHeap) -> np.ndarray:
+    if col.dtype == DataType.STRING_REF:
+        offs = np.empty(len(col.values), dtype="<u4")
+        for i, v in enumerate(col.values):
+            if isinstance(v, bytes):
+                v = v.decode("utf-8")
+            offs[i] = heap.add(str(v))
+        return offs
+    return np.ascontiguousarray(col.values, dtype=numpy_dtype(col.dtype))
+
+
+class BuiltFile:
+    """A laid-out MVT image ready to serialize (reference ``BuiltMvf``,
+    ``src/builder.rs:395-417``)."""
+
+    def __init__(self, manifest: Manifest, payloads: list):
+        self.manifest = manifest
+        self._payloads = payloads
+
+    def write_to(self, f: BinaryIO) -> int:
+        """Stream the file image: magic ‖ blocks ‖ footer ‖ u32 len ‖ magic
+        (envelope per reference ``to_bytes``, ``src/builder.rs:417-558``)."""
+        written = f.write(MAGIC)
+        for p in self._payloads:
+            written += f.write(p if isinstance(p, (bytes, bytearray, memoryview)) else bytes(p))
+        footer = self.manifest.to_bytes()
+        written += f.write(footer)
+        written += f.write(len(footer).to_bytes(FOOTER_LEN_SIZE, "little"))
+        written += f.write(MAGIC)
+        return written
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        self.write_to(buf)
+        return buf.getvalue()
+
+    def save(self, path: str | os.PathLike) -> None:
+        with open(path, "wb") as f:
+            self.write_to(f)
+            f.flush()
+            os.fsync(f.fileno())
+
+
+class Writer:
+    """Trivial file sink (reference ``MvfWriter``, ``src/io.rs:20-47``)."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = os.fspath(path)
+
+    @classmethod
+    def create(cls, path: str | os.PathLike) -> "Writer":
+        return cls(path)
+
+    def write(self, built: BuiltFile) -> None:
+        built.save(self.path)

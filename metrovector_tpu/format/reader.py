@@ -1,0 +1,251 @@
+"""MVT read path: zero-copy mmap reader.
+
+Capability parity with the reference reader (``src/reader.rs`` in
+thegenem0/metrovector): O(1) open via mmap + trailing footer
+(``src/reader.rs:45-79``), structural validation — magic at both ends,
+minimum size, bounds-checked footer length, version check
+(``src/reader.rs:225-278``) — metadata getters (``src/reader.rs:82-143``),
+``validate`` block-bounds checking (``src/reader.rs:149-162``) and
+``validate_with_checksum`` full CRC verification, which the reference left
+unfinished at a ``todo!()`` (``src/reader.rs:172-221``) and which is complete
+here.
+
+A ``Reader`` is immutable after open and safe to share across threads (the
+mmap is read-only; numpy views alias it without copying), matching the
+reference's ``unsafe impl Send + Sync`` contract (``src/reader.rs:281-289``)
+without any unsafety.
+"""
+
+from __future__ import annotations
+
+import mmap
+import os
+
+import numpy as np
+
+from ..errors import (
+    CorruptedDataError,
+    InvalidFormatError,
+    IoError,
+    UnsupportedVersionError,
+    VectorSpaceNotFoundError,
+)
+from .constants import (
+    FOOTER_LEN_SIZE,
+    FORMAT_VERSION,
+    MAGIC,
+    MAGIC_LEN,
+    MIN_FILE_SIZE,
+    CompressionAlgorithm,
+)
+from .manifest import BlockInfo, Manifest, SpaceInfo
+from .packing import crc32, decompress
+
+
+class Reader:
+    """Open and interrogate an MVT file without copying block data."""
+
+    def __init__(self, path: str | os.PathLike, data: memoryview, manifest: Manifest,
+                 mm: mmap.mmap | None = None, file_obj=None):
+        self._path = os.fspath(path) if path is not None else "<bytes>"
+        self._data = data
+        self._manifest = manifest
+        self._mmap = mm
+        self._file = file_obj
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def open(cls, path: str | os.PathLike) -> "Reader":
+        """mmap the file and parse the footer (reference ``MvfReader::open``,
+        ``src/reader.rs:45-79``). Data I/O is deferred to page faults on
+        first touch; open cost is O(footer), not O(file)."""
+        try:
+            f = open(path, "rb")
+        except OSError as exc:
+            raise IoError(f"cannot open {os.fspath(path)!r}: {exc}") from exc
+        try:
+            size = os.fstat(f.fileno()).st_size
+            if size < MIN_FILE_SIZE:
+                raise InvalidFormatError(
+                    f"file too small to be MVT ({size} bytes < {MIN_FILE_SIZE})"
+                )
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except InvalidFormatError:
+            f.close()
+            raise
+        except (OSError, ValueError) as exc:
+            f.close()
+            raise IoError(f"mmap failed for {os.fspath(path)!r}: {exc}") from exc
+        view = memoryview(mm)
+        try:
+            manifest = cls._parse(view)
+        except Exception:
+            # The failed-parse frame may still reference `view` via the
+            # traceback; release the export explicitly so the mmap closes.
+            view.release()
+            mm.close()
+            f.close()
+            raise
+        return cls(path, view, manifest, mm=mm, file_obj=f)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Reader":
+        """Open an in-memory MVT image (useful for tests and network IO)."""
+        view = memoryview(data)
+        return cls(None, view, cls._parse(view))
+
+    @staticmethod
+    def _parse(data: memoryview) -> Manifest:
+        size = len(data)
+        if size < MIN_FILE_SIZE:
+            raise InvalidFormatError(f"file too small to be MVT ({size} bytes)")
+        if bytes(data[:MAGIC_LEN]) != MAGIC:
+            raise InvalidFormatError("bad start magic (not an MVT file)")
+        if bytes(data[size - MAGIC_LEN:]) != MAGIC:
+            raise InvalidFormatError("bad end magic (truncated or corrupt file)")
+        flen_off = size - MAGIC_LEN - FOOTER_LEN_SIZE
+        footer_len = int.from_bytes(data[flen_off : flen_off + FOOTER_LEN_SIZE], "little")
+        footer_start = flen_off - footer_len
+        if footer_len <= 0 or footer_start < MAGIC_LEN:
+            raise InvalidFormatError(
+                f"footer length {footer_len} out of bounds for file of {size} bytes"
+            )
+        manifest = Manifest.from_bytes(bytes(data[footer_start:flen_off]))
+        if manifest.version != FORMAT_VERSION:
+            raise UnsupportedVersionError(got=manifest.version, expected=FORMAT_VERSION)
+        return manifest
+
+    # -- metadata getters (reference src/reader.rs:82-143) ------------------
+
+    @property
+    def manifest(self) -> Manifest:
+        return self._manifest
+
+    @property
+    def version(self) -> int:
+        return self._manifest.version
+
+    @property
+    def num_vector_spaces(self) -> int:
+        return len(self._manifest.spaces)
+
+    @property
+    def vector_space_names(self) -> list[str]:
+        return [s.name for s in self._manifest.spaces]
+
+    @property
+    def file_size(self) -> int:
+        return len(self._data)
+
+    @property
+    def path(self) -> str:
+        return self._path
+
+    def space_info(self, name: str) -> SpaceInfo:
+        info = self._manifest.space(name)
+        if info is None:
+            raise VectorSpaceNotFoundError(name)
+        return info
+
+    def vector_space(self, name: str):
+        """Borrowed view over one space (reference
+        ``MvfReader::vector_space``, ``src/reader.rs:104-119``)."""
+        from ..vectors.space import VectorSpace
+
+        return VectorSpace(self, self.space_info(name))
+
+    def has_metadata(self, space_name: str) -> bool:
+        return bool(self.space_info(space_name).columns)
+
+    def metadata_column_names(self, space_name: str) -> list[str]:
+        return [c.name for c in self.space_info(space_name).columns]
+
+    @property
+    def stats(self) -> dict:
+        return dict(self._manifest.stats)
+
+    # -- block access --------------------------------------------------------
+
+    def block_bytes(self, block_id: int, verify: bool = False) -> memoryview | bytes:
+        """Raw stored bytes of a block. Zero-copy (a memoryview of the mmap)
+        unless the block is compressed, in which case it is decompressed into
+        a fresh buffer."""
+        if block_id < 0 or block_id >= len(self._manifest.blocks):
+            raise CorruptedDataError(f"block id {block_id} out of range")
+        info = self._manifest.blocks[block_id]
+        end = info.offset + info.size
+        if info.offset < MAGIC_LEN or end > len(self._data):
+            raise CorruptedDataError(
+                f"block {block_id} [{info.offset}, {end}) exceeds file bounds"
+            )
+        raw = self._data[info.offset : end]
+        if verify and crc32(raw) != info.crc32:
+            raise CorruptedDataError(f"CRC mismatch in block {block_id}")
+        if info.compression != CompressionAlgorithm.NONE:
+            return decompress(bytes(raw), info.compression, info.uncompressed_size)
+        return raw
+
+    def block_info(self, block_id: int) -> BlockInfo:
+        return self._manifest.blocks[block_id]
+
+    # -- validation ----------------------------------------------------------
+
+    def validate(self) -> None:
+        """Structural validation: every block within file bounds and not
+        overlapping the footer (reference ``validate``,
+        ``src/reader.rs:149-162``). Raises :class:`CorruptedDataError`."""
+        limit = len(self._data) - MAGIC_LEN - FOOTER_LEN_SIZE
+        for i, b in enumerate(self._manifest.blocks):
+            if b.offset < MAGIC_LEN or b.size < 0 or b.offset + b.size > limit:
+                raise CorruptedDataError(
+                    f"block {i} [{b.offset}, {b.offset + b.size}) out of bounds"
+                )
+        for s in self._manifest.spaces:
+            for bid in (s.vectors_block, s.norms_block, s.string_heap_block,
+                        s.tombstones.block, *(c.block for c in s.columns)):
+                if bid >= len(self._manifest.blocks):
+                    raise CorruptedDataError(
+                        f"space {s.name!r} references missing block {bid}"
+                    )
+
+    def validate_with_checksum(self) -> None:
+        """Full integrity check: structural validation plus CRC32 of every
+        block. Completes what the reference left as ``todo!()``
+        (``src/reader.rs:220``)."""
+        self.validate()
+        for i, b in enumerate(self._manifest.blocks):
+            raw = self._data[b.offset : b.offset + b.size]
+            if crc32(raw) != b.crc32:
+                raise CorruptedDataError(f"CRC mismatch in block {i}")
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def close(self) -> None:
+        """Release the mapping. Zero-copy views handed out by this reader
+        keep the pages alive: if any numpy view still aliases the mmap, the
+        unmap is deferred until those views are garbage-collected (safe
+        counterpart of the reference's lifetime-extension transmute,
+        ``src/reader.rs:62-77`` — Python refcounts instead of `unsafe`)."""
+        if self._mmap is not None:
+            try:
+                self._data.release()
+                self._mmap.close()
+            except BufferError:
+                pass  # outstanding views; OS unmaps when they are collected
+            self._mmap = None
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+    def __enter__(self) -> "Reader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __repr__(self) -> str:
+        return (
+            f"Reader(path={self._path!r}, spaces={self.vector_space_names}, "
+            f"size={self.file_size})"
+        )

@@ -1,0 +1,227 @@
+"""Zero-copy host view over one vector space.
+
+Parity with the reference ``VectorSpace``
+(``src/vectors/vector_space.rs`` in thegenem0/metrovector): metadata
+accessors (``:62-89``), bounds-checked single-vector access
+(``get_vector``, ``:101-142``), range views (``map_vector_range``,
+``:155-188``), planned batch access (``get_vectors_batch`` /
+``get_vectors_with_pattern`` / ``prepare_access_pattern``, ``:210-241``),
+chunked streaming (``stream_vectors``, ``:251-253``), columnar dimension
+views (``get_dimension_slice``, ``:279-317``) and cheap concurrent clones
+(``clone_concurrent``, ``:194-201``).
+
+Additions over the reference: metadata column decoding (values, not raw
+bytes), tombstone masks, quantization info, and the whole-block numpy view
+that the TPU engine device-puts — the on-disk bytes ARE the
+``[padded_rows, padded_dim]`` array, so this view is a reshape, not a parse.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from ..errors import (
+    IndexOutOfBoundsError,
+    MetadataColumnNotFoundError,
+)
+from ..format.constants import (
+    DataType,
+    DistanceMetric,
+    TombstoneFormat,
+    VectorType,
+    numpy_dtype,
+)
+from ..format.manifest import ColumnInfo, SpaceInfo
+from ..format.packing import StringHeap, unpack_block
+from .access import AccessPattern
+from .iterator import VectorChunkIterator
+from .slices import DimensionSlice, VectorSlice
+from .vector import Vector
+
+if TYPE_CHECKING:
+    from ..format.reader import Reader
+
+
+class VectorSpace:
+    """A borrowed, immutable view over one named space in an open Reader."""
+
+    def __init__(self, reader: "Reader", info: SpaceInfo):
+        self._reader = reader
+        self._info = info
+        raw = reader.block_bytes(info.vectors_block)
+        self._block = unpack_block(raw, info.padded_rows, info.padded_dim, info.dtype)
+
+    # -- metadata accessors (reference :62-89) --------------------------------
+
+    @property
+    def name(self) -> str:
+        return self._info.name
+
+    @property
+    def dim(self) -> int:
+        return self._info.dim
+
+    @property
+    def padded_dim(self) -> int:
+        return self._info.padded_dim
+
+    @property
+    def num_vectors(self) -> int:
+        return self._info.num_vectors
+
+    @property
+    def padded_rows(self) -> int:
+        return self._info.padded_rows
+
+    @property
+    def dtype(self) -> DataType:
+        return self._info.dtype
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return self._info.metric
+
+    @property
+    def vector_type(self) -> VectorType:
+        return self._info.vector_type
+
+    @property
+    def info(self) -> SpaceInfo:
+        return self._info
+
+    @property
+    def quantization(self):
+        return self._info.quantization
+
+    # -- bulk views ------------------------------------------------------------
+
+    def padded_array(self) -> np.ndarray:
+        """The full tile-padded ``[padded_rows, padded_dim]`` block, zero-copy.
+        This is the array the TPU engine uploads verbatim."""
+        return self._block
+
+    def to_numpy(self) -> np.ndarray:
+        """The logical ``[num_vectors, dim]`` view, zero-copy (strided)."""
+        return self._block[: self.num_vectors, : self.dim]
+
+    def norms(self) -> np.ndarray:
+        """Precomputed squared L2 norms, f32 ``[padded_rows]``, zero-copy."""
+        raw = self._reader.block_bytes(self._info.norms_block)
+        return np.frombuffer(raw, dtype="<f4", count=self._info.padded_rows)
+
+    # -- single access (reference get_vector, :101-142) ------------------------
+
+    def get_vector(self, index: int) -> Vector:
+        if index < 0 or index >= self.num_vectors:
+            raise IndexOutOfBoundsError(index, self.num_vectors)
+        return Vector(self._block[index, : self.dim], self.dim, self.dtype, index)
+
+    # -- range / batch access ---------------------------------------------------
+
+    def map_vector_range(self, start: int, count: int) -> VectorSlice:
+        """Strided batch view (reference ``map_vector_range``, ``:155-188``)."""
+        if start < 0 or count < 0 or start + count > self.num_vectors:
+            raise IndexOutOfBoundsError(start + count, self.num_vectors)
+        esz = numpy_dtype(self.dtype).itemsize
+        return VectorSlice(
+            self._block[start : start + count],
+            stride=self.padded_dim * esz,
+            count=count,
+            dim=self.dim,
+            dtype=self.dtype,
+            start_index=start,
+        )
+
+    def prepare_access_pattern(self, indices) -> AccessPattern:
+        return AccessPattern(indices)
+
+    def get_vectors_with_pattern(self, pattern: AccessPattern) -> list[Vector]:
+        """Fetch along a prepared plan (reference ``:210-221``)."""
+        out = []
+        for idx in pattern.indices:
+            out.append(self.get_vector(int(idx)))
+        return out
+
+    def get_vectors_batch(self, indices) -> list[Vector]:
+        """Sorted/deduplicated batch fetch (reference ``:230-241``; dedup
+        semantics per test at ``src/vectors/vector_space.rs:400-414``)."""
+        return self.get_vectors_with_pattern(self.prepare_access_pattern(indices))
+
+    def stream_vectors(self, start: int = 0, chunk_size: int = 1024) -> VectorChunkIterator:
+        """Chunked iteration (reference ``stream_vectors``, ``:251-253``)."""
+        return VectorChunkIterator(self, start, chunk_size)
+
+    def get_dimension_slice(self, dimension: int, start: int, count: int) -> DimensionSlice:
+        """Columnar view of one dimension (reference ``:279-317``)."""
+        if dimension < 0 or dimension >= self.dim:
+            raise IndexOutOfBoundsError(dimension, self.dim)
+        if start < 0 or count < 0 or start + count > self.num_vectors:
+            raise IndexOutOfBoundsError(start + count, self.num_vectors)
+        return DimensionSlice(self._block, dimension, start, count, self.dtype)
+
+    def clone_concurrent(self) -> "VectorSpace":
+        """Cheap handle for another thread (reference ``clone_concurrent``,
+        ``:194-201``). All state is immutable; this is a shallow copy."""
+        return VectorSpace(self._reader, self._info)
+
+    # -- metadata columns --------------------------------------------------------
+
+    def metadata_column_names(self) -> list[str]:
+        return [c.name for c in self._info.columns]
+
+    def has_metadata(self) -> bool:
+        return bool(self._info.columns)
+
+    def _column_info(self, name: str) -> ColumnInfo:
+        for c in self._info.columns:
+            if c.name == name:
+                return c
+        raise MetadataColumnNotFoundError(name)
+
+    def metadata_column(self, name: str):
+        """Decoded column values: a numpy array for numeric columns, a list
+        of ``str`` for string columns (the reference returns raw bytes and
+        leaves decoding to callers; see ``I32Bytes``/``StringBytes`` fixtures
+        at ``src/tests/test_utils.rs:25-50``)."""
+        col = self._column_info(name)
+        raw = self._reader.block_bytes(col.block)
+        arr = np.frombuffer(raw, dtype=numpy_dtype(col.dtype), count=col.count)
+        if col.dtype == DataType.STRING_REF:
+            heap = bytes(self._reader.block_bytes(self._info.string_heap_block))
+            return [StringHeap.read(heap, int(off)) for off in arr]
+        return arr
+
+    # -- tombstones ----------------------------------------------------------------
+
+    def tombstone_mask(self) -> np.ndarray | None:
+        """Boolean ``[num_vectors]`` deleted-row mask, or None when the space
+        has no tombstones (format per ``TombstoneInfo``)."""
+        ts = self._info.tombstones
+        if ts.format == TombstoneFormat.NONE or ts.block < 0:
+            return None
+        raw = np.frombuffer(self._reader.block_bytes(ts.block), dtype=np.uint8)
+        if ts.format == TombstoneFormat.BITMAP:
+            bits = np.unpackbits(raw, bitorder="little")[: self.num_vectors]
+            return bits.astype(bool)
+        # SORTED_LIST: u32 row ids
+        ids = raw.view("<u4")
+        mask = np.zeros(self.num_vectors, dtype=bool)
+        mask[ids[ids < self.num_vectors]] = True
+        return mask
+
+    def is_deleted(self, index: int) -> bool:
+        if index < 0 or index >= self.num_vectors:
+            raise IndexOutOfBoundsError(index, self.num_vectors)
+        mask = self.tombstone_mask()
+        return bool(mask[index]) if mask is not None else False
+
+    def __len__(self) -> int:
+        return self.num_vectors
+
+    def __repr__(self) -> str:
+        return (
+            f"VectorSpace(name={self.name!r}, n={self.num_vectors}, dim={self.dim}, "
+            f"dtype={self.dtype.name}, metric={self.metric.name})"
+        )
