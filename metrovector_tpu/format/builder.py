@@ -315,8 +315,16 @@ class Builder:
             )
             block, pr, pd = pack_block(rows, sp.dtype, sp.pad_dims)
             vec_block = push_block(block)
+            # Norms are stored in *dequantized* value space so L2/cosine
+            # epilogues can use them directly for any element type.
             norms = np.zeros(pr, dtype="<f4")
-            norms[: rows.shape[0]] = squared_norms(rows) if rows.size else 0.0
+            if rows.size:
+                if sp.quantization is not None:
+                    q = sp.quantization
+                    deq = (rows.astype(np.float32) - q.zero_point) * q.scale
+                    norms[: rows.shape[0]] = squared_norms(deq)
+                else:
+                    norms[: rows.shape[0]] = squared_norms(rows)
             norms_block = push_block(norms)
 
             info = SpaceInfo(

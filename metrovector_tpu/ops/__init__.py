@@ -1,0 +1,20 @@
+"""TPU compute kernels: distance scoring, fused top-k, quantization."""
+
+from .distances import (
+    exact_topk_xla,
+    mask_scores,
+    numpy_oracle,
+    scores_block,
+    scores_to_distances,
+)
+from .topk_kernel import default_block_rows, fused_topk
+
+__all__ = [
+    "default_block_rows",
+    "exact_topk_xla",
+    "fused_topk",
+    "mask_scores",
+    "numpy_oracle",
+    "scores_block",
+    "scores_to_distances",
+]

@@ -1,0 +1,210 @@
+"""Distance score conventions and the XLA (non-Pallas) exact top-k path.
+
+This module is the behavioral spec for every search backend: the scalar
+loops of the reference (`examples/similarity_search.rs:140-176`,
+`examples/simple.rs:80-87` in thegenem0/metrovector) re-expressed as batched
+matrix algebra. The Pallas fused kernel (:mod:`.topk_kernel`) must match
+these results bit-for-rank; tests compare both against a NumPy oracle.
+
+Score convention
+----------------
+Internally every metric is mapped to a **score where greater is better**, so
+top-k is always a max-k:
+
+* ``INNER_PRODUCT``: ``score = q · x``
+* ``COSINE``:        ``score = (q · x) / (‖q‖ ‖x‖)``
+* ``L2``:            ``score = 2 q·x − ‖x‖²``  (= ``‖q‖² − ‖q−x‖²``; the
+  per-query ``‖q‖²`` shifts all scores equally and cannot change ranking,
+  so it is omitted from selection and only restored when converting scores
+  to user-facing distances)
+
+All accumulation is f32 regardless of storage dtype (bf16/f16/int8 inputs
+feed the MXU; `preferred_element_type=f32` guards against catastrophic
+cancellation for near-duplicate vectors — SURVEY.md §7 "exactness").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..format.constants import DistanceMetric
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def scores_block(
+    queries: jax.Array,
+    db: jax.Array,
+    db_norms: jax.Array,
+    metric: DistanceMetric,
+    query_inv_norms: jax.Array | None = None,
+) -> jax.Array:
+    """Greater-is-better score matrix ``[Q, N]`` for one DB block.
+
+    ``queries``: ``[Q, D]`` (same dtype as ``db`` for the MXU-native path),
+    ``db``: ``[N, D]``, ``db_norms``: ``[N]`` f32 squared L2 norms.
+    ``query_inv_norms``: ``[Q]`` f32 reciprocal query norms (cosine only).
+    """
+    # precision=HIGHEST: on TPU the default matmul precision multiplies f32
+    # inputs in bf16 (~3 decimal digits), which visibly reorders near-ties.
+    # Exactness (recall@k = 1.0 vs an f32 oracle) requires full f32 passes;
+    # for bf16/int8 storage the flag is a no-op.
+    dots = jax.lax.dot_general(
+        queries,
+        db,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    metric = DistanceMetric(metric)
+    if metric == DistanceMetric.INNER_PRODUCT:
+        return dots
+    if metric == DistanceMetric.L2:
+        return 2.0 * dots - db_norms[None, :]
+    if metric == DistanceMetric.COSINE:
+        inv_db = jax.lax.rsqrt(jnp.maximum(db_norms, 1e-30))
+        if query_inv_norms is None:
+            q32 = queries.astype(jnp.float32)
+            query_inv_norms = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(q32 * q32, axis=-1), 1e-30)
+            )
+        return dots * inv_db[None, :] * query_inv_norms[:, None]
+    raise NotImplementedError(f"metric {metric!r} has no built-in score kernel")
+
+
+def scores_to_distances(
+    scores: jax.Array, metric: DistanceMetric, query_sq_norms: jax.Array | None = None
+) -> jax.Array:
+    """Convert internal scores to the user-facing quantity per metric:
+    Euclidean distance for L2 (ascending = better, like the reference's
+    ``find_top_k_similar``), similarity in [-1, 1] for cosine, raw dot
+    product for inner product."""
+    metric = DistanceMetric(metric)
+    if metric == DistanceMetric.L2:
+        if query_sq_norms is None:
+            raise ValueError("L2 distance conversion requires query norms")
+        return jnp.sqrt(jnp.maximum(query_sq_norms[:, None] - scores, 0.0))
+    return scores
+
+
+def mask_scores(
+    scores: jax.Array,
+    row_offset,
+    num_valid: int | jax.Array,
+    valid_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Force padded rows (global row id ≥ ``num_valid``) and tombstoned rows
+    (``valid_mask == 0``) to −inf so they can never enter the top-k
+    (SURVEY.md §7 "padding correctness")."""
+    n = scores.shape[1]
+    rows = row_offset + jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out = jnp.where(rows < num_valid, scores, _NEG_INF)
+    if valid_mask is not None:
+        out = jnp.where(valid_mask[None, :] != 0, out, _NEG_INF)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows"))
+def exact_topk_xla(
+    queries: jax.Array,
+    db: jax.Array,
+    db_norms: jax.Array,
+    num_valid,
+    k: int,
+    metric: DistanceMetric,
+    valid_mask: jax.Array | None = None,
+    block_rows: int = 16384,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k via plain XLA ops — the v0 engine and the oracle the
+    Pallas kernel is tested against (build-plan step 2, SURVEY.md §7).
+
+    Scans the DB in ``block_rows`` chunks with a carried candidate list so
+    the full ``[Q, N]`` score matrix never materializes in HBM. Returns
+    ``(scores [Q, k], indices [Q, k])`` sorted best-first.
+    """
+    q = queries
+    n_pad = db.shape[0]
+    metric = DistanceMetric(metric)
+    qin = None
+    if metric == DistanceMetric.COSINE:
+        q32 = q.astype(jnp.float32)
+        qin = jax.lax.rsqrt(jnp.maximum(jnp.sum(q32 * q32, axis=-1), 1e-30))
+
+    nq = q.shape[0]
+    if n_pad <= block_rows:
+        s = scores_block(q, db, db_norms, metric, qin)
+        s = mask_scores(s, 0, num_valid, valid_mask)
+        return jax.lax.top_k(s, k)
+
+    nblocks = -(-n_pad // block_rows)
+    pad_to = nblocks * block_rows
+    if pad_to != n_pad:
+        db = jnp.pad(db, ((0, pad_to - n_pad), (0, 0)))
+        db_norms = jnp.pad(db_norms, (0, pad_to - n_pad))
+        if valid_mask is not None:
+            valid_mask = jnp.pad(valid_mask, (0, pad_to - n_pad))
+
+    db_b = db.reshape(nblocks, block_rows, db.shape[1])
+    norms_b = db_norms.reshape(nblocks, block_rows)
+    mask_b = (
+        valid_mask.reshape(nblocks, block_rows) if valid_mask is not None else None
+    )
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        if mask_b is None:
+            i, blk, nrm = xs
+            msk = None
+        else:
+            i, blk, nrm, msk = xs
+        s = scores_block(q, blk, nrm, metric, qin)
+        s = mask_scores(s, i * block_rows, num_valid, msk)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        idx = i * block_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (nq, block_rows), 1
+        )
+        cand_i = jnp.concatenate([best_i, idx], axis=1)
+        top_s, pos = jax.lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((nq, k), _NEG_INF, dtype=jnp.float32),
+        jnp.full((nq, k), -1, dtype=jnp.int32),
+    )
+    xs = (jnp.arange(nblocks, dtype=jnp.int32), db_b, norms_b)
+    if mask_b is not None:
+        xs = xs + (mask_b,)
+    (best_s, best_i), _ = jax.lax.scan(step, init, xs)
+    return best_s, best_i
+
+
+def numpy_oracle(queries, db, k, metric, valid_mask=None):
+    """Reference-semantics brute force in NumPy (the scalar loops of
+    ``examples/similarity_search.rs:140-176`` vectorized, f64 accumulation):
+    ground truth for parity tests. Returns (scores [Q,k], indices [Q,k])."""
+    import numpy as np
+
+    q = np.asarray(queries, dtype=np.float64)
+    x = np.asarray(db, dtype=np.float64)
+    metric = DistanceMetric(metric)
+    if metric == DistanceMetric.L2:
+        d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        s = -d2  # greater-is-better, offset by ‖q‖² vs the jax convention
+        s += (q * q).sum(-1)[:, None]
+    elif metric == DistanceMetric.COSINE:
+        s = (q @ x.T) / np.maximum(
+            np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(x, axis=1)[None, :],
+            1e-30,
+        )
+    elif metric == DistanceMetric.INNER_PRODUCT:
+        s = q @ x.T
+    else:
+        raise NotImplementedError(metric)
+    if valid_mask is not None:
+        s = np.where(np.asarray(valid_mask)[None, :] != 0, s, -np.inf)
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx

@@ -1,0 +1,198 @@
+"""Multi-chip exact search: per-shard fused top-k + ICI candidate merge.
+
+SPMD layout (SURVEY.md §5/§7 step 4):
+
+* corpus rows ``[S·R, D]`` sharded over the mesh's ``shard`` axis (each
+  chip holds ``[R, D]`` resident in its HBM),
+* queries ``[Q, D]`` replicated,
+* each chip runs the single-chip fused kernel over its rows, producing
+  ``[Q, k]`` local candidates with **global** row ids (local id + shard
+  offset),
+* ``all_gather`` over ICI yields ``[S, Q, k]`` everywhere (a few KB —
+  bandwidth-irrelevant), and a final ``top_k`` over the ``S·k`` candidates
+  gives the exact global answer, replicated.
+
+This is the TPU-native analog of "multiple threads share one mmap reader"
+(`src/reader.rs:281-289` in thegenem0/metrovector) — except it actually
+scales compute and memory across chips instead of sharing one copy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..format.constants import DistanceMetric
+from ..ops.distances import exact_topk_xla
+from ..ops.topk_kernel import fused_topk
+from .mesh import SHARD_AXIS
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "mesh", "axis", "scale", "backend", "interpret",
+        "block_rows",
+    ),
+)
+def sharded_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    db_norms: jax.Array,
+    num_valid,
+    k: int,
+    metric: DistanceMetric,
+    mesh: Mesh,
+    valid_mask: jax.Array | None = None,
+    axis: str = SHARD_AXIS,
+    scale: float = 1.0,
+    backend: str = "pallas",
+    interpret: bool = False,
+    block_rows: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact global top-k over a row-sharded corpus.
+
+    ``db``: ``[total_rows, D]`` sharded ``P(axis, None)``; ``db_norms``
+    ``[total_rows]`` sharded ``P(axis)``; ``queries`` ``[Q, D]``
+    replicated; ``num_valid``: scalar int32 logical row count (global).
+    Returns replicated ``(scores [Q, k], indices [Q, k])``, best-first,
+    with global row indices.
+    """
+    total_rows = db.shape[0]
+    n_shards = mesh.shape[axis]
+    local_rows = total_rows // n_shards
+    metric = DistanceMetric(metric)
+    num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
+
+    def local_search(q, db_l, norms_l, nvalid, *maybe_mask):
+        sid = jax.lax.axis_index(axis)
+        offset = sid * local_rows
+        # Rows this shard owns that are logically valid.
+        nvalid_local = jnp.clip(nvalid[0] - offset, 0, local_rows)
+        mask_l = maybe_mask[0] if maybe_mask else None
+        if backend == "pallas":
+            s, i = fused_topk(
+                q, db_l, norms_l, nvalid_local, k, metric,
+                valid_mask=mask_l, scale=scale, interpret=interpret,
+                block_rows=block_rows,
+            )
+        else:
+            s, i = exact_topk_xla(
+                q, db_l, norms_l, nvalid_local, k, metric,
+                valid_mask=mask_l,
+            )
+        i = jnp.where(i >= 0, i + offset, i)
+        # Candidate exchange over ICI: [S, Q, k] everywhere.
+        all_s = jax.lax.all_gather(s, axis)
+        all_i = jax.lax.all_gather(i, axis)
+        q_n = s.shape[0]
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q_n, n_shards * k)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q_n, n_shards * k)
+        best_s, pos = jax.lax.top_k(cand_s, k)
+        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return best_s, best_i
+
+    in_specs = [
+        P(),              # queries replicated
+        P(axis, None),    # db rows sharded
+        P(axis),          # norms sharded
+        P(),              # num_valid replicated
+    ]
+    args = [queries, db, db_norms, num_valid.reshape(1)]
+    if valid_mask is not None:
+        in_specs.append(P(axis))
+        args.append(valid_mask)
+
+    fn = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
+class ShardedDeviceSpace:
+    """A vector space sharded row-wise across a device mesh.
+
+    Mirrors :class:`~metrovector_tpu.engine.DeviceSpace` but holds
+    mesh-sharded arrays; construction pads rows so every shard gets an
+    equal tile-aligned slice.
+    """
+
+    def __init__(self, space, mesh: Mesh, axis: str = SHARD_AXIS):
+        from ..format.constants import DataType, sublane_multiple
+        import numpy as np
+        from .mesh import shard_rows
+
+        self.mesh = mesh
+        self.axis = axis
+        self.dim = space.dim
+        self.metric = space.metric
+        self.num_valid = space.num_vectors
+        self.dtype = DataType(space.dtype)
+        q = space.quantization
+        self.scale = q.scale if q else 1.0
+        self.zero_point = q.zero_point if q else 0.0
+        self.name = space.name
+
+        sub = sublane_multiple(space.dtype)
+        block = space.padded_array()
+        self.data = shard_rows(block, mesh, axis, sublane=sub)
+        self.norms = shard_rows(
+            np.asarray(space.norms(), np.float32), mesh, axis, sublane=sub
+        )
+        host_mask = space.tombstone_mask()
+        if host_mask is not None:
+            full = np.ones(block.shape[0], np.float32)
+            full[: space.num_vectors] = (~host_mask).astype(np.float32)
+            self.valid_mask = shard_rows(full, mesh, axis, sublane=sub)
+        else:
+            self.valid_mask = None
+        self.padded_dim = int(block.shape[1])
+
+    def search(self, queries, k: int = 10, backend: str = "pallas",
+               interpret: bool = False):
+        """Replicates the query batch and runs the global sharded top-k.
+        Returns a :class:`~metrovector_tpu.engine.SearchResult`."""
+        import numpy as np
+
+        from ..engine import DeviceSpace, SearchResult
+        from ..ops.distances import scores_to_distances
+
+        # Reuse single-chip query preprocessing (pad/normalize/quantize).
+        helper = DeviceSpace(
+            data=self.data, norms=self.norms, num_valid=self.num_valid,
+            dim=self.dim, metric=self.metric, scale=self.scale,
+            zero_point=self.zero_point, dtype=self.dtype,
+        )
+        qdev, qnorms, qscale = helper.prepare_queries(queries)
+        k_eff = min(k, max(self.num_valid, 1))
+        scale = (qscale or 1.0) * (
+            self.scale if self.dtype.name in ("INT8",) else 1.0
+        )
+        from .mesh import replicate
+
+        qrep = replicate(np.asarray(qdev), self.mesh)
+        s, i = sharded_topk(
+            qrep, self.data, self.norms, self.num_valid, k_eff, self.metric,
+            self.mesh, valid_mask=self.valid_mask, axis=self.axis,
+            scale=scale, backend=backend, interpret=interpret,
+        )
+        s = np.asarray(s)
+        i = np.asarray(i)
+        dist = np.asarray(
+            scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
+        )
+        if k_eff < k:
+            pad = ((0, 0), (0, k - k_eff))
+            i = np.pad(i, pad, constant_values=-1)
+            s = np.pad(s, pad, constant_values=-np.inf)
+            dist = np.pad(dist, pad, constant_values=np.inf
+                          if self.metric == DistanceMetric.L2 else -np.inf)
+        return SearchResult(indices=i, scores=s, distances=dist,
+                            metric=self.metric)

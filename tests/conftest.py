@@ -9,12 +9,18 @@ interpreter.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment's sitecustomize force-registers a TPU plugin; the config
+# update (post-import, pre-backend-init) reliably pins tests to CPU.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

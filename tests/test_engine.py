@@ -1,0 +1,153 @@
+"""End-to-end slice tests: build file → open → device upload → search →
+ranking parity with the NumPy port of the reference's brute force
+(`examples/similarity_search.rs:140-176`). SURVEY.md §7 build-plan step 2."""
+
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, DataType, DistanceMetric, Reader
+from metrovector_tpu.engine import DeviceSpace, SearchEngine
+from metrovector_tpu.errors import DimensionMismatchError
+from metrovector_tpu.ops import numpy_oracle
+
+
+def _build(tmp_path, rng, n=300, d=24, metric=DistanceMetric.L2,
+           dtype=DataType.FLOAT32, name="db.mvt"):
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=d, metric=metric, dtype=dtype)
+    b.add_vectors("v", data)
+    path = tmp_path / name
+    b.build().save(path)
+    return path, data
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize(
+    "metric",
+    [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT],
+)
+def test_search_matches_reference_semantics(tmp_path, rng, backend, metric):
+    path, data = _build(tmp_path, rng, metric=metric)
+    eng = SearchEngine.open(path, backend=backend)
+    queries = rng.standard_normal((5, 24)).astype(np.float32)
+    res = eng.search(queries, k=10)
+    _, oi = numpy_oracle(queries, data, 10, metric)
+    assert np.array_equal(res.indices, oi)
+    # distance convention: L2 ascending real distances, others descending
+    if metric == DistanceMetric.L2:
+        true = np.linalg.norm(queries[:, None] - data[oi], axis=-1)
+        np.testing.assert_allclose(res.distances, true, rtol=1e-4, atol=1e-4)
+        assert (np.diff(res.distances, axis=1) >= -1e-5).all()
+    else:
+        assert (np.diff(res.scores, axis=1) <= 1e-6).all()
+
+
+def test_single_query_vector(tmp_path, rng):
+    path, data = _build(tmp_path, rng)
+    eng = SearchEngine.open(path, backend="xla")
+    res = eng.search(data[42], k=1)
+    assert res.indices.shape == (1, 1)
+    assert res.indices[0, 0] == 42  # self-match
+    assert res.distances[0, 0] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_top_helper(tmp_path, rng):
+    path, data = _build(tmp_path, rng)
+    eng = SearchEngine.open(path, backend="xla")
+    pairs = eng.search(data[7], k=3).top(0)
+    assert pairs[0][0] == 7
+    assert len(pairs) == 3
+
+
+def test_k_exceeds_corpus(tmp_path, rng):
+    path, data = _build(tmp_path, rng, n=6)
+    eng = SearchEngine.open(path, backend="xla")
+    res = eng.search(rng.standard_normal((2, 24)).astype(np.float32), k=10)
+    assert res.indices.shape == (2, 10)
+    assert (res.indices[:, 6:] == -1).all()
+    assert set(res.indices[0, :6]) == set(range(6))
+
+
+def test_tombstones_excluded_from_search(tmp_path, rng):
+    data = rng.standard_normal((50, 16)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=16)
+    b.add_vectors("v", data)
+    b.delete_vector("v", 13)
+    path = tmp_path / "t.mvt"
+    b.build().save(path)
+    eng = SearchEngine.open(path, backend="xla")
+    res = eng.search(data[13], k=5)  # query the deleted vector itself
+    assert 13 not in res.indices
+
+
+def test_wrong_dim_query(tmp_path, rng):
+    path, _ = _build(tmp_path, rng)
+    eng = SearchEngine.open(path, backend="xla")
+    with pytest.raises(DimensionMismatchError):
+        eng.search(np.zeros((1, 7), np.float32), k=3)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_int8_space_ranking_parity(tmp_path, rng, backend):
+    """Quantized search must rank like dequantized-float search
+    (SURVEY.md §7 'int8 ranking parity')."""
+    x = rng.standard_normal((200, 32)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("q", dim=32, dtype=DataType.INT8,
+                       metric=DistanceMetric.INNER_PRODUCT)
+    b.add_vectors("q", x)
+    path = tmp_path / "q.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("q")
+    scale = sp.quantization.scale
+    deq = sp.to_numpy().astype(np.float32) * scale
+
+    eng = SearchEngine(sp, backend=backend)
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    res = eng.search(queries, k=10)
+    # Oracle on quantized values (incl. query quantization error ≤ 1 step)
+    qscale = float(np.abs(queries).max()) / 127.0
+    qq = np.clip(np.rint(queries / qscale), -128, 127).astype(np.float32) * qscale
+    _, oi = numpy_oracle(qq, deq, 10, DistanceMetric.INNER_PRODUCT)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_uint8_affine_space(tmp_path, rng):
+    x = (rng.random((100, 16)) * 4 + 1).astype(np.float32)  # positive values
+    b = Builder()
+    b.add_vector_space("u", dim=16, dtype=DataType.UINT8,
+                       metric=DistanceMetric.L2)
+    b.add_vectors("u", x)
+    path = tmp_path / "u.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("u")
+    q = sp.quantization
+    deq = (sp.to_numpy().astype(np.float32) - q.zero_point) * q.scale
+    eng = SearchEngine(sp)
+    queries = x[:3] + rng.standard_normal((3, 16)).astype(np.float32) * 0.01
+    res = eng.search(queries, k=5)
+    _, oi = numpy_oracle(queries, deq, 5, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_bf16_space_end_to_end(tmp_path, rng):
+    data = rng.standard_normal((128, 64)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("b", dim=64, dtype=DataType.BFLOAT16)
+    b.add_vectors("b", data)
+    path = tmp_path / "b.mvt"
+    b.build().save(path)
+    eng = SearchEngine.open(path, backend="pallas")
+    res = eng.search(data[10], k=1)
+    assert res.indices[0, 0] == 10
+
+
+def test_device_space_nbytes(tmp_path, rng):
+    path, data = _build(tmp_path, rng, n=64, d=32)
+    sp = Reader.open(path).vector_space("v")
+    ds = DeviceSpace.from_space(sp)
+    # padded 64×128 f32 + 64 f32 norms
+    assert ds.nbytes == 64 * 128 * 4 + 64 * 4
+    assert ds.padded_rows == 64 and ds.padded_dim == 128

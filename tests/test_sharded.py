@@ -1,0 +1,107 @@
+"""Multi-chip sharded search on the virtual 8-device CPU mesh: the global
+top-k over row-sharded corpora must equal the single-device answer exactly
+(SURVEY.md §4 'multi-chip paths testable single-host via fake-mesh')."""
+
+import jax
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, DistanceMetric, Reader
+from metrovector_tpu.ops import numpy_oracle
+from metrovector_tpu.parallel import (
+    ShardedDeviceSpace,
+    make_mesh,
+    replicate,
+    shard_rows,
+    sharded_topk,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device (virtual) platform"
+)
+
+
+def _case(rng, n=1000, d=32, q=6):
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    return queries, db, norms
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.L2, DistanceMetric.INNER_PRODUCT])
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_matches_oracle(rng, metric, ndev):
+    queries, db, norms = _case(rng)
+    mesh = make_mesh(ndev)
+    db_s = shard_rows(db, mesh)
+    norms_s = shard_rows(norms, mesh)
+    q_r = replicate(queries, mesh)
+    s, i = sharded_topk(
+        q_r, db_s, norms_s, db.shape[0], 10, metric, mesh, backend="xla"
+    )
+    _, oi = numpy_oracle(queries, db, 10, metric)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_sharded_pallas_backend(rng):
+    queries, db, norms = _case(rng, n=512, d=128, q=3)
+    mesh = make_mesh(4)
+    s, i = sharded_topk(
+        replicate(queries, mesh),
+        shard_rows(db, mesh),
+        shard_rows(norms, mesh),
+        db.shape[0], 5, DistanceMetric.L2, mesh,
+        backend="pallas", interpret=True, block_rows=128,
+    )
+    _, oi = numpy_oracle(queries, db, 5, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_sharded_uneven_rows(rng):
+    """Row count not divisible by the mesh: trailing shard is mostly padding
+    and its fake rows must never appear in results."""
+    queries, db, norms = _case(rng, n=777, q=4)
+    mesh = make_mesh(8)
+    s, i = sharded_topk(
+        replicate(queries, mesh),
+        shard_rows(db, mesh),
+        shard_rows(norms, mesh),
+        777, 10, DistanceMetric.L2, mesh, backend="xla",
+    )
+    i = np.asarray(i)
+    assert i.max() < 777
+    _, oi = numpy_oracle(queries, db, 10, DistanceMetric.L2)
+    assert np.array_equal(i, oi)
+
+
+def test_sharded_device_space_end_to_end(tmp_path, rng):
+    data = rng.standard_normal((300, 24)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=24)
+    b.add_vectors("v", data)
+    b.delete_vector("v", 5)
+    path = tmp_path / "s.mvt"
+    b.build().save(path)
+
+    sp = Reader.open(path).vector_space("v")
+    mesh = make_mesh(8)
+    ds = ShardedDeviceSpace(sp, mesh)
+    queries = data[[5, 17, 200]]
+    res = ds.search(queries, k=4, backend="xla")
+    # deleted row 5 is excluded even when queried by itself
+    assert 5 not in res.indices
+    assert res.indices[1, 0] == 17 and res.indices[2, 0] == 200
+    mask = np.ones(300, np.float32)
+    mask[5] = 0
+    _, oi = numpy_oracle(queries, data, 4, DistanceMetric.L2, valid_mask=mask)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_shard_placement(rng):
+    """Data really is distributed: each device holds 1/ndev of the rows."""
+    _, db, _ = _case(rng, n=800)
+    mesh = make_mesh(8)
+    db_s = shard_rows(db, mesh)
+    shard_shapes = {tuple(s.data.shape) for s in db_s.addressable_shards}
+    # 800/8 = 100 rows/shard, rounded up to the 8-row sublane tile → 104
+    assert shard_shapes == {(104, 32)}

@@ -1,0 +1,136 @@
+"""Parity tests for the Pallas fused distance+top-k kernel against the
+NumPy oracle and the XLA path. On CPU the kernel runs in interpreter mode
+(SURVEY.md §7 step 2: CPU-runnable via the Pallas interpreter)."""
+
+import jax
+import numpy as np
+import pytest
+
+from metrovector_tpu import DistanceMetric
+from metrovector_tpu.ops import fused_topk, numpy_oracle
+
+INTERPRET = jax.default_backend() == "cpu"
+METRICS = [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT]
+
+
+def _case(rng, n, d, q):
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    return queries, db, norms
+
+
+def _run(queries, db, norms, n_valid, k, metric, **kw):
+    q = queries
+    if metric == DistanceMetric.COSINE:
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    return fused_topk(
+        q, db, norms, n_valid, k, metric, interpret=INTERPRET, **kw
+    )
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_kernel_matches_oracle_single_block(rng, metric):
+    queries, db, norms = _case(rng, n=512, d=128, q=5)
+    s, i = _run(queries, db, norms, 512, 10, metric, block_rows=512)
+    _, oi = numpy_oracle(queries, db, 10, metric)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_kernel_multi_block_merge(rng, metric):
+    queries, db, norms = _case(rng, n=1024, d=128, q=3)
+    s, i = _run(queries, db, norms, 1024, 7, metric, block_rows=256)
+    _, oi = numpy_oracle(queries, db, 7, metric)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_kernel_ragged_last_block(rng):
+    """N not a multiple of block_rows exercises the padded tail block."""
+    queries, db, norms = _case(rng, n=640, d=128, q=2)
+    s, i = _run(queries, db, norms, 640, 5, DistanceMetric.L2, block_rows=256)
+    _, oi = numpy_oracle(queries, db, 5, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_kernel_num_valid_masks_padding(rng):
+    queries, db, norms = _case(rng, n=512, d=128, q=2)
+    db[200:] = 1000.0  # pretend rows ≥ 200 are tile padding w/ garbage
+    norms[200:] = 0.0
+    s, i = _run(queries, db, norms, 200, 8, DistanceMetric.INNER_PRODUCT,
+                block_rows=256)
+    assert np.asarray(i).max() < 200
+    _, oi = numpy_oracle(queries[:, :], db[:200], 8, DistanceMetric.INNER_PRODUCT)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_kernel_tombstones(rng):
+    queries, db, norms = _case(rng, n=256, d=128, q=2)
+    _, base = _run(queries, db, norms, 256, 1, DistanceMetric.L2, block_rows=256)
+    mask = np.ones(256, np.float32)
+    mask[np.asarray(base).ravel()] = 0.0
+    _, i2 = _run(queries, db, norms, 256, 4, DistanceMetric.L2,
+                 valid_mask=jax.numpy.asarray(mask), block_rows=256)
+    assert not np.intersect1d(np.asarray(i2), np.asarray(base)).size
+
+
+def test_kernel_query_tile_padding(rng):
+    """Q not a multiple of the query tile (and > one tile)."""
+    queries, db, norms = _case(rng, n=256, d=128, q=19)
+    s, i = _run(queries, db, norms, 256, 3, DistanceMetric.L2,
+                block_rows=256, query_tile=16)
+    _, oi = numpy_oracle(queries, db, 3, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_kernel_bf16_db(rng):
+    import ml_dtypes
+
+    queries, db, norms = _case(rng, n=512, d=128, q=4)
+    db16 = db.astype(ml_dtypes.bfloat16)
+    norms16 = (db16.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    s, i = fused_topk(
+        queries.astype(ml_dtypes.bfloat16), db16, norms16, 512, 10,
+        DistanceMetric.L2, block_rows=512, interpret=INTERPRET,
+    )
+    # bf16 rounding perturbs near-ties; require strong overlap w/ f32 truth.
+    _, oi = numpy_oracle(queries, db, 10, DistanceMetric.L2)
+    overlap = [
+        len(set(map(int, np.asarray(i)[r])) & set(map(int, oi[r]))) / 10
+        for r in range(4)
+    ]
+    assert min(overlap) >= 0.8
+
+
+def test_kernel_int8_symmetric(rng):
+    d = 128
+    x = rng.standard_normal((384, d)).astype(np.float32)
+    scale_x = float(np.abs(x).max()) / 127.0
+    codes = np.clip(np.rint(x / scale_x), -128, 127).astype(np.int8)
+    deq = codes.astype(np.float32) * scale_x
+    norms = (deq.astype(np.float64) ** 2).sum(1).astype(np.float32)
+
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    scale_q = float(np.abs(queries).max()) / 127.0
+    qcodes = np.clip(np.rint(queries / scale_q), -128, 127).astype(np.int8)
+
+    s, i = fused_topk(
+        qcodes, codes, norms, 384, 10, DistanceMetric.INNER_PRODUCT,
+        scale=scale_q * scale_x, block_rows=384, interpret=INTERPRET,
+    )
+    # Ranking must match the dequantized-float oracle exactly: the kernel
+    # computes sq·sx·(int dot) which equals the dequantized dot.
+    _, oi = numpy_oracle(qcodes.astype(np.float32) * scale_q, deq, 10,
+                         DistanceMetric.INNER_PRODUCT)
+    assert np.array_equal(np.asarray(i), oi)
+    deq_scores = (qcodes.astype(np.float64) * scale_q) @ deq.T.astype(np.float64)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(deq_scores, oi, 1), rtol=1e-5
+    )
+
+
+def test_kernel_k_exceeds_lane_tile(rng):
+    queries, db, norms = _case(rng, n=512, d=128, q=2)
+    s, i = _run(queries, db, norms, 512, 150, DistanceMetric.L2, block_rows=256)
+    _, oi = numpy_oracle(queries, db, 150, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
