@@ -283,27 +283,44 @@ class Builder:
         offset = len(MAGIC)
         compression = CompressionAlgorithm(compression)
 
-        def push_block(data, compressible: bool = True) -> int:
+        def push_block(data, compressible: bool = True,
+                       precomputed_crc: int | None = None) -> int:
             nonlocal offset
-            raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
-            algo = compression if compressible else CompressionAlgorithm.NONE
-            stored = compress(raw, algo, compression_level)
-            if len(stored) >= len(raw):
-                algo, stored = CompressionAlgorithm.NONE, raw
+            if compression == CompressionAlgorithm.NONE and isinstance(
+                data, np.ndarray
+            ):
+                # Zero-copy fast path: ndarray payloads are written directly
+                # (BuiltFile.write_to streams buffers); CRC may come fused
+                # from the native codec's packing pass.
+                stored = data
+                raw_len = data.nbytes
+                algo = CompressionAlgorithm.NONE
+                crc = precomputed_crc if precomputed_crc is not None else crc32(
+                    data.reshape(-1).view(np.uint8)
+                )
+            else:
+                raw = data.tobytes() if isinstance(data, np.ndarray) else bytes(data)
+                raw_len = len(raw)
+                algo = compression if compressible else CompressionAlgorithm.NONE
+                stored = compress(raw, algo, compression_level)
+                if len(stored) >= len(raw):
+                    algo, stored = CompressionAlgorithm.NONE, raw
+                crc = crc32(stored)
+            stored_len = stored.nbytes if isinstance(stored, np.ndarray) else len(stored)
             pad = (-offset) % BLOCK_ALIGN
             if pad:
                 payloads.append(b"\x00" * pad)
                 offset += pad
             info = BlockInfo(
                 offset=offset,
-                size=len(stored),
-                crc32=crc32(stored),
+                size=stored_len,
+                crc32=crc,
                 compression=algo,
-                uncompressed_size=len(raw),
+                uncompressed_size=raw_len,
             )
             manifest.blocks.append(info)
             payloads.append(stored)
-            offset += len(stored)
+            offset += stored_len
             return len(manifest.blocks) - 1
 
         total_logical = 0
@@ -313,18 +330,41 @@ class Builder:
                 if sp.chunks
                 else np.zeros((0, max(sp.dim, 1)), dtype=numpy_dtype(sp.dtype))
             )
-            block, pr, pd = pack_block(rows, sp.dtype, sp.pad_dims)
-            vec_block = push_block(block)
-            # Norms are stored in *dequantized* value space so L2/cosine
-            # epilogues can use them directly for any element type.
-            norms = np.zeros(pr, dtype="<f4")
-            if rows.size:
-                if sp.quantization is not None:
-                    q = sp.quantization
-                    deq = (rows.astype(np.float32) - q.zero_point) * q.scale
-                    norms[: rows.shape[0]] = squared_norms(deq)
-                else:
-                    norms[: rows.shape[0]] = squared_norms(rows)
+            q = sp.quantization
+            scale = q.scale if q else 1.0
+            zp = q.zero_point if q else 0.0
+            # Fused native pack+norms+CRC (single memory pass); numpy
+            # fallback does the same work in three passes. Norms are stored
+            # in *dequantized* value space so L2/cosine epilogues can use
+            # them directly for any element type.
+            from ..native import pack_block_fused
+
+            fused = None
+            if compression == CompressionAlgorithm.NONE and rows.size:
+                from .constants import padded_dim_for, padded_rows_for
+
+                fused = pack_block_fused(
+                    rows,
+                    padded_rows_for(rows.shape[0], sp.dtype),
+                    padded_dim_for(sp.dim, sp.pad_dims),
+                    int(sp.dtype),
+                    scale,
+                    zp,
+                )
+            if fused is not None:
+                block, norms, crc = fused
+                pr, pd = block.shape
+                vec_block = push_block(block, precomputed_crc=crc)
+            else:
+                block, pr, pd = pack_block(rows, sp.dtype, sp.pad_dims)
+                vec_block = push_block(block)
+                norms = np.zeros(pr, dtype="<f4")
+                if rows.size:
+                    if q is not None:
+                        deq = (rows.astype(np.float32) - zp) * scale
+                        norms[: rows.shape[0]] = squared_norms(deq)
+                    else:
+                        norms[: rows.shape[0]] = squared_norms(rows)
             norms_block = push_block(norms)
 
             info = SpaceInfo(
@@ -413,7 +453,11 @@ class BuiltFile:
         (envelope per reference ``to_bytes``, ``src/builder.rs:417-558``)."""
         written = f.write(MAGIC)
         for p in self._payloads:
-            written += f.write(p if isinstance(p, (bytes, bytearray, memoryview)) else bytes(p))
+            if isinstance(p, np.ndarray):
+                # C-contiguous arrays stream via the buffer protocol, no copy.
+                written += f.write(p.reshape(-1).view(np.uint8).data)
+            else:
+                written += f.write(p)
         footer = self.manifest.to_bytes()
         written += f.write(footer)
         written += f.write(len(footer).to_bytes(FOOTER_LEN_SIZE, "little"))

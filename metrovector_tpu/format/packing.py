@@ -88,7 +88,8 @@ def squared_norms(block: np.ndarray) -> np.ndarray:
     """Per-row squared L2 norms as f32, computed at build time and stored so
     the L2/cosine epilogues never re-read the vectors (score = 2q·x − ‖x‖²)."""
     x = block.astype(np.float32, copy=False)
-    return np.einsum("ij,ij->i", x, x, dtype=np.float32).astype("<f4")
+    # f64 accumulation, matching the native codec bit-for-bit.
+    return np.einsum("ij,ij->i", x, x, dtype=np.float64).astype("<f4")
 
 
 # String heap ---------------------------------------------------------------

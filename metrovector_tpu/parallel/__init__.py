@@ -2,10 +2,12 @@
 
 from .mesh import SHARD_AXIS, make_mesh, replicate, rows_per_shard, shard_rows
 from .sharded_search import ShardedDeviceSpace, sharded_topk
+from .streaming import StreamingSearcher
 
 __all__ = [
     "SHARD_AXIS",
     "ShardedDeviceSpace",
+    "StreamingSearcher",
     "make_mesh",
     "replicate",
     "rows_per_shard",

@@ -1,0 +1,76 @@
+"""Streamed search must be bit-identical to fully-resident search regardless
+of chunk size or chunk-boundary alignment (SURVEY.md §7 'deterministic
+results independent of block arrival order')."""
+
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, DataType, DistanceMetric, Reader
+from metrovector_tpu.engine import SearchEngine
+from metrovector_tpu.ops import numpy_oracle
+from metrovector_tpu.parallel import StreamingSearcher
+
+
+@pytest.fixture
+def big_space(tmp_path, rng):
+    data = rng.standard_normal((2000, 32)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=32)
+    b.add_vectors("v", data)
+    b.delete_vector("v", 1234)
+    path = tmp_path / "big.mvt"
+    b.build().save(path)
+    return Reader.open(path).vector_space("v"), data
+
+
+@pytest.mark.parametrize("chunk_rows", [256, 512, 1000])
+def test_streaming_matches_resident(big_space, rng, chunk_rows):
+    sp, data = big_space
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    res_stream = StreamingSearcher(sp, chunk_rows=chunk_rows).search(queries, k=12)
+    res_resident = SearchEngine(sp, backend="xla").search(queries, k=12)
+    assert np.array_equal(res_stream.indices, res_resident.indices)
+    # pallas vs xla backends differ in f32 summation order (last-ulp)
+    np.testing.assert_allclose(
+        res_stream.scores, res_resident.scores, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_streaming_oracle_parity_with_tombstone(big_space, rng):
+    sp, data = big_space
+    queries = data[[1234, 7]]  # deleted row queried directly
+    res = StreamingSearcher(sp, chunk_rows=512).search(queries, k=5)
+    assert 1234 not in res.indices
+    mask = np.ones(2000, np.float32)
+    mask[1234] = 0
+    _, oi = numpy_oracle(queries, data, 5, DistanceMetric.L2, valid_mask=mask)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_streaming_k_exceeds_corpus(tmp_path, rng):
+    data = rng.standard_normal((5, 8)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=8)
+    b.add_vectors("v", data)
+    path = tmp_path / "tiny.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("v")
+    res = StreamingSearcher(sp, chunk_rows=256).search(data[:2], k=9)
+    assert res.indices.shape == (2, 9)
+    assert (res.indices[:, 5:] == -1).all()
+    assert res.indices[0, 0] == 0 and res.indices[1, 0] == 1
+
+
+def test_streaming_int8(tmp_path, rng):
+    x = rng.standard_normal((600, 16)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("q", dim=16, dtype=DataType.INT8,
+                       metric=DistanceMetric.INNER_PRODUCT)
+    b.add_vectors("q", x)
+    path = tmp_path / "q.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("q")
+    queries = rng.standard_normal((3, 16)).astype(np.float32)
+    res_stream = StreamingSearcher(sp, chunk_rows=128).search(queries, k=8)
+    res_resident = SearchEngine(sp, backend="pallas").search(queries, k=8)
+    assert np.array_equal(res_stream.indices, res_resident.indices)
