@@ -103,6 +103,9 @@ class _PendingSpace:
         self.index = IndexInfo()
         self.quantization: QuantizationInfo | None = None
         self.deleted: set[int] = set()
+        # Optional trained IVF structure: (centroids f32 [C,D], assignments
+        # i32 [N]) persisted as data blocks at build.
+        self.ivf_data: tuple[np.ndarray, np.ndarray] | None = None
 
 
 class VectorSpaceHandle:
@@ -258,6 +261,37 @@ class Builder:
         col.values = vals
         sp.columns[column_name] = col
 
+    def set_ivf_index(
+        self,
+        space_name: str,
+        centroids: np.ndarray,
+        assignments: np.ndarray,
+        nprobe: int = 8,
+    ) -> None:
+        """Attach a trained IVF structure (e.g. from
+        :func:`metrovector_tpu.index.train_kmeans`) so readers can probe
+        without retraining. Persists centroids and per-row assignments as
+        real data blocks — the capability the reference's writer stubs out
+        with a bogus block index (``src/builder.rs:438-447``)."""
+        sp = self._get_space(space_name)
+        centroids = np.ascontiguousarray(centroids, dtype="<f4")
+        assignments = np.ascontiguousarray(assignments, dtype="<i4")
+        if sp.dim and centroids.shape[1] != sp.dim:
+            raise DimensionMismatchError(expected=sp.dim, actual=centroids.shape[1])
+        if assignments.shape[0] != sp.num_vectors:
+            raise BuildError(
+                f"assignments cover {assignments.shape[0]} rows, space has "
+                f"{sp.num_vectors}"
+            )
+        sp.ivf_data = (centroids, assignments)
+        sp.index = IndexInfo(
+            kind=IndexKind.IVF,
+            params={
+                "num_clusters": int(centroids.shape[0]),
+                "nprobe": int(nprobe),
+            },
+        )
+
     def delete_vector(self, space_name: str, index: int) -> None:
         """Mark a row deleted; emitted as a BITMAP tombstone block at build.
         The reference declares tombstones but never writes them
@@ -381,6 +415,12 @@ class Builder:
                 index=sp.index,
                 quantization=sp.quantization,
             )
+
+            if sp.ivf_data is not None:
+                cb = push_block(sp.ivf_data[0])
+                ab = push_block(sp.ivf_data[1])
+                info.index.params["centroids_block"] = cb
+                info.index.params["assignments_block"] = ab
 
             for col in sp.columns.values():
                 data = _encode_column(col, sp.heap)

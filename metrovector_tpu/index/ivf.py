@@ -1,0 +1,360 @@
+"""IVF (inverted-file) index: MXU k-means training + coarse-quantized search.
+
+The reference *declares* IVF in its schema (``schema/index.fbs:14-36`` in
+thegenem0/metrovector) but never builds a usable one — its writer stores a
+bogus ``centroids_block_index`` (``src/builder.rs:438-447``, noted in
+SURVEY.md §2 as a quirk NOT to replicate). Here IVF is implemented for
+real, designed TPU-first:
+
+* **Training** is Lloyd's k-means where the assignment step is a blocked
+  ``[N, D] × [D, C]`` matmul on the MXU (same distance algebra as search:
+  ``argmin ‖x−c‖² = argmax 2x·c − ‖c‖²``) and the update step is a
+  ``segment_sum`` scatter. Initialization is k-means|| style random sampling.
+* **Layout**: rows are permuted into cluster order and padded into a
+  uniform ``[C, bucket_rows, D]`` bucket tensor, so probing is a gather of
+  whole tiles — no ragged lists, no host round-trips.
+* **Search**: queries score all centroids (tiny matmul), pick ``nprobe``
+  buckets each, and score only those buckets via a batched einsum that XLA
+  lowers to MXU batched matmul. Padding rows carry index −1 and −inf
+  scores. Recall is tunable via ``nprobe`` (``nprobe == num_clusters``
+  degenerates to exact search).
+
+Index persistence round-trips through MVT blocks (centroids + row
+permutation + bucket fill counts) referenced from ``IndexInfo.params`` —
+completing the file-format story the reference left as a TODO
+(``src/builder.rs:459``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import DistanceMetric
+from ..ops.distances import scores_to_distances
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+# ------------------------------------------------------------- k-means ---
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _assign(data, centroids, c_norms, block_rows: int = 65536):
+    """Nearest-centroid assignment, blocked over rows: ``argmax 2x·c−‖c‖²``
+    on the MXU. Returns int32 ``[N]``."""
+    n = data.shape[0]
+    nblocks = -(-n // block_rows)
+    pad = nblocks * block_rows - n
+    if pad:
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+    blocks = data.reshape(nblocks, block_rows, data.shape[1])
+
+    def step(_, blk):
+        scores = (
+            2.0
+            * jax.lax.dot_general(
+                blk, centroids,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            - c_norms[None, :]
+        )
+        return _, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(step, None, blocks)
+    return assign.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("num_clusters",))
+def _update(data, assignments, num_clusters: int):
+    """Centroid update: segment mean. Empty clusters keep their position
+    (handled by the caller via reseeding)."""
+    sums = jax.ops.segment_sum(data, assignments, num_segments=num_clusters)
+    counts = jax.ops.segment_sum(
+        jnp.ones((data.shape[0],), jnp.float32), assignments,
+        num_segments=num_clusters,
+    )
+    return sums, counts
+
+
+def _kmeanspp_init(
+    train: np.ndarray, k: int, rng: np.random.Generator, cap: int = 65_536
+) -> np.ndarray:
+    """k-means++ seeding (D² sampling) on a capped subsample — random init
+    routinely collapses well-separated clusters; ++ seeding does not."""
+    pool = train
+    if pool.shape[0] > cap:
+        pool = pool[rng.choice(pool.shape[0], cap, replace=False)]
+    n = pool.shape[0]
+    centers = np.empty((k, pool.shape[1]), np.float32)
+    centers[0] = pool[rng.integers(n)]
+    d2 = ((pool - centers[0]) ** 2).sum(1)
+    for i in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-30)
+        centers[i] = pool[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((pool - centers[i]) ** 2).sum(1))
+    return centers
+
+
+def train_kmeans(
+    data: np.ndarray,
+    num_clusters: int,
+    iters: int = 10,
+    seed: int = 0,
+    sample: int | None = 262_144,
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-means++-seeded Lloyd's k-means on the accelerator. ``data``: host
+    ``[N, D]`` f32. Training optionally runs on a random row subsample
+    (mini-batch style — centroid quality, not assignments, is what training
+    produces); the final assignment pass always covers all rows.
+
+    Returns ``(centroids [C, D] f32, assignments [N] int32)``.
+    """
+    n, d = data.shape
+    num_clusters = min(num_clusters, n)
+    rng = np.random.default_rng(seed)
+    train = data
+    if sample is not None and n > sample:
+        train = data[rng.choice(n, sample, replace=False)]
+    train_dev = jax.device_put(train.astype(np.float32))
+
+    centroids = _kmeanspp_init(train.astype(np.float32), num_clusters, rng)
+    centroids = jax.device_put(centroids)
+
+    for _ in range(iters):
+        c_norms = jnp.einsum(
+            "ij,ij->i", centroids, centroids,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        assign = _assign(train_dev, centroids, c_norms)
+        sums, counts = _update(train_dev, assign, num_clusters)
+        # Reseed empty clusters from random training rows.
+        empty = np.asarray(counts) == 0
+        new_c = np.asarray(sums) / np.maximum(np.asarray(counts)[:, None], 1.0)
+        if empty.any():
+            new_c[empty] = np.asarray(train_dev)[
+                rng.choice(train.shape[0], int(empty.sum()))
+            ]
+        centroids = jax.device_put(new_c.astype(np.float32))
+
+    c_norms = jnp.einsum(
+        "ij,ij->i", centroids, centroids, precision=jax.lax.Precision.HIGHEST
+    )
+    full = jax.device_put(data.astype(np.float32))
+    assignments = np.asarray(_assign(full, centroids, c_norms))
+    return np.asarray(centroids), assignments
+
+
+# ----------------------------------------------------------- the index ---
+
+
+@dataclasses.dataclass
+class IVFIndex:
+    """Bucketed inverted-file layout for one space.
+
+    ``buckets``: ``[C, bucket_rows, D]`` cluster-grouped (zero-padded) rows;
+    ``bucket_ids``: ``[C, bucket_rows]`` original row ids (−1 for padding);
+    ``bucket_norms``: ``[C, bucket_rows]`` squared norms (0 for padding);
+    ``centroids``: ``[C, D]``; ``fill``: ``[C]`` rows actually used.
+    """
+
+    centroids: np.ndarray
+    buckets: jax.Array
+    bucket_ids: jax.Array
+    bucket_norms: jax.Array
+    fill: np.ndarray
+    metric: DistanceMetric
+    dim: int
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        norms: np.ndarray,
+        metric: DistanceMetric,
+        num_clusters: int,
+        iters: int = 10,
+        seed: int = 0,
+        centroids: np.ndarray | None = None,
+        assignments: np.ndarray | None = None,
+        valid_mask: np.ndarray | None = None,
+    ) -> "IVFIndex":
+        """Train (or accept precomputed) cluster structure and lay rows out
+        into uniform buckets. ``vectors``: logical ``[N, dim]`` rows (the
+        dequantized values for quantized spaces are not required — clustering
+        on raw codes preserves neighborhoods since dequant is affine)."""
+        n, d = vectors.shape
+        data32 = np.ascontiguousarray(vectors, dtype=np.float32)
+        if centroids is None or assignments is None:
+            centroids, assignments = train_kmeans(
+                data32, num_clusters, iters=iters, seed=seed
+            )
+        num_clusters = centroids.shape[0]
+        if valid_mask is not None:
+            keep = ~valid_mask  # valid_mask True == deleted
+        else:
+            keep = np.ones(n, bool)
+
+        order = np.argsort(assignments, kind="stable")
+        order = order[keep[order]]
+        sorted_assign = assignments[order]
+        fill = np.bincount(sorted_assign, minlength=num_clusters)
+        bucket_rows = max(8, -(-int(fill.max(initial=1)) // 8) * 8)
+
+        buckets = np.zeros((num_clusters, bucket_rows, d), np.float32)
+        ids = np.full((num_clusters, bucket_rows), -1, np.int32)
+        bnorms = np.zeros((num_clusters, bucket_rows), np.float32)
+        starts = np.concatenate([[0], np.cumsum(fill)])
+        for c in range(num_clusters):
+            rows = order[starts[c] : starts[c + 1]]
+            buckets[c, : len(rows)] = data32[rows]
+            ids[c, : len(rows)] = rows
+            bnorms[c, : len(rows)] = norms[rows]
+        return cls(
+            centroids=centroids,
+            buckets=jax.device_put(buckets),
+            bucket_ids=jax.device_put(ids),
+            bucket_norms=jax.device_put(bnorms),
+            fill=fill,
+            metric=DistanceMetric(metric),
+            dim=d,
+        )
+
+    @classmethod
+    def from_space(
+        cls,
+        space,
+        num_clusters: int | None = None,
+        iters: int = 10,
+        seed: int = 0,
+    ) -> "IVFIndex":
+        """Build the probe-ready index for a host
+        :class:`~metrovector_tpu.vectors.space.VectorSpace`. Uses the
+        structure persisted in the file when present (no retraining — the
+        O(1)-open philosophy of the format extends to indexes); otherwise
+        trains k-means on the fly. Tombstoned rows are excluded from the
+        buckets entirely."""
+        stored = space.ivf_arrays()
+        centroids = assignments = None
+        if stored is not None:
+            centroids, assignments = stored
+        if num_clusters is None:
+            num_clusters = int(
+                space.info.index.params.get(
+                    "num_clusters", max(1, int(np.sqrt(space.num_vectors)))
+                )
+            )
+        vectors = np.asarray(space.to_numpy(), dtype=np.float32)
+        q = space.quantization
+        if q is not None:
+            vectors = (vectors - q.zero_point) * q.scale
+        norms = np.asarray(space.norms()[: space.num_vectors], dtype=np.float32)
+        return cls.build(
+            vectors,
+            norms,
+            space.metric,
+            num_clusters,
+            iters=iters,
+            seed=seed,
+            centroids=centroids,
+            assignments=assignments,
+            valid_mask=space.tombstone_mask(),
+        )
+
+    @property
+    def num_clusters(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def bucket_rows(self) -> int:
+        return int(self.buckets.shape[1])
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8):
+        """Approximate top-k: probe the ``nprobe`` nearest buckets per
+        query. Returns a SearchResult; recall rises with ``nprobe`` and
+        reaches 1.0 at ``nprobe == num_clusters``."""
+        from ..engine import SearchResult
+
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        qnorms = np.einsum("ij,ij->i", q, q, dtype=np.float64).astype(np.float32)
+        qn = q
+        if self.metric == DistanceMetric.COSINE:
+            qn = q / np.maximum(np.sqrt(qnorms)[:, None], 1e-30)
+        nprobe = min(nprobe, self.num_clusters)
+        s, i = _ivf_search(
+            jax.device_put(qn),
+            jax.device_put(self.centroids),
+            self.buckets,
+            self.bucket_ids,
+            self.bucket_norms,
+            k=min(k, self.bucket_rows * nprobe),
+            nprobe=nprobe,
+            metric=self.metric,
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        dist = np.asarray(
+            scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
+        )
+        dist = np.where(i >= 0, dist,
+                        np.inf if self.metric == DistanceMetric.L2 else -np.inf)
+        if s.shape[1] < k:
+            pad = ((0, 0), (0, k - s.shape[1]))
+            i = np.pad(i, pad, constant_values=-1)
+            s = np.pad(s, pad, constant_values=-np.inf)
+            dist = np.pad(dist, pad, constant_values=np.inf
+                          if self.metric == DistanceMetric.L2 else -np.inf)
+        return SearchResult(indices=i, scores=s, distances=dist, metric=self.metric)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+def _ivf_search(q, centroids, buckets, bucket_ids, bucket_norms, k: int,
+                nprobe: int, metric: DistanceMetric):
+    """Device-side IVF probe: centroid scoring → top-nprobe bucket gather →
+    batched bucket matmul → masked top-k."""
+    metric = DistanceMetric(metric)
+    c_norms = jnp.einsum(
+        "ij,ij->i", centroids, centroids, precision=jax.lax.Precision.HIGHEST
+    )
+    # Coarse scores [Q, C]: metric-consistent so probing matches ranking.
+    cdots = jax.lax.dot_general(
+        q, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == DistanceMetric.L2:
+        cscores = 2.0 * cdots - c_norms[None, :]
+    elif metric == DistanceMetric.COSINE:
+        cscores = cdots * jax.lax.rsqrt(jnp.maximum(c_norms, 1e-30))[None, :]
+    else:
+        cscores = cdots
+    _, probes = jax.lax.top_k(cscores, nprobe)  # [Q, nprobe]
+
+    # Gather probed buckets: [Q, nprobe, B, D] — batched per-query corpora.
+    gb = buckets[probes]          # [Q, nprobe, B, D]
+    gi = bucket_ids[probes]       # [Q, nprobe, B]
+    gn = bucket_norms[probes]     # [Q, nprobe, B]
+    dots = jnp.einsum(
+        "qd,qnbd->qnb", q, gb,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == DistanceMetric.L2:
+        scores = 2.0 * dots - gn
+    elif metric == DistanceMetric.COSINE:
+        scores = dots * jax.lax.rsqrt(jnp.maximum(gn, 1e-30))
+    else:
+        scores = dots
+    scores = jnp.where(gi >= 0, scores, _NEG_INF)
+    qn_, flat = scores.shape[0], nprobe * scores.shape[2]
+    s, pos = jax.lax.top_k(scores.reshape(qn_, flat), k)
+    idx = jnp.take_along_axis(gi.reshape(qn_, flat), pos, axis=1)
+    idx = jnp.where(jnp.isfinite(s), idx, -1)
+    return s, idx

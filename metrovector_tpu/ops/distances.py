@@ -21,6 +21,18 @@ top-k is always a max-k:
 All accumulation is f32 regardless of storage dtype (bf16/f16/int8 inputs
 feed the MXU; `preferred_element_type=f32` guards against catastrophic
 cancellation for near-duplicate vectors — SURVEY.md §7 "exactness").
+
+Exactness contract
+------------------
+Rankings are exact up to f32 score resolution of the expanded form: two DB
+rows whose expanded-form scores differ by less than ~1 ulp at the score's
+magnitude (≈1.2e-7 · ‖x‖²) may swap. On integer-valued corpora (SIFT/DEEP
+style) every score is exactly representable and rankings are absolutely
+exact. For adversarial float data where ‖q−x‖² ≪ ‖x‖² (dense clusters far
+from the origin), the reference's direct ``Σ(a−b)²`` form
+(`examples/similarity_search.rs:152-157`) resolves ties the expanded form
+cannot; such ties are physically meaningless at f32 input precision but can
+flip the tail of a top-k list.
 """
 
 from __future__ import annotations

@@ -193,6 +193,26 @@ class VectorSpace:
             return [StringHeap.read(heap, int(off)) for off in arr]
         return arr
 
+    # -- stored index structures ---------------------------------------------------
+
+    def ivf_arrays(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Stored IVF structure ``(centroids [C, dim] f32, assignments [N]
+        i32)`` if the builder persisted one (``Builder.set_ivf_index``),
+        else None. Zero-copy views of the mmap."""
+        idx = self._info.index
+        cb = idx.params.get("centroids_block", -1)
+        ab = idx.params.get("assignments_block", -1)
+        if cb < 0 or ab < 0:
+            return None
+        c = int(idx.params.get("num_clusters", 0))
+        cent = np.frombuffer(
+            self._reader.block_bytes(cb), dtype="<f4", count=c * self.dim
+        ).reshape(c, self.dim)
+        assign = np.frombuffer(
+            self._reader.block_bytes(ab), dtype="<i4", count=self.num_vectors
+        )
+        return cent, assign
+
     # -- tombstones ----------------------------------------------------------------
 
     def tombstone_mask(self) -> np.ndarray | None:
