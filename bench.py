@@ -3,19 +3,26 @@
 Prints ONE JSON line:
 ``{"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}``.
 
-The workload matches the repo's north-star config (BASELINE.json): 1M × 128-d
-f32 corpus, L2 metric, exact top-10, batched queries, corpus resident in one
-chip's HBM. ``vs_baseline`` is QPS divided by the 10k-QPS/chip target.
-Recall@10 is validated against an independent NumPy float oracle on a query
-subsample — the run aborts (vs_baseline = 0) if recall < 1.0, so the number
-can never come from an approximate shortcut.
+Workload = the repo's north-star config (BASELINE.json): 1M × 128-d f32
+corpus (integer-valued, SIFT-style), L2 metric, exact top-10, corpus
+resident in one chip's HBM, full f32 (HIGHEST) matmul precision.
 
-The reference's own published numbers are host-side read-throughput claims
-(README.md:142-147, measured by examples/large_dataset.rs); it publishes no
-search QPS at all — SURVEY.md §6.
+Methodology: batches of distinct pre-uploaded queries are launched
+back-to-back and only the final result is read back, so the measurement is
+device execution throughput, not host↔device tunnel RTT (in this dev
+environment the TPU sits behind a relay whose per-readback RTT is ~30 ms
+and whose sync without readback can under-report; pipelined launches with
+one trailing readback are the honest middle). Recall@10 is validated
+against an independent float64 NumPy oracle — the result is zeroed if
+recall < 1.0, so the number can never come from an approximate shortcut.
 
-Env knobs: MVT_BENCH_N (corpus rows, default 1_000_000), MVT_BENCH_Q
-(batch size, default 64), MVT_BENCH_ITERS (timed launches, default 50).
+The reference publishes no search QPS at all (its README numbers are
+host-side mmap read throughput, README.md:142-147); the driver-defined
+baseline is 10k QPS/chip.
+
+Env knobs: MVT_BENCH_N (corpus rows, default 1_000_000), MVT_BENCH_ITERS
+(timed launches per batch size, default 30), MVT_BENCH_BATCHES
+(comma-separated batch sizes, default "32,64,128,256").
 """
 
 from __future__ import annotations
@@ -42,24 +49,24 @@ def main() -> None:
     interpret = backend != "tpu"
     n = int(os.environ.get("MVT_BENCH_N", 1_000_000))
     d = 128
-    qbatch = int(os.environ.get("MVT_BENCH_Q", 64))
-    iters = int(os.environ.get("MVT_BENCH_ITERS", 50))
     k = 10
+    iters = int(os.environ.get("MVT_BENCH_ITERS", 30))
+    batches = [
+        int(b) for b in os.environ.get("MVT_BENCH_BATCHES", "32,64,128,256").split(",")
+    ]
     if interpret:
         # CPU smoke configuration: the Pallas interpreter is ~10^3× slower.
         n = min(n, 20_000)
         iters = min(iters, 3)
-    log(f"backend={backend} n={n} d={d} qbatch={qbatch} iters={iters}")
+        batches = batches[:1]
+    log(f"backend={backend} n={n} d={d} iters={iters} batches={batches}")
 
     rng = np.random.default_rng(7)
-    # SIFT-like: non-negative int-valued features stored as f32.
     db = rng.integers(0, 256, size=(n, d)).astype(np.float32)
-    queries = rng.integers(0, 256, size=(qbatch, d)).astype(np.float32)
     norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
-
     db_dev = jax.device_put(db)
     norms_dev = jax.device_put(norms)
-    q_dev = jax.device_put(queries)
+    jax.block_until_ready((db_dev, norms_dev))
     nvalid = np.int32(n)
 
     def run(q):
@@ -68,42 +75,46 @@ def main() -> None:
             interpret=interpret,
         )
 
+    # Recall gate: one batch vs the f64 oracle.
+    qcheck = rng.integers(0, 256, size=(32, d)).astype(np.float32)
     t0 = time.perf_counter()
-    s, i = run(q_dev)
-    jax.block_until_ready((s, i))
+    got = np.asarray(run(jax.device_put(qcheck))[1])
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
-
-    # Recall@10 == 1.0 against an independent float64 oracle.
-    d2 = (
-        norms.astype(np.float64)[None, :]
-        - 2.0 * (queries.astype(np.float64) @ db.T.astype(np.float64))
+    d2 = norms.astype(np.float64)[None, :] - 2.0 * (
+        qcheck.astype(np.float64) @ db.T.astype(np.float64)
     )
     oracle_idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
-    got = np.asarray(i)
-    recall = np.mean(
-        [len(set(got[r]) & set(oracle_idx[r])) / k for r in range(qbatch)]
+    recall = float(
+        np.mean([len(set(got[r]) & set(oracle_idx[r])) / k for r in range(32)])
     )
     log(f"recall@10 = {recall:.4f}")
 
-    lat = []
-    for _ in range(iters):
+    best = {"qps": 0.0, "batch": 0, "ms": 0.0}
+    for qb in batches:
+        qs = [
+            jax.device_put(rng.integers(0, 256, (qb, d)).astype(np.float32))
+            for _ in range(iters)
+        ]
+        jax.block_until_ready(qs)
+        _ = np.asarray(run(qs[0])[1])  # warm this batch shape
         t0 = time.perf_counter()
-        s, i = run(q_dev)
-        jax.block_until_ready((s, i))
-        lat.append(time.perf_counter() - t0)
-    lat = np.asarray(lat)
-    p50 = float(np.percentile(lat, 50))
-    qps = qbatch / p50
-    log(f"p50 batch latency = {p50 * 1e3:.2f} ms  ->  {qps:,.0f} QPS/chip")
+        outs = [run(q) for q in qs]
+        _ = np.asarray(outs[-1][1])  # trailing readback fences the pipeline
+        dt = (time.perf_counter() - t0) / iters
+        qps = qb / dt
+        log(f"batch={qb}: {dt * 1e3:.2f} ms/batch -> {qps:,.0f} QPS")
+        if qps > best["qps"]:
+            best = {"qps": qps, "batch": qb, "ms": dt * 1e3}
 
     target_qps = 10_000.0
-    value = qps if recall >= 1.0 else 0.0
+    value = best["qps"] if recall >= 1.0 else 0.0
     print(
         json.dumps(
             {
                 "metric": "exact top-10 L2 QPS/chip (SIFT1M-scale synthetic, "
-                          f"n={n}, batch={qbatch}, recall@10={recall:.3f}, "
-                          f"p50={p50 * 1e3:.2f}ms, backend={backend})",
+                          f"n={n}, best batch={best['batch']} at "
+                          f"{best['ms']:.2f}ms/batch, recall@10={recall:.3f}, "
+                          f"f32 HIGHEST, backend={backend})",
                 "value": round(value, 1),
                 "unit": "qps",
                 "vs_baseline": round(value / target_qps, 3),

@@ -13,11 +13,16 @@ build-plan step 3). Design:
 * A VMEM scratch candidate list ``best[QT, K_PAD]`` (scores + global
   indices) persists across the sequential db-block steps — the full
   ``[Q, N]`` score matrix never exists anywhere, in HBM or VMEM.
-* Per step, the block's scores are merged into the candidate list by
-  ``k`` rounds of (max, argmax-via-iota, mask) on the VPU. A whole-tile
-  threshold test (``block max ≤ current worst candidate``) skips the merge
-  entirely for blocks that cannot contribute — on unsorted corpora this
-  prunes the vast majority of merges after warm-up.
+* Per step, the block is **lane-folded** before selection: a ~2-pass sweep
+  compresses ``[QT, BN]`` scores to per-lane maxima ``[QT, 128]`` (with
+  fold argmax giving global row ids), and the k-round (max,
+  min-index-among-ties, mask) selection then runs over just ``128 + K_PAD``
+  candidate columns. A per-lane improvement count (entries ≥ the current
+  per-query k-th best) detects the rare case where the fold would drop a
+  qualifying row — two improvements colliding in one lane — and reruns
+  that block's merge at full width, keeping results exact. A whole-tile
+  threshold test (``block max ≤ current worst candidate``) skips merging
+  entirely for blocks that cannot contribute.
 * Tile padding (rows ≥ ``num_valid``) and tombstoned rows are masked to
   −inf before selection, so physical padding can never surface in results.
 * Tie-breaking is "lowest global index wins", matching a stable argsort
@@ -46,38 +51,59 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def default_block_rows(padded_dim: int, itemsize: int) -> int:
-    """DB rows per grid step, sized so the streamed DB block stays ≤ ~2 MB
-    of VMEM (leaving room for double-buffering and the score tile)."""
-    row_bytes = padded_dim * itemsize
-    target = 2 * 1024 * 1024
-    bn = max(256, min(2048, target // max(row_bytes, 1)))
-    return _round_up(bn, 256)
+def default_block_rows(padded_dim: int, itemsize: int, query_tile: int = 128,
+                       bf16x3: bool = False) -> int:
+    """DB rows per grid step, sized to fill the VMEM budget: double-buffered
+    DB blocks (``2·BN·D·esz``) plus the f32 score tile (``qt·BN·4``) within
+    ~9 MB of the ~16 MB core VMEM (rest: queries, candidates, fold arrays,
+    pipeline slack). Bigger blocks amortize per-step grid overhead — the
+    dominant fixed cost for small query batches. The bf16x3 path allocates
+    hi/lo split temporaries (~3·BN·D·esz/2 extra) per block."""
+    budget = 9 * 1024 * 1024
+    denom = 2 * padded_dim * itemsize + 4 * query_tile + 32
+    if bf16x3:
+        denom += 3 * padded_dim * itemsize // 2
+    bn = budget // max(denom, 1)
+    bn = max(256, min(8192, bn))
+    return (bn // 256) * 256
 
 
-def _select_k(cand_s, cand_i, best_s_ref, best_i_ref, k: int):
-    """k rounds of max/argmax/mask over the candidate tile, writing the
-    sorted-descending winners into the scratch refs. ``cand_s`` is f32
-    ``[QT, C]``; ties resolve to the lowest position (and candidates are
-    ordered old-best-then-ascending-index, so lowest global index wins)."""
-    qt, c = cand_s.shape
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, c), 1)
+def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
+    """k rounds of (max, min-index-among-ties, mask) over the candidate
+    tile, writing the sorted-descending winners into ``ref[rows]``.
+    ``cand_s`` is f32 ``[G, C]``. Tie-break is *lowest global row index*,
+    matching a stable argsort oracle independent of candidate column order
+    (candidate ids are distinct except the initial −1 sentinels, which tie
+    only at −inf and resolve to −1 — the desired missing-slot marker)."""
     big = jnp.int32(2**31 - 1)
     for j in range(k):
         m = jnp.max(cand_s, axis=1)
         eq = cand_s == m[:, None]
-        pos = jnp.min(jnp.where(eq, pos_iota, big), axis=1)
-        onehot = pos_iota == pos[:, None]
-        best_s_ref[:, j : j + 1] = m[:, None]
-        best_i_ref[:, j : j + 1] = jnp.sum(
-            jnp.where(onehot, cand_i, 0), axis=1, dtype=jnp.int32
-        )[:, None]
+        idx_sel = jnp.min(jnp.where(eq, cand_i, big), axis=1)
+        onehot = jnp.logical_and(eq, cand_i == idx_sel[:, None])
+        best_s_ref[rows, j : j + 1] = m[:, None]
+        best_i_ref[rows, j : j + 1] = idx_sel[:, None]
         cand_s = jnp.where(onehot, _NEG_INF, cand_s)
 
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    # Mosaic only lowers DEFAULT and HIGHEST; 'high' maps to a manual
+    # bf16x3 split (see kernel body) giving ~f32-faithful dots at half the
+    # MXU passes of HIGHEST.
+    "high": jax.lax.Precision.DEFAULT,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
 def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
-                 scale: float, has_valid: bool, int_path: bool):
+                 scale: float, has_valid: bool, int_path: bool,
+                 precision: str):
     metric = DistanceMetric(metric)
+    prec = _PRECISIONS[precision]
+    bf16x3 = precision == "high" and not int_path
+    lanes = 128
+    n_chunks = block_rows // lanes
 
     def kernel(nvalid_ref, q_ref, db_ref, norms_ref, *rest):
         if has_valid:
@@ -94,21 +120,42 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
             best_s[:] = jnp.full_like(best_s, _NEG_INF)
             best_i[:] = jnp.full_like(best_i, -1)
 
+        dims = (((1,), (1,)), ((), ()))
         if int_path:
             dots = jax.lax.dot_general(
-                q_ref[:], db_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                q_ref[:], db_ref[:], dimension_numbers=dims,
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
+        elif bf16x3:
+            # Manual bf16x3 split: q = q_hi + q_lo exactly captures ~16
+            # significand bits; q·x ≈ q_hi·x_hi + q_hi·x_lo + q_lo·x_hi
+            # (the dropped q_lo·x_lo term is ≤ 2^-16 relative). Three
+            # single-pass bf16 MXU dots ≈ 2x faster than HIGHEST's six.
+            q32 = q_ref[:]
+            x32 = db_ref[:]
+            q_hi = q32.astype(jnp.bfloat16)
+            x_hi = x32.astype(jnp.bfloat16)
+            q_lo = (q32 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            x_lo = (x32 - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dots = jax.lax.dot_general(
+                q_hi, x_hi, dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dots += jax.lax.dot_general(
+                q_hi, x_lo, dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dots += jax.lax.dot_general(
+                q_lo, x_hi, dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
         else:
-            # HIGHEST precision: f32 inputs must not round through bf16 on
+            # Default HIGHEST: f32 inputs must not round through bf16 on
             # the MXU or near-tie rankings diverge from the f32 oracle
             # (exactness contract; see ops.distances docstring).
             dots = jax.lax.dot_general(
-                q_ref[:], db_ref[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                q_ref[:], db_ref[:], dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         if scale != 1.0:
             dots = dots * jnp.float32(scale)
@@ -128,6 +175,9 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
         if valid_ref is not None:
             scores = jnp.where(valid_ref[:] != 0, scores, _NEG_INF)
 
+        qt = scores.shape[0]
+        full = slice(None)
+
         # Conservative whole-tile skip: nothing in this block can beat the
         # worst retained candidate of any query in the tile.
         worst = jnp.min(best_s[:, :k])
@@ -135,13 +185,41 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
 
         @pl.when(blockmax > worst)
         def _merge():
-            qt = scores.shape[0]
-            gidx = row0 + jax.lax.broadcasted_iota(
-                jnp.int32, (qt, block_rows), 1
-            )
-            cand_s = jnp.concatenate([best_s[:], scores], axis=1)
-            cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
-            _select_k(cand_s, cand_i, best_s, best_i, k)
+            # Lane fold: compress the block to its per-lane maxima — 128
+            # candidates per query in ~2 passes — then select k from
+            # 128 + k_pad columns instead of block_rows + k_pad. This is
+            # exact unless some query improves its top-k twice in the same
+            # lane of the same block, which a per-lane improvement count
+            # detects; that rare case takes the full-width merge instead.
+            theta = best_s[:, k - 1 : k]  # current kth best per query
+            fm = scores[:, 0:lanes]
+            am = jnp.zeros((qt, lanes), jnp.int32)
+            imp = (fm >= theta).astype(jnp.int32)
+            for c in range(1, n_chunks):
+                sc = scores[:, c * lanes : (c + 1) * lanes]
+                gt = sc > fm
+                fm = jnp.where(gt, sc, fm)
+                am = jnp.where(gt, c, am)
+                imp += (sc >= theta).astype(jnp.int32)
+            collision = jnp.max(imp) >= 2
+
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
+            fold_idx = row0 + am * lanes + lane_iota
+
+            @pl.when(jnp.logical_not(collision))
+            def _fast():
+                cand_s = jnp.concatenate([best_s[:], fm], axis=1)
+                cand_i = jnp.concatenate([best_i[:], fold_idx], axis=1)
+                _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
+
+            @pl.when(collision)
+            def _slow():
+                gidx = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (qt, block_rows), 1
+                )
+                cand_s = jnp.concatenate([best_s[:], scores], axis=1)
+                cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
+                _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
 
         @pl.when(ni == nblocks - 1)
         def _flush():
@@ -155,6 +233,7 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
     jax.jit,
     static_argnames=(
         "k", "metric", "scale", "block_rows", "query_tile", "interpret",
+        "precision",
     ),
 )
 def fused_topk(
@@ -169,6 +248,7 @@ def fused_topk(
     block_rows: int | None = None,
     query_tile: int = 128,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k search over one resident DB shard.
 
@@ -184,6 +264,10 @@ def fused_topk(
       scale: static dequant factor applied to raw dots (int8: sq·sx).
       block_rows / query_tile: tile sizes (static; defaults auto-sized).
       interpret: run in the Pallas interpreter (CPU testing).
+      precision: f32 MXU passes — 'highest' (bf16x6, bit-faithful f32,
+        the exactness default), 'high' (bf16x3, f32-faithful for
+        low-significand data like integer-valued corpora, ~2x faster),
+        'default' (single bf16 pass, fastest, visibly reorders near-ties).
 
     Returns:
       ``(scores [Q, k] f32, indices [Q, k] int32)`` sorted best-first with
@@ -191,9 +275,14 @@ def fused_topk(
     """
     q, d = queries.shape
     n = db.shape[0]
-    if block_rows is None:
-        block_rows = default_block_rows(d, db.dtype.itemsize)
     qt = min(query_tile, _round_up(q, 8))
+    if block_rows is None:
+        block_rows = default_block_rows(
+            d, db.dtype.itemsize, qt,
+            bf16x3=precision == "high" and db.dtype.itemsize == 4,
+        )
+    # The lane-fold merge requires whole 128-lane chunks per block.
+    block_rows = max(LANES, _round_up(block_rows, LANES))
     k_pad = _round_up(k, LANES)
 
     q_pad = _round_up(q, qt)
@@ -226,6 +315,7 @@ def fused_topk(
     kernel = _make_kernel(
         k, k_pad, block_rows, metric, float(scale),
         has_valid=valid_mask is not None, int_path=int_path,
+        precision=precision,
     )
 
     flops_dot = 2 * q_pad * n * d
@@ -254,4 +344,7 @@ def fused_topk(
         ),
         interpret=interpret,
     )(*args)
+    # −inf slots are unfilled (k exceeded valid rows after tombstones):
+    # normalize their index to the −1 sentinel.
+    out_i = jnp.where(jnp.isneginf(out_s), -1, out_i)
     return out_s[:q, :k], out_i[:q, :k]
