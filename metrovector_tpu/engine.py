@@ -62,6 +62,18 @@ class SearchResult:
         ]
 
 
+@dataclasses.dataclass
+class PreparedQueries:
+    """Device-ready query batch plus the scalars needed to interpret raw
+    kernel dots (see :meth:`DeviceSpace.prepare_queries`)."""
+
+    qdev: jax.Array
+    sq_norms: np.ndarray  # ‖q‖² of the original float queries
+    dot_scale: float = 1.0  # static multiplier on raw (integer) dots
+    bias_scale: float = 0.0  # dynamic multiplier on the per-row code sums
+    const: np.ndarray | None = None  # per-query additive dot constant C(q)
+
+
 class DeviceSpace:
     """One vector space resident on device(s): the corpus block, its
     dequantized squared norms, and an optional validity mask, all as jax
@@ -79,6 +91,7 @@ class DeviceSpace:
         zero_point: float = 0.0,
         dtype: DataType = DataType.FLOAT32,
         name: str = "",
+        rowsums: jax.Array | None = None,
     ):
         self.data = data
         self.norms = norms
@@ -90,6 +103,9 @@ class DeviceSpace:
         self.zero_point = float(zero_point)
         self.dtype = DataType(dtype)
         self.name = name
+        # uint8 offset path: per-row sums of the shifted int8 codes
+        # (Σ(c−128) over logical dims), consumed as the kernel's bias_row.
+        self.rowsums = rowsums
 
     # -- construction ---------------------------------------------------------
 
@@ -102,7 +118,12 @@ class DeviceSpace:
     ) -> "DeviceSpace":
         """Upload a host :class:`VectorSpace` view to one device. The padded
         block goes up verbatim; tombstones become a validity mask applied in
-        the kernel epilogue (deleted rows can never enter the top-k)."""
+        the kernel epilogue (deleted rows can never enter the top-k).
+
+        uint8 spaces are re-centered at upload (``c' = c − 128`` over the
+        logical region, padding stays 0) so the integer MXU path applies;
+        the per-row code sums needed for the affine correction are computed
+        once here (see :meth:`prepare_queries` for the algebra)."""
         block = space.padded_array()
         norms = np.asarray(space.norms(), dtype=np.float32)
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
@@ -114,6 +135,15 @@ class DeviceSpace:
                 full[: space.num_vectors] = (~host_mask).astype(np.float32)
                 mask = put(full)
         q = space.quantization
+        rowsums = None
+        if space.dtype == DataType.UINT8:
+            shifted = block.astype(np.int16) - 128
+            shifted[:, space.dim :] = 0
+            shifted[space.num_vectors :, :] = 0
+            rowsums = put(
+                shifted[:, : space.dim].sum(axis=1, dtype=np.int32).astype(np.float32)
+            )
+            block = shifted.astype(np.int8)
         return cls(
             data=put(block),
             norms=put(norms),
@@ -125,6 +155,7 @@ class DeviceSpace:
             zero_point=q.zero_point if q else 0.0,
             dtype=space.dtype,
             name=space.name,
+            rowsums=rowsums,
         )
 
     @property
@@ -144,13 +175,23 @@ class DeviceSpace:
 
     # -- query preprocessing --------------------------------------------------
 
-    def prepare_queries(
-        self, queries
-    ) -> tuple[jax.Array, np.ndarray, float | None]:
+    def prepare_queries(self, queries) -> "PreparedQueries":
         """Validate, pad to ``padded_dim``, pre-normalize (cosine),
-        pre-quantize (int8 symmetric), and cast to the kernel's input dtype.
-        Returns ``(device_queries, f32 squared query norms, query scale or
-        None)`` — the scale is the int8 quantization step of the queries."""
+        pre-quantize (int8/uint8) and cast to the kernel's input dtype.
+
+        uint8 offset algebra: with stored codes ``c`` (dequant ``x =
+        (c − zp)·s``), re-centered device codes ``c' = c − 128``, and query
+        quantization ``q ≈ o_q + s_q·q'``::
+
+            q·x = s·s_q·(q'·c') + s·o_q·Σc' + C(q)
+            C(q) = s·s_q·(128 − zp)·Σq' + s·o_q·(128 − zp)·D
+
+        so the kernel computes ``scale·idot + bias_scale·Σc'`` (rank-equal
+        to ``q·x``) on the integer MXU in one pass, and the engine restores
+        the per-query constant ``C(q)`` afterwards so reported scores /
+        distances are absolute. For integer-valued queries in
+        ``[o_q − 127, o_q + 128]`` the quantization is exact and so is the
+        ranking."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -161,19 +202,46 @@ class DeviceSpace:
         qnorms = np.einsum("ij,ij->i", q, q, dtype=np.float64).astype(np.float32)
         if self.metric == DistanceMetric.COSINE:
             q = q / np.maximum(np.sqrt(qnorms)[:, None], 1e-30)
-        if self.padded_dim != self.dim:
-            q = np.pad(q, ((0, 0), (0, self.padded_dim - self.dim)))
+
+        def pad(arr):
+            if self.padded_dim != self.dim:
+                return np.pad(arr, ((0, 0), (0, self.padded_dim - self.dim)))
+            return arr
 
         if self.dtype == DataType.INT8:
             qscale = float(np.abs(q).max()) / 127.0 or 1.0
             qq = np.clip(np.rint(q / qscale), -128, 127).astype(np.int8)
-            return jax.device_put(qq), qnorms, qscale
+            return PreparedQueries(
+                qdev=jax.device_put(pad(qq)), sq_norms=qnorms,
+                dot_scale=qscale * self.scale,
+            )
+        if self.dtype == DataType.UINT8 and self.metric != DistanceMetric.COSINE:
+            o_q = float(np.round((q.min() + q.max()) / 2.0))
+            amax = float(np.abs(q - o_q).max())
+            integral = bool(np.all(q == np.rint(q)))
+            if integral and amax <= 127.0:
+                s_q = 1.0  # exact integer quantization
+            else:
+                s_q = amax / 127.0 if amax > 0 else 1.0
+            qq = np.clip(np.rint((q - o_q) / s_q), -128, 127).astype(np.int8)
+            qsum = qq.sum(axis=1, dtype=np.int64).astype(np.float64)
+            s, zp, d = self.scale, self.zero_point, self.dim
+            const = (
+                s * s_q * (128.0 - zp) * qsum + s * o_q * (128.0 - zp) * d
+            ).astype(np.float32)
+            return PreparedQueries(
+                qdev=jax.device_put(pad(qq)), sq_norms=qnorms,
+                dot_scale=s_q * s, bias_scale=s * o_q, const=const,
+            )
         if self.dtype == DataType.UINT8:
-            # Affine uint8 needs cross-term corrections; served via the
-            # dequantizing XLA path (see SearchEngine._search_uint8).
-            return jax.device_put(q), qnorms, None
+            # cosine over affine codes: served by the dequantizing XLA path
+            return PreparedQueries(
+                qdev=jax.device_put(pad(q)), sq_norms=qnorms,
+            )
         kernel_dt = numpy_dtype(self.dtype)
-        return jax.device_put(q.astype(kernel_dt)), qnorms, None
+        return PreparedQueries(
+            qdev=jax.device_put(pad(q).astype(kernel_dt)), sq_norms=qnorms,
+        )
 
 
 class SearchEngine:
@@ -211,9 +279,9 @@ class SearchEngine:
                 "CUSTOM metric spaces need a user-provided score function; "
                 "use ops.distances directly"
             )
-        qdev, qnorms, qscale = sp.prepare_queries(queries)
+        prep = sp.prepare_queries(queries)
         if sp.num_valid == 0:  # empty space: all-sentinel results
-            nq = qdev.shape[0]
+            nq = prep.qdev.shape[0]
             return SearchResult(
                 indices=np.full((nq, k), -1, np.int32),
                 scores=np.full((nq, k), -np.inf, np.float32),
@@ -226,21 +294,26 @@ class SearchEngine:
             )
         k_eff = min(k, sp.num_valid)
 
-        if sp.dtype == DataType.UINT8:
-            scores, idx = self._search_uint8(qdev, k_eff)
+        uint8_cosine = (
+            sp.dtype == DataType.UINT8 and sp.metric == DistanceMetric.COSINE
+        )
+        if uint8_cosine or (self.backend == "xla" and sp.dtype == DataType.UINT8):
+            scores, idx = self._search_uint8_dequant(prep.qdev, k_eff)
         elif self.backend == "pallas":
-            scale = (qscale or 1.0) * (sp.scale if sp.dtype == DataType.INT8 else 1.0)
             scores, idx = fused_topk(
-                qdev, sp.data, sp.norms,
+                prep.qdev, sp.data, sp.norms,
                 jnp.int32(sp.num_valid), k_eff, sp.metric,
-                valid_mask=sp.valid_mask, scale=scale,
+                valid_mask=sp.valid_mask, scale=prep.dot_scale,
+                bias_row=sp.rowsums, bias_scale=prep.bias_scale,
                 interpret=self.interpret,
             )
         else:
-            q_x, db_x = qdev, sp.data
+            q_x, db_x = prep.qdev, sp.data
             if sp.dtype == DataType.INT8:
-                q_x = qdev.astype(jnp.float32) * jnp.float32(qscale)
-                db_x = sp.data.astype(jnp.float32) * jnp.float32(sp.scale)
+                q_x = prep.qdev.astype(jnp.float32)
+                db_x = sp.data.astype(jnp.float32)
+                # fold the combined dequant scale on the query side only
+                q_x = q_x * jnp.float32(prep.dot_scale)
             scores, idx = exact_topk_xla(
                 q_x, db_x, sp.norms, sp.num_valid, k_eff, sp.metric,
                 valid_mask=sp.valid_mask,
@@ -248,6 +321,12 @@ class SearchEngine:
 
         scores = np.asarray(scores)
         idx = np.asarray(idx)
+        if prep.const is not None:
+            # restore the rank-neutral per-query constant so scores and
+            # distances are absolute, not just rank-correct
+            mult = 2.0 if sp.metric == DistanceMetric.L2 else 1.0
+            scores = scores + mult * prep.const[:, None]
+        qnorms = prep.sq_norms
         dist = np.asarray(
             scores_to_distances(jnp.asarray(scores), sp.metric, jnp.asarray(qnorms))
         )
@@ -260,12 +339,14 @@ class SearchEngine:
         return SearchResult(indices=idx, scores=scores, distances=dist,
                             metric=sp.metric)
 
-    def _search_uint8(self, qdev, k: int):
-        """Affine-uint8 spaces: dequantize on the fly in the XLA path.
-        ``(c − zp)·scale`` per element; XLA fuses the dequant into the
-        matmul read, so no dequantized copy persists in HBM."""
+    def _search_uint8_dequant(self, qdev, k: int):
+        """Affine-uint8 fallback (cosine / xla backend): dequantize on the
+        fly. Device codes are the re-centered ``c' = c − 128`` int8 block,
+        so ``x = (c' + 128 − zp)·scale``; XLA fuses the dequant into the
+        matmul read, no dequantized copy persists in HBM. Padded dims
+        dequantize to a nonzero constant but pair with zero query dims."""
         sp = self.space
-        deq = (sp.data.astype(jnp.float32) - sp.zero_point) * sp.scale
+        deq = (sp.data.astype(jnp.float32) + (128.0 - sp.zero_point)) * sp.scale
         return exact_topk_xla(
             qdev, deq, sp.norms, sp.num_valid, k, sp.metric,
             valid_mask=sp.valid_mask,

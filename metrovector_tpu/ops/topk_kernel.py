@@ -98,19 +98,23 @@ _PRECISIONS = {
 
 def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                  scale: float, has_valid: bool, int_path: bool,
-                 precision: str):
+                 precision: str, has_bias: bool = False):
     metric = DistanceMetric(metric)
     prec = _PRECISIONS[precision]
     bf16x3 = precision == "high" and not int_path
     lanes = 128
     n_chunks = block_rows // lanes
 
-    def kernel(nvalid_ref, q_ref, db_ref, norms_ref, *rest):
-        if has_valid:
-            valid_ref, out_s_ref, out_i_ref, best_s, best_i = rest
-        else:
-            valid_ref = None
-            out_s_ref, out_i_ref, best_s, best_i = rest
+    def kernel(nvalid_ref, *rest):
+        # Optional inputs appear in declaration order: bias_scale (SMEM),
+        # queries, db, norms, bias_row, valid_mask, then outputs + scratch.
+        rest = list(rest)
+        bias_scale_ref = rest.pop(0) if has_bias else None
+        q_ref, db_ref, norms_ref = rest[:3]
+        rest = rest[3:]
+        bias_ref = rest.pop(0) if has_bias else None
+        valid_ref = rest.pop(0) if has_valid else None
+        out_s_ref, out_i_ref, best_s, best_i = rest
 
         ni = pl.program_id(1)
         nblocks = pl.num_programs(1)
@@ -159,6 +163,12 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
             )
         if scale != 1.0:
             dots = dots * jnp.float32(scale)
+        if bias_ref is not None:
+            # Affine-offset correction: effective_dot = scale·idot +
+            # bias_scale·bias_row, where bias_row is the per-row code sum
+            # (see DeviceSpace uint8 offset path). Per-query constants are
+            # rank-neutral and restored by the engine after selection.
+            dots = dots + bias_scale_ref[0, 0] * bias_ref[:]
 
         norms = norms_ref[:]  # (1, BN) f32, dequantized squared L2 norms
         if metric == DistanceMetric.L2:
@@ -249,6 +259,8 @@ def fused_topk(
     query_tile: int = 128,
     interpret: bool = False,
     precision: str = "highest",
+    bias_row: jax.Array | None = None,
+    bias_scale: jax.Array | float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k search over one resident DB shard.
 
@@ -268,6 +280,11 @@ def fused_topk(
         the exactness default), 'high' (bf16x3, f32-faithful for
         low-significand data like integer-valued corpora, ~2x faster),
         'default' (single bf16 pass, fastest, visibly reorders near-ties).
+      bias_row: optional ``[N]`` f32 per-row additive dot correction
+        (affine-offset uint8 path: the per-row code sum); applied as
+        ``dots += bias_scale · bias_row`` before the metric epilogue.
+      bias_scale: dynamic scalar multiplier for ``bias_row`` (traced, so
+        per-query-batch offsets don't fragment the jit cache).
 
     Returns:
       ``(scores [Q, k] f32, indices [Q, k] int32)`` sorted best-first with
@@ -296,26 +313,33 @@ def fused_topk(
 
     grid = (q_pad // qt, pl.cdiv(n, block_rows))
 
-    in_specs = [
-        pl.BlockSpec((1, 1), lambda qi, ni: (0, 0), memory_space=pltpu.SMEM),
+    smem_spec = pl.BlockSpec((1, 1), lambda qi, ni: (0, 0),
+                             memory_space=pltpu.SMEM)
+    row_spec = pl.BlockSpec((1, block_rows), lambda qi, ni: (0, ni),
+                            memory_space=pltpu.VMEM)
+    in_specs = [smem_spec]
+    args = [nvalid_arr]
+    if bias_row is not None:
+        in_specs.append(smem_spec)
+        args.append(jnp.asarray(bias_scale, jnp.float32).reshape(1, 1))
+    in_specs += [
         pl.BlockSpec((qt, d), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_rows, d), lambda qi, ni: (ni, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_rows), lambda qi, ni: (0, ni),
-                     memory_space=pltpu.VMEM),
+        row_spec,
     ]
-    args = [nvalid_arr, queries, db, norms_2d]
+    args += [queries, db, norms_2d]
+    if bias_row is not None:
+        in_specs.append(row_spec)
+        args.append(bias_row.reshape(1, n).astype(jnp.float32))
     if valid_mask is not None:
-        in_specs.append(
-            pl.BlockSpec((1, block_rows), lambda qi, ni: (0, ni),
-                         memory_space=pltpu.VMEM)
-        )
+        in_specs.append(row_spec)
         args.append(valid_mask.reshape(1, n).astype(jnp.float32))
 
     kernel = _make_kernel(
         k, k_pad, block_rows, metric, float(scale),
         has_valid=valid_mask is not None, int_path=int_path,
-        precision=precision,
+        precision=precision, has_bias=bias_row is not None,
     )
 
     flops_dot = 2 * q_pad * n * d

@@ -52,6 +52,8 @@ def sharded_topk(
     backend: str = "pallas",
     interpret: bool = False,
     block_rows: int | None = None,
+    bias_row: jax.Array | None = None,
+    bias_scale: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact global top-k over a row-sharded corpus.
 
@@ -67,21 +69,30 @@ def sharded_topk(
     metric = DistanceMetric(metric)
     num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
 
-    def local_search(q, db_l, norms_l, nvalid, *maybe_mask):
+    def local_search(q, db_l, norms_l, nvalid, *extras):
         sid = jax.lax.axis_index(axis)
         offset = sid * local_rows
         # Rows this shard owns that are logically valid.
         nvalid_local = jnp.clip(nvalid[0] - offset, 0, local_rows)
-        mask_l = maybe_mask[0] if maybe_mask else None
+        extras = list(extras)
+        bias_l = extras.pop(0) if bias_row is not None else None
+        mask_l = extras.pop(0) if valid_mask is not None else None
         if backend == "pallas":
             s, i = fused_topk(
                 q, db_l, norms_l, nvalid_local, k, metric,
                 valid_mask=mask_l, scale=scale, interpret=interpret,
-                block_rows=block_rows,
+                block_rows=block_rows, bias_row=bias_l,
+                bias_scale=bias_scale,
             )
         else:
+            q_x, db_x = q, db_l
+            if db_l.dtype == jnp.int8.dtype:
+                # symmetric int8 via dequant-on-read (bias_row spaces are
+                # routed to the pallas backend by ShardedDeviceSpace)
+                q_x = q.astype(jnp.float32) * jnp.float32(scale)
+                db_x = db_l.astype(jnp.float32)
             s, i = exact_topk_xla(
-                q, db_l, norms_l, nvalid_local, k, metric,
+                q_x, db_x, norms_l, nvalid_local, k, metric,
                 valid_mask=mask_l,
             )
         i = jnp.where(i >= 0, i + offset, i)
@@ -102,6 +113,9 @@ def sharded_topk(
         P(),              # num_valid replicated
     ]
     args = [queries, db, db_norms, num_valid.reshape(1)]
+    if bias_row is not None:
+        in_specs.append(P(axis))
+        args.append(bias_row)
     if valid_mask is not None:
         in_specs.append(P(axis))
         args.append(valid_mask)
@@ -142,6 +156,18 @@ class ShardedDeviceSpace:
 
         sub = sublane_multiple(space.dtype)
         block = space.padded_array()
+        self.rowsums = None
+        if self.dtype == DataType.UINT8:
+            # uint8 offset path (see DeviceSpace.from_space): re-center to
+            # int8 and shard the per-row code sums alongside the data.
+            shifted = block.astype(np.int16) - 128
+            shifted[:, space.dim :] = 0
+            shifted[space.num_vectors :, :] = 0
+            rowsums = shifted[:, : space.dim].sum(
+                axis=1, dtype=np.int32
+            ).astype(np.float32)
+            block = shifted.astype(np.int8)
+            self.rowsums = shard_rows(rowsums, mesh, axis, sublane=sub)
         self.data = shard_rows(block, mesh, axis, sublane=sub)
         self.norms = shard_rows(
             np.asarray(space.norms(), np.float32), mesh, axis, sublane=sub
@@ -165,26 +191,41 @@ class ShardedDeviceSpace:
         from ..ops.distances import scores_to_distances
 
         # Reuse single-chip query preprocessing (pad/normalize/quantize).
+        from ..format.constants import DataType
+
         helper = DeviceSpace(
             data=self.data, norms=self.norms, num_valid=self.num_valid,
             dim=self.dim, metric=self.metric, scale=self.scale,
             zero_point=self.zero_point, dtype=self.dtype,
         )
-        qdev, qnorms, qscale = helper.prepare_queries(queries)
+        if (
+            self.dtype == DataType.UINT8
+            and self.metric == DistanceMetric.COSINE
+        ):
+            raise NotImplementedError(
+                "sharded cosine search over affine-uint8 spaces is not "
+                "implemented; use a single-chip SearchEngine or store the "
+                "space as int8/f16"
+            )
+        if self.dtype == DataType.UINT8:
+            backend = "pallas"  # the offset-bias path only exists in-kernel
+        prep = helper.prepare_queries(queries)
         k_eff = min(k, max(self.num_valid, 1))
-        scale = (qscale or 1.0) * (
-            self.scale if self.dtype.name in ("INT8",) else 1.0
-        )
         from .mesh import replicate
 
-        qrep = replicate(np.asarray(qdev), self.mesh)
+        qrep = replicate(np.asarray(prep.qdev), self.mesh)
         s, i = sharded_topk(
             qrep, self.data, self.norms, self.num_valid, k_eff, self.metric,
             self.mesh, valid_mask=self.valid_mask, axis=self.axis,
-            scale=scale, backend=backend, interpret=interpret,
+            scale=prep.dot_scale, backend=backend, interpret=interpret,
+            bias_row=self.rowsums, bias_scale=prep.bias_scale,
         )
         s = np.asarray(s)
         i = np.asarray(i)
+        if prep.const is not None:
+            mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
+            s = s + mult * prep.const[:, None]
+        qnorms = prep.sq_norms
         dist = np.asarray(
             scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
         )

@@ -90,13 +90,26 @@ class StreamingSearcher:
         from ..ops.distances import scores_to_distances
 
         sp = self.space
+        q_meta = sp.quantization
         helper = DeviceSpace(
             data=jnp.zeros((0, sp.padded_dim), dtype=self._block.dtype),
             norms=jnp.zeros((0,), jnp.float32),
             num_valid=sp.num_vectors, dim=sp.dim, metric=self.metric,
-            scale=self.scale, dtype=self.dtype,
+            scale=self.scale,
+            zero_point=q_meta.zero_point if q_meta else 0.0,
+            dtype=self.dtype,
         )
-        qdev, qnorms, qscale = helper.prepare_queries(queries)
+        uint8_offset = (
+            self.dtype == DataType.UINT8
+            and self.metric != DistanceMetric.COSINE
+        )
+        if self.dtype == DataType.UINT8 and not uint8_offset:
+            raise NotImplementedError(
+                "streamed cosine search over affine-uint8 spaces is not "
+                "implemented; use a resident SearchEngine"
+            )
+        prep = helper.prepare_queries(queries)
+        qdev, qnorms = prep.qdev, prep.sq_norms
         nq = qdev.shape[0]
         if sp.num_vectors == 0:
             return SearchResult(
@@ -110,9 +123,6 @@ class StreamingSearcher:
                 metric=self.metric,
             )
         k_eff = min(k, sp.num_vectors)
-        scale = (qscale or 1.0) * (
-            self.scale if self.dtype == DataType.INT8 else 1.0
-        )
 
         cr = self.chunk_rows
         total = sp.padded_rows
@@ -134,21 +144,39 @@ class StreamingSearcher:
             blk = self._block[lo:hi]
             nrm = self._norms[lo:hi]
             msk = self._mask[lo:hi] if self._mask is not None else None
+            bias = None
             pad = cr - (hi - lo)
+            nvalid_here = int(np.clip(sp.num_vectors - lo, 0, hi - lo))
+            if uint8_offset:
+                # Re-center this chunk's codes (c' = c − 128 over the
+                # logical region) and compute the per-row code sums.
+                shifted = blk.astype(np.int16) - 128
+                shifted[:, sp.dim :] = 0
+                shifted[nvalid_here:, :] = 0
+                bias = shifted[:, : sp.dim].sum(
+                    axis=1, dtype=np.int32
+                ).astype(np.float32)
+                blk = shifted.astype(np.int8)
             if pad:  # keep shapes static for the jitted kernel
                 blk = np.pad(blk, ((0, pad), (0, 0)))
                 nrm = np.pad(nrm, (0, pad))
                 if msk is not None:
                     msk = np.pad(msk, (0, pad))
-            return blk, nrm, msk
+                if bias is not None:
+                    bias = np.pad(bias, (0, pad))
+            return blk, nrm, msk, bias
 
         def upload(j):
-            blk, nrm, msk = slice_chunk(j)
-            return put(blk), put(nrm), (put(msk) if msk is not None else None)
+            blk, nrm, msk, bias = slice_chunk(j)
+            return (
+                put(blk), put(nrm),
+                (put(msk) if msk is not None else None),
+                (put(bias) if bias is not None else None),
+            )
 
         nxt = upload(0)
         for j in range(nchunks):
-            blk_d, nrm_d, msk_d = nxt
+            blk_d, nrm_d, msk_d, bias_d = nxt
             if j + 1 < nchunks:
                 nxt = upload(j + 1)
             nvalid_local = np.int32(
@@ -156,13 +184,18 @@ class StreamingSearcher:
             )
             s, i = fused_topk(
                 qdev, blk_d, nrm_d, nvalid_local, k_eff, self.metric,
-                valid_mask=msk_d, scale=scale, interpret=self.interpret,
+                valid_mask=msk_d, scale=prep.dot_scale,
+                bias_row=bias_d, bias_scale=prep.bias_scale,
+                interpret=self.interpret,
             )
             i = jnp.where(i >= 0, i + j * cr, i)
             best_s, best_i = _merge_topk(best_s, best_i, s, i, k_eff)
 
         s = np.asarray(best_s)
         i = np.asarray(best_i)
+        if prep.const is not None:
+            mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
+            s = s + mult * prep.const[:, None]
         dist = np.asarray(
             scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
         )

@@ -1,0 +1,125 @@
+"""The uint8 offset-int8 path: integer-exact one-pass MXU search for
+SIFT-style (u8-valued) corpora — exact ranking for integer queries, near-
+exact for float queries, across engine / sharded / streaming backends."""
+
+import jax
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, DataType, DistanceMetric, Reader
+from metrovector_tpu.engine import SearchEngine
+from metrovector_tpu.ops import numpy_oracle
+from metrovector_tpu.parallel import ShardedDeviceSpace, StreamingSearcher, make_mesh
+
+
+@pytest.fixture
+def sift_like(tmp_path, rng):
+    """Integer-valued corpus stored as uint8 with identity quantization."""
+    data = rng.integers(0, 256, (500, 32)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space(
+        "s", dim=32, dtype=DataType.UINT8, metric=DistanceMetric.L2
+    ).with_quantization(scale=1.0, zero_point=0.0)
+    b.add_vectors("s", data)
+    path = tmp_path / "u8.mvt"
+    b.build().save(path)
+    return Reader.open(path).vector_space("s"), data
+
+
+def test_uint8_integer_queries_exact(sift_like, rng):
+    sp, data = sift_like
+    eng = SearchEngine(sp, backend="pallas")
+    queries = rng.integers(0, 256, (6, 32)).astype(np.float32)
+    res = eng.search(queries, k=10)
+    _, oi = numpy_oracle(queries, data, 10, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+    # absolute distances restored via the per-query constant
+    true = np.linalg.norm(queries[:, None] - data[oi], axis=-1)
+    np.testing.assert_allclose(res.distances, true, rtol=1e-4, atol=1e-3)
+
+
+def test_uint8_inner_product_exact(tmp_path, rng):
+    data = rng.integers(0, 256, (300, 16)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space(
+        "s", dim=16, dtype=DataType.UINT8, metric=DistanceMetric.INNER_PRODUCT
+    ).with_quantization(scale=1.0, zero_point=0.0)
+    b.add_vectors("s", data)
+    path = tmp_path / "ip.mvt"
+    b.build().save(path)
+    eng = SearchEngine.open(path, backend="pallas")
+    queries = rng.integers(0, 256, (4, 16)).astype(np.float32)
+    res = eng.search(queries, k=5)
+    os_, oi = numpy_oracle(queries, data, 5, DistanceMetric.INNER_PRODUCT)
+    assert np.array_equal(res.indices, oi)
+    np.testing.assert_allclose(res.scores, os_, rtol=1e-5)
+
+
+def test_uint8_float_queries_near_exact(sift_like, rng):
+    sp, data = sift_like
+    eng = SearchEngine(sp, backend="pallas")
+    queries = rng.integers(0, 256, (4, 32)).astype(np.float32)
+    queries += rng.standard_normal(queries.shape).astype(np.float32) * 0.3
+    res = eng.search(queries, k=10)
+    _, oi = numpy_oracle(queries, data, 10, DistanceMetric.L2)
+    overlap = np.mean(
+        [len(set(res.indices[r]) & set(oi[r])) / 10 for r in range(4)]
+    )
+    assert overlap >= 0.9  # query quantization step ≈ 2 over integer gaps
+
+
+def test_uint8_affine_zero_point(tmp_path, rng):
+    """Auto-calibrated affine quantization (nonzero zero_point) keeps
+    ranking parity against the dequantized-value oracle."""
+    x = (rng.random((200, 16)) * 4 + 1).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("u", dim=16, dtype=DataType.UINT8,
+                       metric=DistanceMetric.L2)
+    b.add_vectors("u", x)
+    path = tmp_path / "aff.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("u")
+    q = sp.quantization
+    deq = (sp.to_numpy().astype(np.float32) - q.zero_point) * q.scale
+    eng = SearchEngine(sp, backend="pallas")
+    queries = x[:3]
+    res = eng.search(queries, k=5)
+    _, oi = numpy_oracle(queries, deq, 5, DistanceMetric.L2)
+    # query quantization perturbs near-ties; demand ≥4/5 overlap per query
+    for r in range(3):
+        assert len(set(res.indices[r]) & set(oi[r])) >= 4
+
+
+def test_uint8_cosine_falls_back(tmp_path, rng):
+    x = (rng.random((100, 16)) + 0.5).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("c", dim=16, dtype=DataType.UINT8,
+                       metric=DistanceMetric.COSINE)
+    b.add_vectors("c", x)
+    path = tmp_path / "cos.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("c")
+    qinfo = sp.quantization
+    deq = (sp.to_numpy().astype(np.float32) - qinfo.zero_point) * qinfo.scale
+    res = SearchEngine(sp, backend="pallas").search(x[:2], k=5)
+    _, oi = numpy_oracle(x[:2], deq, 5, DistanceMetric.COSINE)
+    assert np.array_equal(res.indices, oi)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual mesh")
+def test_uint8_sharded(sift_like, rng):
+    sp, data = sift_like
+    mesh = make_mesh(4)
+    ds = ShardedDeviceSpace(sp, mesh)
+    queries = rng.integers(0, 256, (3, 32)).astype(np.float32)
+    res = ds.search(queries, k=8, interpret=True)
+    _, oi = numpy_oracle(queries, data, 8, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_uint8_streaming(sift_like, rng):
+    sp, data = sift_like
+    queries = rng.integers(0, 256, (3, 32)).astype(np.float32)
+    res = StreamingSearcher(sp, chunk_rows=128).search(queries, k=8)
+    _, oi = numpy_oracle(queries, data, 8, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
