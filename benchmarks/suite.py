@@ -1,0 +1,302 @@
+"""Full benchmark suite over the repo's target configurations (BASELINE.json):
+
+  sim10k    similarity_search example scale: 10k x 128 f32, L2 top-10
+  sift1m    SIFT1M-scale: 1M x 128 f32, L2 exact top-100
+  sift1m-u8 SIFT1M as uint8 codes (offset-int8 MXU path), L2 top-10
+  gist1m    GIST1M-scale: 1M x 960 f32, cosine top-10 (wide-dim tiling)
+  deep10m   DEEP10M-scale: 10M x 96 int8, quantized dot top-10
+  stream    larger-than-HBM demo: f16 corpus streamed from host DRAM
+
+Each config prints one JSON line with QPS, p50 batch latency, and a recall
+gate versus a float64 NumPy oracle on a query subsample. Pipelined-launch
+timing (see bench.py docstring for the methodology rationale).
+
+Usage: python benchmarks/suite.py [config ...]   (default: all that fit)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Runnable as `python benchmarks/suite.py` without installing the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _measure(run, make_queries, iters=20):
+    import jax
+
+    qs = [jax.device_put(make_queries()) for _ in range(iters)]
+    jax.block_until_ready(qs)
+    _ = np.asarray(run(qs[0])[1])  # warm
+    t0 = time.perf_counter()
+    outs = [run(q) for q in qs]
+    _ = np.asarray(outs[-1][1])
+    return (time.perf_counter() - t0) / iters
+
+
+def _recall(indices, oracle_idx, k):
+    return float(
+        np.mean(
+            [
+                len(set(indices[r]) & set(oracle_idx[r])) / k
+                for r in range(indices.shape[0])
+            ]
+        )
+    )
+
+
+def _report(name, qps, p50_ms, recall, extra=""):
+    print(
+        json.dumps(
+            {
+                "config": name,
+                "qps": round(qps, 1),
+                "p50_ms": round(p50_ms, 2),
+                "recall": round(recall, 4),
+                "notes": extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_sim10k(interpret):
+    """The reference's similarity_search workload at example scale."""
+    import jax
+
+    from metrovector_tpu import Builder, DistanceMetric, Reader
+    from metrovector_tpu.engine import SearchEngine
+    from metrovector_tpu.ops import numpy_oracle
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((10_000, 128)).astype(np.float32)
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "sim.mvt")
+    b = Builder()
+    b.add_vector_space("v", dim=128)
+    b.add_vectors("v", data)
+    b.build().save(path)
+    eng = SearchEngine.open(path)
+    queries = rng.standard_normal((64, 128)).astype(np.float32)
+    res = eng.search(queries, k=10)
+    _, oi = numpy_oracle(queries, data, 10, DistanceMetric.L2)
+    recall = _recall(res.indices, oi, 10)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        res = eng.search(queries, k=10)
+    dt = (time.perf_counter() - t0) / 10
+    _report("sim10k(64q,k=10)", 64 / dt, dt * 1e3, recall,
+            "end-to-end engine.search incl host round-trip")
+
+
+def bench_sift1m(interpret):
+    import jax
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.ops.topk_kernel import fused_topk
+
+    rng = np.random.default_rng(1)
+    n, d, k, qb = (1_000_000 if not interpret else 20_000), 128, 100, 128
+    db = rng.integers(0, 256, (n, d)).astype(np.float32)
+    norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
+    db_d, norms_d = jax.device_put(db), jax.device_put(norms)
+    jax.block_until_ready((db_d, norms_d))
+
+    def run(q):
+        return fused_topk(q, db_d, norms_d, np.int32(n), k, DistanceMetric.L2,
+                          interpret=interpret)
+
+    qcheck = rng.integers(0, 256, (8, d)).astype(np.float32)
+    got = np.asarray(run(jax.device_put(qcheck))[1])
+    d2 = norms.astype(np.float64)[None] - 2 * (qcheck.astype(np.float64) @ db.T.astype(np.float64))
+    oi = np.argsort(d2, 1, kind="stable")[:, :k]
+    recall = _recall(got, oi, k)
+    dt = _measure(run, lambda: rng.integers(0, 256, (qb, d)).astype(np.float32),
+                  iters=5 if interpret else 20)
+    _report(f"sift1m(n={n},k=100,{qb}q)", qb / dt, dt * 1e3, recall,
+            "f32 HIGHEST precision")
+
+
+def bench_sift1m_u8(interpret):
+    import jax
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.ops.topk_kernel import fused_topk
+
+    rng = np.random.default_rng(2)
+    n, d, k, qb = (1_000_000 if not interpret else 20_000), 128, 10, 256
+    u8 = rng.integers(0, 256, (n, d)).astype(np.uint8)
+    norms = (u8.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    shifted = (u8.astype(np.int16) - 128).astype(np.int8)
+    rowsums = shifted.sum(1, dtype=np.int32).astype(np.float32)
+    db_d = jax.device_put(shifted)
+    norms_d = jax.device_put(norms)
+    bias_d = jax.device_put(rowsums)
+    jax.block_until_ready((db_d, norms_d, bias_d))
+
+    def run(q):
+        return fused_topk(q, db_d, norms_d, np.int32(n), k, DistanceMetric.L2,
+                          scale=1.0, bias_row=bias_d, bias_scale=128.0,
+                          interpret=interpret)
+
+    qint = rng.integers(0, 256, (8, d)).astype(np.float32)
+    got = np.asarray(run(jax.device_put((qint - 128).astype(np.int8)))[1])
+    d2 = norms.astype(np.float64)[None] - 2 * (qint.astype(np.float64) @ u8.T.astype(np.float64))
+    oi = np.argsort(d2, 1, kind="stable")[:, :k]
+    recall = _recall(got, oi, k)
+    dt = _measure(
+        run,
+        lambda: (rng.integers(0, 256, (qb, d)).astype(np.float32) - 128).astype(np.int8),
+        iters=5 if interpret else 20,
+    )
+    _report(f"sift1m-u8(n={n},k=10,{qb}q)", qb / dt, dt * 1e3, recall,
+            "offset-int8 one-pass MXU, integer-exact")
+
+
+def bench_gist1m(interpret):
+    import jax
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.ops.topk_kernel import fused_topk
+
+    rng = np.random.default_rng(3)
+    n, d, k, qb = (1_000_000 if not interpret else 5_000), 960, 10, 64
+    pd = 1024  # padded to the 128-lane boundary
+    db = np.zeros((n, pd), np.float32)
+    db[:, :d] = rng.standard_normal((n, d)).astype(np.float32)
+    norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
+    db_d, norms_d = jax.device_put(db), jax.device_put(norms)
+    jax.block_until_ready((db_d, norms_d))
+
+    def mk():
+        q = np.zeros((qb, pd), np.float32)
+        q[:, :d] = rng.standard_normal((qb, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        return q
+
+    def run(q):
+        return fused_topk(q, db_d, norms_d, np.int32(n), k,
+                          DistanceMetric.COSINE, interpret=interpret)
+
+    qc = mk()[:8]
+    got = np.asarray(run(jax.device_put(qc))[1])
+    sim = (qc.astype(np.float64) @ db.T.astype(np.float64)) / np.sqrt(
+        np.maximum(norms.astype(np.float64), 1e-30)
+    )[None]
+    oi = np.argsort(-sim, 1, kind="stable")[:, :k]
+    recall = _recall(got, oi, k)
+    dt = _measure(run, mk, iters=5 if interpret else 20)
+    _report(f"gist1m(n={n},960d,cos,k=10,{qb}q)", qb / dt, dt * 1e3, recall,
+            "3.9 GB f32 corpus, wide-dim tiling")
+
+
+def bench_deep10m(interpret):
+    import jax
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.ops.topk_kernel import fused_topk
+
+    rng = np.random.default_rng(4)
+    n, d, k, qb = (10_000_000 if not interpret else 50_000), 96, 10, 128
+    pd = 128
+    codes = np.zeros((n, pd), np.int8)
+    codes[:, :d] = rng.integers(-128, 128, (n, d)).astype(np.int8)
+    sc = 0.02
+    norms = ((codes.astype(np.float32) * sc) ** 2).sum(1)
+    db_d, norms_d = jax.device_put(codes), jax.device_put(norms)
+    jax.block_until_ready((db_d, norms_d))
+
+    def mk():
+        q = np.zeros((qb, pd), np.int8)
+        q[:, :d] = rng.integers(-128, 128, (qb, d)).astype(np.int8)
+        return q
+
+    def run(q):
+        return fused_topk(q, db_d, norms_d, np.int32(n), k,
+                          DistanceMetric.INNER_PRODUCT, scale=sc * sc,
+                          interpret=interpret)
+
+    qc = mk()[:4]
+    got = np.asarray(run(jax.device_put(qc))[1])
+    dots = qc[:, :d].astype(np.float64) @ codes[:, :d].T.astype(np.float64)
+    oi = np.argsort(-dots, 1, kind="stable")[:, :k]
+    recall = _recall(got, oi, k)
+    dt = _measure(run, mk, iters=5 if interpret else 10)
+    _report(f"deep10m(n={n},96d,int8 dot,k=10,{qb}q)", qb / dt, dt * 1e3,
+            recall, "1.28 GB int8 corpus, integer MXU")
+
+
+def bench_stream(interpret):
+    import tempfile, os
+
+    from metrovector_tpu import Builder, DataType, Reader
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.ops import numpy_oracle
+    from metrovector_tpu.parallel import StreamingSearcher
+
+    rng = np.random.default_rng(5)
+    n, d, qb = (2_000_000 if not interpret else 20_000), 768, 16
+    data = rng.standard_normal((n, d)).astype(np.float16)
+    b = Builder()
+    b.add_vector_space("s", dim=d, dtype=DataType.FLOAT16)
+    b.add_vectors("s", data)
+    path = os.path.join(tempfile.mkdtemp(), "stream.mvt")
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    searcher = StreamingSearcher(sp, chunk_rows=262_144)
+    queries = rng.standard_normal((qb, d)).astype(np.float32)
+    searcher.search(queries[:2], k=10)  # warm compile
+    t0 = time.perf_counter()
+    res = searcher.search(queries, k=10)
+    dt = time.perf_counter() - t0
+    # Recall gate vs a NumPy f64 oracle on a corpus subsample containing
+    # each query's streamed winners plus 50k random rows.
+    sub_rows = np.unique(
+        np.concatenate([res.indices[:4].ravel(), rng.integers(0, n, 50_000)])
+    )
+    sub = data[sub_rows].astype(np.float32)
+    _, oi = numpy_oracle(queries[:4], sub, 10, DistanceMetric.L2)
+    remapped = sub_rows[oi]
+    recall = _recall(res.indices[:4], remapped, 10)
+    _report(
+        f"stream(n={n},768d f16,k=10,{qb}q)", qb / dt, dt * 1e3, recall,
+        f"{data.nbytes / 1e9:.1f} GB corpus streamed host->HBM in 384 MB chunks",
+    )
+
+
+CONFIGS = {
+    "sim10k": bench_sim10k,
+    "sift1m": bench_sift1m,
+    "sift1m-u8": bench_sift1m_u8,
+    "gist1m": bench_gist1m,
+    "deep10m": bench_deep10m,
+    "stream": bench_stream,
+}
+
+
+def main():
+    import jax
+
+    interpret = jax.default_backend() != "tpu"
+    names = sys.argv[1:] or list(CONFIGS)
+    for name in names:
+        log(f"=== {name} ===")
+        try:
+            CONFIGS[name](interpret)
+        except Exception as exc:  # keep the suite running
+            log(f"{name} failed: {exc}")
+            _report(name, 0.0, 0.0, 0.0, f"FAILED: {exc}")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,14 @@ _LAZY = {
     "SearchEngine": ".engine",
     "DeviceSpace": ".engine",
     "SearchResult": ".engine",
+    "PreparedQueries": ".engine",
+    "IVFIndex": ".index",
+    "train_kmeans": ".index",
+    "StreamingSearcher": ".parallel",
+    "ShardedDeviceSpace": ".parallel",
+    "DistributedSearcher": ".parallel",
+    "make_mesh": ".parallel",
+    "sharded_topk": ".parallel",
 }
 
 
@@ -70,11 +78,16 @@ __all__ = [
     "DeviceSpace",
     "DimensionSlice",
     "DistanceMetric",
+    "DistributedSearcher",
+    "IVFIndex",
     "IndexKind",
     "MvtError",
+    "PreparedQueries",
     "Reader",
     "SearchEngine",
     "SearchResult",
+    "ShardedDeviceSpace",
+    "StreamingSearcher",
     "TombstoneFormat",
     "Vector",
     "VectorChunkIterator",
@@ -83,4 +96,7 @@ __all__ = [
     "VectorType",
     "Writer",
     "errors",
+    "make_mesh",
+    "sharded_topk",
+    "train_kmeans",
 ]

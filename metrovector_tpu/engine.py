@@ -135,6 +135,11 @@ class DeviceSpace:
                 full[: space.num_vectors] = (~host_mask).astype(np.float32)
                 mask = put(full)
         q = space.quantization
+        if space.dtype == DataType.FLOAT16:
+            # Mosaic has no f16 vector type; upcast once at upload. f16 ⊂
+            # f32, so values and rankings are bit-identical to the file.
+            # (Memory-sensitive deployments should store bf16 instead.)
+            block = block.astype(np.float32)
         rowsums = None
         if space.dtype == DataType.UINT8:
             shifted = block.astype(np.int16) - 128
@@ -238,7 +243,11 @@ class DeviceSpace:
             return PreparedQueries(
                 qdev=jax.device_put(pad(q)), sq_norms=qnorms,
             )
-        kernel_dt = numpy_dtype(self.dtype)
+        if self.dtype == DataType.FLOAT16:
+            # storage is f16 but the compute path is f32 (Mosaic lacks f16)
+            kernel_dt = np.float32
+        else:
+            kernel_dt = numpy_dtype(self.dtype)
         return PreparedQueries(
             qdev=jax.device_put(pad(q).astype(kernel_dt)), sq_norms=qnorms,
         )

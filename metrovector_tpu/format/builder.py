@@ -154,6 +154,16 @@ class Builder:
 
     def __init__(self):
         self._spaces: dict[str, _PendingSpace] = {}
+        self._hints: dict = {}
+
+    def set_hint(self, key: str, value) -> None:
+        """Record a performance hint in the manifest. Unlike the reference's
+        ``PerformanceHints`` table — declared but never read or written
+        (``schema/extensions.fbs:80-84``, SURVEY.md §5) — MVT hints are
+        consumed: ``stream_chunk_rows`` seeds
+        :class:`~metrovector_tpu.parallel.streaming.StreamingSearcher`'s
+        chunk size; unknown keys round-trip untouched."""
+        self._hints[str(key)] = value
 
     # -- registration -------------------------------------------------------
 
@@ -448,6 +458,7 @@ class Builder:
             "total_vectors": total_logical,
             "data_bytes": offset - len(MAGIC),
         }
+        manifest.hints = dict(self._hints)
         return BuiltFile(manifest, payloads)
 
 

@@ -21,8 +21,6 @@ from __future__ import annotations
 import mmap
 import os
 
-import numpy as np
-
 from ..errors import (
     CorruptedDataError,
     InvalidFormatError,

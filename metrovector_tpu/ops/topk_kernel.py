@@ -52,14 +52,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def default_block_rows(padded_dim: int, itemsize: int, query_tile: int = 128,
-                       bf16x3: bool = False) -> int:
+                       bf16x3: bool = False, k_pad: int = 128) -> int:
     """DB rows per grid step, sized to fill the VMEM budget: double-buffered
     DB blocks (``2·BN·D·esz``) plus the f32 score tile (``qt·BN·4``) within
     ~9 MB of the ~16 MB core VMEM (rest: queries, candidates, fold arrays,
     pipeline slack). Bigger blocks amortize per-step grid overhead — the
     dominant fixed cost for small query batches. The bf16x3 path allocates
-    hi/lo split temporaries (~3·BN·D·esz/2 extra) per block."""
-    budget = 9 * 1024 * 1024
+    hi/lo split temporaries (~3·BN·D·esz/2 extra) per block; large ``k``
+    charges the candidate/scratch lists (``~24·qt·k_pad`` bytes)."""
+    budget = 9 * 1024 * 1024 - 24 * query_tile * max(k_pad - 128, 0)
     denom = 2 * padded_dim * itemsize + 4 * query_tile + 32
     if bf16x3:
         denom += 3 * padded_dim * itemsize // 2
@@ -68,22 +69,50 @@ def default_block_rows(padded_dim: int, itemsize: int, query_tile: int = 128,
     return (bn // 256) * 256
 
 
+_UNROLL_K_MAX = 32
+
+
 def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
     """k rounds of (max, min-index-among-ties, mask) over the candidate
     tile, writing the sorted-descending winners into ``ref[rows]``.
     ``cand_s`` is f32 ``[G, C]``. Tie-break is *lowest global row index*,
     matching a stable argsort oracle independent of candidate column order
     (candidate ids are distinct except the initial −1 sentinels, which tie
-    only at −inf and resolve to −1 — the desired missing-slot marker)."""
+    only at −inf and resolve to −1 — the desired missing-slot marker).
+
+    Small ``k`` unrolls (static column writes); large ``k`` uses a rolled
+    ``fori_loop`` with one-hot column writes so the emitted code stays
+    O(1) in ``k`` — a fully unrolled k=100 selection is tens of thousands
+    of MLIR ops and takes the Mosaic compiler minutes."""
     big = jnp.int32(2**31 - 1)
-    for j in range(k):
-        m = jnp.max(cand_s, axis=1)
-        eq = cand_s == m[:, None]
+    if k <= _UNROLL_K_MAX:
+        for j in range(k):
+            m = jnp.max(cand_s, axis=1)
+            eq = cand_s == m[:, None]
+            idx_sel = jnp.min(jnp.where(eq, cand_i, big), axis=1)
+            onehot = jnp.logical_and(eq, cand_i == idx_sel[:, None])
+            best_s_ref[rows, j : j + 1] = m[:, None]
+            best_i_ref[rows, j : j + 1] = idx_sel[:, None]
+            cand_s = jnp.where(onehot, _NEG_INF, cand_s)
+        return
+
+    g = cand_s.shape[0]
+    k_pad = best_s_ref.shape[-1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (g, k_pad), 1)
+
+    def body(j, cs):
+        m = jnp.max(cs, axis=1)
+        eq = cs == m[:, None]
         idx_sel = jnp.min(jnp.where(eq, cand_i, big), axis=1)
         onehot = jnp.logical_and(eq, cand_i == idx_sel[:, None])
-        best_s_ref[rows, j : j + 1] = m[:, None]
-        best_i_ref[rows, j : j + 1] = idx_sel[:, None]
-        cand_s = jnp.where(onehot, _NEG_INF, cand_s)
+        sel_col = col_iota == j
+        best_s_ref[rows] = jnp.where(sel_col, m[:, None], best_s_ref[rows])
+        best_i_ref[rows] = jnp.where(
+            sel_col, idx_sel[:, None], best_i_ref[rows]
+        )
+        return jnp.where(onehot, _NEG_INF, cs)
+
+    jax.lax.fori_loop(0, k, body, cand_s)
 
 
 _PRECISIONS = {
@@ -239,6 +268,55 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
     return kernel
 
 
+def fused_topk(
+    queries,
+    db,
+    db_norms,
+    num_valid,
+    k: int,
+    metric,
+    valid_mask=None,
+    scale: float = 1.0,
+    block_rows: int | None = None,
+    query_tile: int = 128,
+    interpret: bool = False,
+    precision: str = "highest",
+    bias_row=None,
+    bias_scale=1.0,
+):
+    """VMEM-robust front end for :func:`_fused_topk`: if Mosaic's scoped
+    VMEM allocator rejects the auto-sized block (its live-set model is not
+    exactly predictable, e.g. large-``k`` selection), retry with
+    successively smaller ``block_rows``. The shrink only triggers on the
+    first compile of a shape; steady-state calls hit the jit cache."""
+    bn = block_rows
+    last_exc = None
+    for _ in range(5):
+        try:
+            return _fused_topk(
+                queries, db, db_norms, num_valid, k, metric,
+                valid_mask=valid_mask, scale=scale, block_rows=bn,
+                query_tile=query_tile, interpret=interpret,
+                precision=precision, bias_row=bias_row,
+                bias_scale=bias_scale,
+            )
+        except Exception as exc:  # jaxlib runtime error types vary
+            msg = str(exc)
+            if "vmem" not in msg.lower() and "VMEM" not in msg:
+                raise
+            last_exc = exc
+            if bn is None:
+                q = queries.shape[0]
+                qt = min(query_tile, _round_up(q, 8))
+                bn = default_block_rows(
+                    db.shape[1], db.dtype.itemsize, qt,
+                    bf16x3=precision == "high" and db.dtype.itemsize == 4,
+                    k_pad=_round_up(k, LANES),
+                )
+            bn = max(LANES, _round_up(bn // 2, LANES))
+    raise last_exc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -246,7 +324,7 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
         "precision",
     ),
 )
-def fused_topk(
+def _fused_topk(
     queries: jax.Array,
     db: jax.Array,
     db_norms: jax.Array,
@@ -290,17 +368,25 @@ def fused_topk(
       ``(scores [Q, k] f32, indices [Q, k] int32)`` sorted best-first with
       the greater-is-better score convention of :mod:`.distances`.
     """
+    if db.dtype == jnp.float16.dtype:
+        # Mosaic has no f16 vector type; upcast (exact) inside the jit.
+        # Resident engines pre-cast at upload — this path serves streamed
+        # f16 chunks, where the transient f32 copy is one chunk wide.
+        # (Before block sizing: the VMEM block is f32-wide after the cast.)
+        db = db.astype(jnp.float32)
+        queries = queries.astype(jnp.float32)
     q, d = queries.shape
     n = db.shape[0]
     qt = min(query_tile, _round_up(q, 8))
+    k_pad = _round_up(k, LANES)
     if block_rows is None:
         block_rows = default_block_rows(
             d, db.dtype.itemsize, qt,
             bf16x3=precision == "high" and db.dtype.itemsize == 4,
+            k_pad=k_pad,
         )
     # The lane-fold merge requires whole 128-lane chunks per block.
     block_rows = max(LANES, _round_up(block_rows, LANES))
-    k_pad = _round_up(k, LANES)
 
     q_pad = _round_up(q, qt)
     if q_pad != q:

@@ -1,13 +1,17 @@
 """Multi-chip scaling: mesh sharding, ICI top-k merge, host-DRAM streaming."""
 
+from .distributed import DistributedSearcher, initialize, load_space_sharded
 from .mesh import SHARD_AXIS, make_mesh, replicate, rows_per_shard, shard_rows
 from .sharded_search import ShardedDeviceSpace, sharded_topk
 from .streaming import StreamingSearcher
 
 __all__ = [
     "SHARD_AXIS",
+    "DistributedSearcher",
     "ShardedDeviceSpace",
     "StreamingSearcher",
+    "initialize",
+    "load_space_sharded",
     "make_mesh",
     "replicate",
     "rows_per_shard",

@@ -1,0 +1,183 @@
+"""Multi-host (DCN) scaffolding: process initialization and per-host shard
+loading.
+
+The reference has no multi-node story at all (SURVEY.md §5). The TPU-native
+design: ``jax.distributed`` coordinates processes over DCN, the corpus is
+row-sharded over the **global** mesh, and each host mmaps the same MVT file
+but touches only the byte range of its own rows — the zero-copy open is
+per-host, the page cache only faults in local shards, and device arrays are
+assembled with ``jax.make_array_from_single_device_arrays`` so no host ever
+materializes the full corpus.
+
+Single-host multi-device works through the same code path (every local
+device is "its own host slice"), which is how the tests exercise it on the
+virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..format.constants import sublane_multiple
+from ..vectors.space import VectorSpace
+from .mesh import SHARD_AXIS, rows_per_shard
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join (or bootstrap) a multi-process JAX cluster. Thin wrapper over
+    ``jax.distributed.initialize`` — on single-process runs (no coordinator
+    given and no cluster env) this is a no-op."""
+    if coordinator_address is None and num_processes is None:
+        try:  # cluster auto-detection (TPU pods set the env for us)
+            jax.distributed.initialize()
+        except Exception:
+            return  # single-process: nothing to join
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(axis: str = SHARD_AXIS) -> Mesh:
+    """A 1-D mesh over every device in the cluster (all hosts)."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def load_space_sharded(
+    space: VectorSpace,
+    mesh: Mesh | None = None,
+    axis: str = SHARD_AXIS,
+):
+    """Load one space row-sharded over a (possibly multi-host) mesh,
+    touching only locally-owned rows.
+
+    Returns ``(data, norms, valid_mask_or_None, rows_per_shard)`` as global
+    jax arrays sharded ``P(axis, …)``. Each addressable device receives its
+    slice via ``device_put`` of a *view* of the mmap — rows owned by remote
+    hosts are never read on this host.
+    """
+    if mesh is None:
+        mesh = global_mesh(axis)
+    n_shards = mesh.shape[axis]
+    sub = sublane_multiple(space.dtype)
+    per = rows_per_shard(space.padded_rows, n_shards, sub)
+    total = per * n_shards
+
+    block = space.padded_array()
+    norms = np.asarray(space.norms(), dtype=np.float32)
+    host_mask = space.tombstone_mask()
+    mask_full = None
+    if host_mask is not None:
+        mask_full = np.ones(space.padded_rows, dtype=np.float32)
+        mask_full[: space.num_vectors] = (~host_mask).astype(np.float32)
+
+    # Device order along the mesh axis defines row ownership.
+    devices = list(mesh.devices.reshape(-1))
+
+    def assemble(host_array, spec, pad_width):
+        shape_global = (total,) + host_array.shape[1:]
+        shards = []
+        owned = []
+        for di, dev in enumerate(devices):
+            if dev.process_index != jax.process_index():
+                continue
+            lo = di * per
+            hi = min(lo + per, host_array.shape[0])
+            piece = np.asarray(host_array[lo:hi])
+            if piece.shape[0] < per:  # trailing padding rows
+                pw = ((0, per - piece.shape[0]),) + ((0, 0),) * (
+                    host_array.ndim - 1
+                )
+                piece = np.pad(piece, pw)
+            shards.append(jax.device_put(piece, dev))
+            owned.append(di)
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_single_device_arrays(
+            shape_global, sharding, shards
+        )
+
+    data = assemble(block, P(axis, None), None)
+    norms_g = assemble(norms, P(axis), None)
+    mask_g = assemble(mask_full, P(axis), None) if mask_full is not None else None
+    return data, norms_g, mask_g, per
+
+
+class DistributedSearcher:
+    """Global exact search over a multi-host row-sharded corpus.
+
+    Same SPMD layout as :func:`.sharded_search.sharded_topk` — per-shard
+    fused top-k, ``all_gather`` candidate merge over ICI/DCN — but built on
+    per-host shard loading, so a 1B-row corpus on 64 hosts costs each host
+    1/64th of the file I/O and HBM."""
+
+    def __init__(self, space: VectorSpace, mesh: Mesh | None = None,
+                 axis: str = SHARD_AXIS):
+        from ..format.constants import DataType
+
+        if mesh is None:
+            mesh = global_mesh(axis)
+        if DataType(space.dtype) == DataType.UINT8:
+            raise NotImplementedError(
+                "distributed uint8 offset loading not yet wired; store int8"
+            )
+        self.mesh = mesh
+        self.axis = axis
+        self.space_meta = space.info
+        self.metric = space.metric
+        self.dim = space.dim
+        self.num_valid = space.num_vectors
+        q = space.quantization
+        self.scale = q.scale if q else 1.0
+        self.dtype = space.dtype
+        self.data, self.norms, self.valid_mask, self.rows_per_shard = (
+            load_space_sharded(space, mesh, axis)
+        )
+
+    def search(self, queries, k: int = 10, backend: str = "pallas",
+               interpret: bool = False):
+        from ..engine import DeviceSpace, SearchResult
+        from ..format.constants import DistanceMetric
+        from ..ops.distances import scores_to_distances
+        from .mesh import replicate
+        from .sharded_search import sharded_topk
+        import jax.numpy as jnp
+
+        helper = DeviceSpace(
+            data=self.data, norms=self.norms, num_valid=self.num_valid,
+            dim=self.dim, metric=self.metric, scale=self.scale,
+            dtype=self.dtype,
+        )
+        prep = helper.prepare_queries(queries)
+        k_eff = min(k, max(self.num_valid, 1))
+        qrep = replicate(np.asarray(prep.qdev), self.mesh)
+        s, i = sharded_topk(
+            qrep, self.data, self.norms, self.num_valid, k_eff, self.metric,
+            self.mesh, valid_mask=self.valid_mask, axis=self.axis,
+            scale=prep.dot_scale, backend=backend, interpret=interpret,
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        dist = np.asarray(
+            scores_to_distances(
+                jnp.asarray(s), self.metric, jnp.asarray(prep.sq_norms)
+            )
+        )
+        if k_eff < k:
+            pad = ((0, 0), (0, k - k_eff))
+            i = np.pad(i, pad, constant_values=-1)
+            s = np.pad(s, pad, constant_values=-np.inf)
+            dist = np.pad(
+                dist, pad,
+                constant_values=np.inf
+                if self.metric == DistanceMetric.L2
+                else -np.inf,
+            )
+        return SearchResult(indices=i, scores=s, distances=dist,
+                            metric=self.metric)

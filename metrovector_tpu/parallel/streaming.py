@@ -51,12 +51,17 @@ class StreamingSearcher:
     def __init__(
         self,
         space: VectorSpace,
-        chunk_rows: int = 131_072,
+        chunk_rows: int | None = None,
         device=None,
         interpret: bool | None = None,
     ):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if chunk_rows is None:
+            # file-manifest performance hint, else 131072 rows per chunk
+            chunk_rows = int(
+                space.reader.manifest.hints.get("stream_chunk_rows", 131_072)
+            )
         self.space = space
         self.interpret = interpret
         self.device = device

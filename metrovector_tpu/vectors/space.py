@@ -92,6 +92,11 @@ class VectorSpace:
         return self._info
 
     @property
+    def reader(self) -> "Reader":
+        """The owning reader (for manifest-level metadata like hints)."""
+        return self._reader
+
+    @property
     def quantization(self):
         return self._info.quantization
 

@@ -200,3 +200,22 @@ def test_fluent_index_config(tmp_path, rng):
     info = Reader.open(path).space_info("s")
     assert info.index.kind == IndexKind.IVF
     assert info.index.params["num_clusters"] == 16
+
+
+def test_performance_hints_roundtrip_and_consumed(tmp_path, rng):
+    """Hints persist in the manifest and actually steer the streaming
+    searcher (the reference declares PerformanceHints but never reads or
+    writes them — schema/extensions.fbs:80-84)."""
+    from metrovector_tpu.parallel import StreamingSearcher
+
+    b = Builder()
+    b.add_vector_space("s", dim=8)
+    b.add_vectors("s", rng.standard_normal((100, 8)).astype(np.float32))
+    b.set_hint("stream_chunk_rows", 64)
+    b.set_hint("custom_key", {"nested": True})
+    path = tmp_path / "h.mvt"
+    b.build().save(path)
+    r = Reader.open(path)
+    assert r.manifest.hints["custom_key"] == {"nested": True}
+    searcher = StreamingSearcher(r.vector_space("s"))
+    assert searcher.chunk_rows == 64
