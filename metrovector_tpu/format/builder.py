@@ -106,6 +106,10 @@ class _PendingSpace:
         # Optional trained IVF structure: (centroids f32 [C,D], assignments
         # i32 [N]) persisted as data blocks at build.
         self.ivf_data: tuple[np.ndarray, np.ndarray] | None = None
+        # SPARSE accumulation (CSR pieces per appended row)
+        self.sp_vals: list[np.ndarray] = []
+        self.sp_cols: list[np.ndarray] = []
+        self.sp_lens: list[int] = []
 
 
 class VectorSpaceHandle:
@@ -185,12 +189,6 @@ class Builder:
             raise InvalidVectorTypeError(
                 f"{dtype.name} cannot be a vector space element type"
             )
-        if VectorType(vector_type) == VectorType.SPARSE:
-            raise InvalidVectorTypeError(
-                "sparse vector spaces are declared in the format but not yet "
-                "supported by the builder (the reference builder cannot encode "
-                "them either: src/builder.rs:175-192)"
-            )
         self._spaces[name] = _PendingSpace(
             name, int(dim), VectorType(vector_type), DistanceMetric(metric), dtype, pad_dims
         )
@@ -210,6 +208,10 @@ class Builder:
         scalar-quantized: with explicit ``with_quantization`` params if set,
         else auto-calibrated symmetric (int8) / affine (uint8) on this chunk."""
         sp = self._get_space(name)
+        if sp.vector_type == VectorType.SPARSE:
+            raise InvalidVectorTypeError(
+                f"space {name!r} is sparse; use add_sparse_vectors"
+            )
         arr = np.asarray(data)
         if arr.ndim == 1 and arr.size:
             arr = arr.reshape(1, -1)
@@ -246,6 +248,34 @@ class Builder:
         if sp.dtype == DataType.INT8:
             return np.clip(scaled, -128, 127).astype(np.int8)
         return np.clip(scaled, 0, 255).astype(np.uint8)
+
+    def add_sparse_vectors(self, name: str, rows) -> None:
+        """Append sparse rows to a SPARSE space. ``rows`` is an iterable of
+        ``(cols, vals)`` pairs (integer column ids, element values); columns
+        must be < the space's dim (auto-inferred as max col + 1 when dim is
+        0 at build). The reference declares ``VectorType::Sparse`` but can
+        neither encode nor read it (``src/builder.rs:175-192``); MVT stores
+        CSR blocks and searches them by densifying tiles onto the MXU."""
+        sp = self._get_space(name)
+        if sp.vector_type != VectorType.SPARSE:
+            raise InvalidVectorTypeError(
+                f"space {name!r} is dense; use add_vectors"
+            )
+        np_dt = numpy_dtype(sp.dtype)
+        for cols, vals in rows:
+            cols = np.ascontiguousarray(cols, dtype="<u4")
+            vals = np.ascontiguousarray(vals, dtype=np_dt)
+            if cols.shape != vals.shape or cols.ndim != 1:
+                raise DimensionMismatchError(
+                    expected=int(cols.size), actual=int(vals.size)
+                )
+            if sp.dim and cols.size and int(cols.max()) >= sp.dim:
+                raise IndexOutOfBoundsError(int(cols.max()), sp.dim)
+            order = np.argsort(cols, kind="stable")
+            sp.sp_cols.append(cols[order])
+            sp.sp_vals.append(vals[order])
+            sp.sp_lens.append(int(cols.size))
+            sp.num_vectors += 1
 
     def add_metadata_column(
         self,
@@ -369,6 +399,12 @@ class Builder:
 
         total_logical = 0
         for sp in self._spaces.values():
+            if sp.vector_type == VectorType.SPARSE:
+                info = self._build_sparse_space(sp, push_block)
+                self._finish_space(sp, info, push_block)
+                manifest.spaces.append(info)
+                total_logical += sp.num_vectors
+                continue
             rows = (
                 np.concatenate(sp.chunks, axis=0)
                 if sp.chunks
@@ -426,30 +462,7 @@ class Builder:
                 quantization=sp.quantization,
             )
 
-            if sp.ivf_data is not None:
-                cb = push_block(sp.ivf_data[0])
-                ab = push_block(sp.ivf_data[1])
-                info.index.params["centroids_block"] = cb
-                info.index.params["assignments_block"] = ab
-
-            for col in sp.columns.values():
-                data = _encode_column(col, sp.heap)
-                cb = push_block(data)
-                info.columns.append(
-                    ColumnInfo(
-                        name=col.name, dtype=col.dtype, block=cb, count=len(col.values)
-                    )
-                )
-            if len(sp.heap):
-                info.string_heap_block = push_block(sp.heap.to_bytes())
-            if sp.deleted:
-                bitmap = np.zeros((sp.num_vectors + 7) // 8, dtype=np.uint8)
-                idx = np.fromiter(sp.deleted, dtype=np.int64)
-                np.bitwise_or.at(bitmap, idx // 8, (1 << (idx % 8)).astype(np.uint8))
-                tb = push_block(bitmap)
-                info.tombstones = TombstoneInfo(
-                    format=TombstoneFormat.BITMAP, block=tb, count=len(sp.deleted)
-                )
+            self._finish_space(sp, info, push_block)
             manifest.spaces.append(info)
             total_logical += sp.num_vectors
 
@@ -460,6 +473,84 @@ class Builder:
         }
         manifest.hints = dict(self._hints)
         return BuiltFile(manifest, payloads)
+
+    @staticmethod
+    def _build_sparse_space(sp: _PendingSpace, push_block) -> SpaceInfo:
+        """Lay out one SPARSE space: CSR values/cols/indptr blocks plus the
+        per-row squared-norms sidecar (computed from the values)."""
+        from .manifest import SparseInfo
+
+        np_dt = numpy_dtype(sp.dtype)
+        vals = (
+            np.concatenate(sp.sp_vals) if sp.sp_vals else np.zeros(0, np_dt)
+        )
+        cols = (
+            np.concatenate(sp.sp_cols) if sp.sp_cols else np.zeros(0, "<u4")
+        )
+        indptr = np.zeros(sp.num_vectors + 1, dtype="<u8")
+        if sp.sp_lens:
+            indptr[1:] = np.cumsum(sp.sp_lens, dtype=np.uint64)
+        if sp.dim == 0:
+            sp.dim = int(cols.max()) + 1 if cols.size else 1
+        # per-row dequantized squared norms via reduceat over the CSR runs
+        sq = np.square(vals.astype(np.float64))
+        norms = np.zeros(max(sp.num_vectors, 1), dtype="<f4")
+        if vals.size and sp.num_vectors:
+            sums = np.add.reduceat(sq, indptr[:-1].astype(np.int64))
+            sums[np.diff(indptr.astype(np.int64)) == 0] = 0.0
+            norms[: sp.num_vectors] = sums.astype(np.float32)
+
+        vb = push_block(vals)
+        cb = push_block(cols)
+        ib = push_block(indptr)
+        nb = push_block(norms)
+        return SpaceInfo(
+            name=sp.name,
+            dim=sp.dim,
+            num_vectors=sp.num_vectors,
+            dtype=sp.dtype,
+            vector_type=sp.vector_type,
+            metric=sp.metric,
+            padded_dim=0,
+            padded_rows=max(sp.num_vectors, 1),
+            vectors_block=-1,
+            norms_block=nb,
+            index=sp.index,
+            quantization=sp.quantization,
+            sparse=SparseInfo(
+                values_block=vb, cols_block=cb, indptr_block=ib,
+                nnz=int(vals.size),
+            ),
+        )
+
+    @staticmethod
+    def _finish_space(sp: _PendingSpace, info: SpaceInfo, push_block) -> None:
+        """Shared space tail: IVF blocks, metadata columns, string heap,
+        tombstones."""
+        if sp.ivf_data is not None:
+            cb = push_block(sp.ivf_data[0])
+            ab = push_block(sp.ivf_data[1])
+            info.index.params["centroids_block"] = cb
+            info.index.params["assignments_block"] = ab
+
+        for col in sp.columns.values():
+            data = _encode_column(col, sp.heap)
+            cb = push_block(data)
+            info.columns.append(
+                ColumnInfo(
+                    name=col.name, dtype=col.dtype, block=cb, count=len(col.values)
+                )
+            )
+        if len(sp.heap):
+            info.string_heap_block = push_block(sp.heap.to_bytes())
+        if sp.deleted:
+            bitmap = np.zeros((sp.num_vectors + 7) // 8, dtype=np.uint8)
+            idx = np.fromiter(sp.deleted, dtype=np.int64)
+            np.bitwise_or.at(bitmap, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+            tb = push_block(bitmap)
+            info.tombstones = TombstoneInfo(
+                format=TombstoneFormat.BITMAP, block=tb, count=len(sp.deleted)
+            )
 
 
 def _infer_column_dtype(vals: list[Any]) -> DataType:

@@ -159,6 +159,37 @@ class ColumnInfo:
 
 
 @dataclasses.dataclass
+class SparseInfo:
+    """CSR storage for a SPARSE space (the reference declares
+    ``VectorType::Sparse`` and a ``SparseMetadata`` table,
+    ``schema/core.fbs:28-32``, but can neither build nor read one):
+    ``values`` (space dtype), ``cols`` (u32) and ``indptr`` (u64,
+    ``num_vectors + 1`` entries) blocks."""
+
+    values_block: int = -1
+    cols_block: int = -1
+    indptr_block: int = -1
+    nnz: int = 0
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "values_block": self.values_block,
+            "cols_block": self.cols_block,
+            "indptr_block": self.indptr_block,
+            "nnz": self.nnz,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "SparseInfo":
+        return cls(
+            values_block=int(d.get("values_block", -1)),
+            cols_block=int(d.get("cols_block", -1)),
+            indptr_block=int(d.get("indptr_block", -1)),
+            nnz=int(d.get("nnz", 0)),
+        )
+
+
+@dataclasses.dataclass
 class SpaceInfo:
     """One named vector space (reference ``VectorSpace`` table,
     ``schema/core.fbs:42-57``) plus the TPU tiling facts the reference
@@ -180,6 +211,7 @@ class SpaceInfo:
     tombstones: TombstoneInfo = dataclasses.field(default_factory=TombstoneInfo)
     columns: list[ColumnInfo] = dataclasses.field(default_factory=list)
     string_heap_block: int = -1  # block id of this space's string heap
+    sparse: SparseInfo | None = None  # present iff vector_type == SPARSE
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -200,6 +232,8 @@ class SpaceInfo:
         }
         if self.quantization is not None:
             d["quantization"] = self.quantization.to_json()
+        if self.sparse is not None:
+            d["sparse"] = self.sparse.to_json()
         return d
 
     @classmethod
@@ -224,6 +258,9 @@ class SpaceInfo:
             tombstones=TombstoneInfo.from_json(d.get("tombstones", {})),
             columns=[ColumnInfo.from_json(c) for c in d.get("columns", [])],
             string_heap_block=int(d.get("string_heap_block", -1)),
+            sparse=(
+                SparseInfo.from_json(d["sparse"]) if "sparse" in d else None
+            ),
         )
 
 

@@ -50,8 +50,25 @@ class VectorSpace:
     def __init__(self, reader: "Reader", info: SpaceInfo):
         self._reader = reader
         self._info = info
-        raw = reader.block_bytes(info.vectors_block)
-        self._block = unpack_block(raw, info.padded_rows, info.padded_dim, info.dtype)
+        if info.vector_type == VectorType.SPARSE:
+            self._block = None
+            sp = info.sparse
+            self._sp_vals = np.frombuffer(
+                reader.block_bytes(sp.values_block),
+                dtype=numpy_dtype(info.dtype), count=sp.nnz,
+            )
+            self._sp_cols = np.frombuffer(
+                reader.block_bytes(sp.cols_block), dtype="<u4", count=sp.nnz
+            )
+            self._sp_indptr = np.frombuffer(
+                reader.block_bytes(sp.indptr_block), dtype="<u8",
+                count=info.num_vectors + 1,
+            )
+        else:
+            raw = reader.block_bytes(info.vectors_block)
+            self._block = unpack_block(
+                raw, info.padded_rows, info.padded_dim, info.dtype
+            )
 
     # -- metadata accessors (reference :62-89) --------------------------------
 
@@ -102,13 +119,45 @@ class VectorSpace:
 
     # -- bulk views ------------------------------------------------------------
 
-    def padded_array(self) -> np.ndarray:
-        """The full tile-padded ``[padded_rows, padded_dim]`` block, zero-copy.
-        This is the array the TPU engine uploads verbatim."""
+    def _require_dense(self):
+        if self._block is None:
+            from ..errors import InvalidVectorTypeError
+
+            raise InvalidVectorTypeError(
+                f"space {self.name!r} is sparse; use sparse_csr() / "
+                "get_vector() / to_numpy()"
+            )
         return self._block
 
+    @property
+    def is_sparse(self) -> bool:
+        return self._info.vector_type == VectorType.SPARSE
+
+    def sparse_csr(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Zero-copy CSR views ``(indptr [N+1] u64, cols [nnz] u32,
+        values [nnz])`` of a SPARSE space."""
+        if not self.is_sparse:
+            from ..errors import InvalidVectorTypeError
+
+            raise InvalidVectorTypeError(f"space {self.name!r} is dense")
+        return self._sp_indptr, self._sp_cols, self._sp_vals
+
+    def padded_array(self) -> np.ndarray:
+        """The full tile-padded ``[padded_rows, padded_dim]`` block, zero-copy.
+        This is the array the TPU engine uploads verbatim (dense spaces)."""
+        return self._require_dense()
+
     def to_numpy(self) -> np.ndarray:
-        """The logical ``[num_vectors, dim]`` view, zero-copy (strided)."""
+        """The logical ``[num_vectors, dim]`` view — zero-copy (strided) for
+        dense spaces; a densified copy for sparse spaces."""
+        if self.is_sparse:
+            out = np.zeros((self.num_vectors, self.dim), dtype=np.float32)
+            ip = self._sp_indptr.astype(np.int64)
+            rows = np.repeat(
+                np.arange(self.num_vectors), np.diff(ip)
+            )
+            out[rows, self._sp_cols.astype(np.int64)] = self._sp_vals
+            return out
         return self._block[: self.num_vectors, : self.dim]
 
     def norms(self) -> np.ndarray:
@@ -118,15 +167,25 @@ class VectorSpace:
 
     # -- single access (reference get_vector, :101-142) ------------------------
 
-    def get_vector(self, index: int) -> Vector:
+    def get_vector(self, index: int):
         if index < 0 or index >= self.num_vectors:
             raise IndexOutOfBoundsError(index, self.num_vectors)
+        if self.is_sparse:
+            from .vector import SparseVector
+
+            lo = int(self._sp_indptr[index])
+            hi = int(self._sp_indptr[index + 1])
+            return SparseVector(
+                self._sp_cols[lo:hi], self._sp_vals[lo:hi], self.dim,
+                self.dtype, index,
+            )
         return Vector(self._block[index, : self.dim], self.dim, self.dtype, index)
 
     # -- range / batch access ---------------------------------------------------
 
     def map_vector_range(self, start: int, count: int) -> VectorSlice:
         """Strided batch view (reference ``map_vector_range``, ``:155-188``)."""
+        self._require_dense()
         if start < 0 or count < 0 or start + count > self.num_vectors:
             raise IndexOutOfBoundsError(start + count, self.num_vectors)
         esz = numpy_dtype(self.dtype).itemsize
@@ -160,6 +219,7 @@ class VectorSpace:
 
     def get_dimension_slice(self, dimension: int, start: int, count: int) -> DimensionSlice:
         """Columnar view of one dimension (reference ``:279-317``)."""
+        self._require_dense()
         if dimension < 0 or dimension >= self.dim:
             raise IndexOutOfBoundsError(dimension, self.dim)
         if start < 0 or count < 0 or start + count > self.num_vectors:

@@ -107,3 +107,41 @@ class Vector:
 
     def __repr__(self) -> str:
         return f"Vector(index={self.index}, dim={self.dim}, dtype={self.dtype.name})"
+
+
+class SparseVector:
+    """One sparse vector: parallel ``cols``/``values`` views over the CSR
+    blocks of a SPARSE space (which the reference declares but cannot
+    materialize — ``schema/core.fbs:28-32`` vs ``src/builder.rs:175-192``)."""
+
+    __slots__ = ("cols", "values", "dim", "dtype", "index")
+
+    def __init__(self, cols: np.ndarray, values: np.ndarray, dim: int,
+                 dtype: DataType, index: int = -1):
+        self.cols = cols
+        self.values = values
+        self.dim = dim
+        self.dtype = DataType(dtype)
+        self.index = index
+
+    @property
+    def nnz(self) -> int:
+        return int(self.cols.size)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.dim, dtype=np.float32)
+        out[self.cols.astype(np.int64)] = self.values
+        return out
+
+    def as_f32(self) -> np.ndarray:
+        """Dense float32 materialization (Vector.as_f32 analog)."""
+        return self.to_dense()
+
+    def __len__(self) -> int:
+        return self.dim
+
+    def __repr__(self) -> str:
+        return (
+            f"SparseVector(index={self.index}, dim={self.dim}, "
+            f"nnz={self.nnz}, dtype={self.dtype.name})"
+        )

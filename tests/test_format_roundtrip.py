@@ -133,8 +133,9 @@ def test_builder_errors():
         b.add_vector_space("s", dim=4)  # duplicate
     with pytest.raises(VectorSpaceNotFoundError):
         b.add_vectors("missing", np.zeros((1, 4), np.float32))
+    b.add_vector_space("sparse", dim=4, vector_type=VectorType.SPARSE)
     with pytest.raises(InvalidVectorTypeError):
-        b.add_vector_space("sparse", dim=4, vector_type=VectorType.SPARSE)
+        b.add_vectors("sparse", np.zeros((1, 4), np.float32))  # use add_sparse_vectors
     with pytest.raises(InvalidVectorTypeError):
         b.add_vector_space("u32", dim=4, dtype=DataType.UINT32)
 
