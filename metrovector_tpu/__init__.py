@@ -33,6 +33,7 @@ from .format import (
     TombstoneFormat,
     VectorType,
     Writer,
+    compact,
 )
 from .vectors import (
     AccessPattern,
@@ -49,6 +50,7 @@ _LAZY = {
     "SearchEngine": ".engine",
     "DeviceSpace": ".engine",
     "SearchResult": ".engine",
+    "SparseSearchEngine": ".sparse",
     "PreparedQueries": ".engine",
     "IVFIndex": ".index",
     "train_kmeans": ".index",
@@ -87,6 +89,7 @@ __all__ = [
     "SearchEngine",
     "SearchResult",
     "ShardedDeviceSpace",
+    "SparseSearchEngine",
     "StreamingSearcher",
     "TombstoneFormat",
     "Vector",
@@ -95,6 +98,7 @@ __all__ = [
     "VectorSpace",
     "VectorType",
     "Writer",
+    "compact",
     "errors",
     "make_mesh",
     "sharded_topk",

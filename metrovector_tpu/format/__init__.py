@@ -1,6 +1,7 @@
 """MVT file format: tile-aligned columnar storage for vector collections."""
 
 from .builder import Builder, BuiltFile, VectorSpaceHandle, Writer
+from .compact import compact
 from .constants import (
     BLOCK_ALIGN,
     FORMAT_VERSION,
@@ -47,4 +48,5 @@ __all__ = [
     "VectorSpaceHandle",
     "VectorType",
     "Writer",
+    "compact",
 ]

@@ -1,0 +1,81 @@
+"""Compaction: rebuild an MVT file without its tombstoned rows.
+
+The reference has no deletion story beyond schema-level tombstones it never
+writes (``src/builder.rs:485`` in thegenem0/metrovector); MVT writes them
+(``Builder.delete_vector``) and masks them at query time, and this module
+closes the loop: physically drop deleted rows, renumber, filter metadata
+columns, and re-emit a clean file. Index structures are carried as
+*configuration* only — persisted IVF centroids/assignments reference old
+row ids, so they are dropped and rebuilt lazily on next use
+(``IVFIndex.from_space`` retrains when blocks are absent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..format.constants import VectorType
+from ..format.manifest import IndexInfo
+from .builder import Builder, BuiltFile
+from .reader import Reader
+
+
+def compact(reader: Reader, path=None) -> BuiltFile:
+    """Rebuild every space without deleted rows. Returns the new
+    :class:`BuiltFile`; also saves to ``path`` when given."""
+    b = Builder()
+    for k, v in reader.manifest.hints.items():
+        b.set_hint(k, v)
+    for name in reader.vector_space_names:
+        sp = reader.vector_space(name)
+        info = sp.info
+        mask = sp.tombstone_mask()
+        keep = np.ones(sp.num_vectors, bool) if mask is None else ~mask
+
+        handle = b.add_vector_space(
+            name,
+            dim=sp.dim,
+            vector_type=info.vector_type,
+            metric=sp.metric,
+            dtype=sp.dtype,
+            pad_dims=(info.padded_dim != sp.dim) or info.padded_dim == 0,
+        )
+        if sp.quantization is not None:
+            # carry calibration; raw codes re-enter untouched below
+            handle.with_quantization(
+                sp.quantization.scale, sp.quantization.zero_point
+            )
+        if info.index.kind != 0:
+            params = {
+                k: v
+                for k, v in info.index.params.items()
+                if not k.endswith("_block")
+            }
+            b._get_space(name).index = IndexInfo(
+                kind=info.index.kind, params=params
+            )
+
+        if info.vector_type == VectorType.SPARSE:
+            kept_rows = [
+                (v.cols, v.values)
+                for i in np.flatnonzero(keep)
+                for v in (sp.get_vector(int(i)),)
+            ]
+            b.add_sparse_vectors(name, kept_rows)
+        elif keep.any():
+            # raw stored values (codes for quantized spaces) pass through
+            b.add_vectors(name, sp.to_numpy()[keep])
+
+        for col_name in sp.metadata_column_names():
+            vals = sp.metadata_column(col_name)
+            if isinstance(vals, list):  # string column
+                kept = [v for v, k_ in zip(vals, keep) if k_]
+            else:
+                kept = vals[keep]
+            col_info = sp._column_info(col_name)
+            b.add_metadata_column(name, col_name, kept, dtype=col_info.dtype)
+
+    built = b.build()
+    if path is not None:
+        built.save(path)
+    return built
