@@ -105,6 +105,15 @@ class VectorSlice:
     def element_size(self) -> int:
         return numpy_dtype(self.dtype).itemsize
 
+    def clone_concurrent(self) -> "VectorSlice":
+        """Cheap handle for another thread (reference ``clone_concurrent``
+        equivalence test, ``src/vectors/mem.rs:594-612``); all state is
+        immutable, so this is a shallow copy."""
+        return VectorSlice(
+            self._block, self.stride, self.count, self.dim, self.dtype,
+            self.start_index,
+        )
+
     def __repr__(self) -> str:
         return (
             f"VectorSlice(count={self.count}, dim={self.dim}, "
