@@ -255,7 +255,7 @@ def bench_stream(interpret):
     sp = Reader.open(path).vector_space("s")
     searcher = StreamingSearcher(sp, chunk_rows=262_144)
     queries = rng.standard_normal((qb, d)).astype(np.float32)
-    searcher.search(queries[:2], k=10)  # warm compile
+    searcher.search(queries, k=10)  # warm compile (same batch shape!)
     t0 = time.perf_counter()
     res = searcher.search(queries, k=10)
     dt = time.perf_counter() - t0

@@ -43,8 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..format.constants import LANES, DistanceMetric
+from ..utils.log import get_logger
 
 _NEG_INF = float("-inf")
+_log = get_logger("ops.topk")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -313,7 +315,12 @@ def fused_topk(
                     bf16x3=precision == "high" and db.dtype.itemsize == 4,
                     k_pad=_round_up(k, LANES),
                 )
-            bn = max(LANES, _round_up(bn // 2, LANES))
+            new_bn = max(LANES, _round_up(bn // 2, LANES))
+            _log.warning(
+                "Mosaic VMEM OOM at block_rows=%d (k=%d); retrying with %d",
+                bn, k, new_bn,
+            )
+            bn = new_bn
     raise last_exc
 
 

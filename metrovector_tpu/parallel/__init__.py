@@ -2,7 +2,7 @@
 
 from .distributed import DistributedSearcher, initialize, load_space_sharded
 from .mesh import SHARD_AXIS, make_mesh, replicate, rows_per_shard, shard_rows
-from .sharded_search import ShardedDeviceSpace, sharded_topk
+from .sharded_search import ShardedDeviceSpace, dim_sharded_topk, sharded_topk
 from .streaming import StreamingSearcher
 
 __all__ = [
@@ -10,6 +10,7 @@ __all__ = [
     "DistributedSearcher",
     "ShardedDeviceSpace",
     "StreamingSearcher",
+    "dim_sharded_topk",
     "initialize",
     "load_space_sharded",
     "make_mesh",

@@ -130,6 +130,72 @@ def sharded_topk(
     return fn(*args)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "mesh", "axis"),
+)
+def dim_sharded_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    db_norms: jax.Array,
+    num_valid,
+    k: int,
+    metric: DistanceMetric,
+    mesh: Mesh,
+    valid_mask: jax.Array | None = None,
+    axis: str = SHARD_AXIS,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact global top-k with the corpus sharded over the **dimension**
+    axis — the workload's "tensor parallel" mapping (SURVEY.md §5): each
+    chip holds every row but only a slice of the feature dimension,
+    computes partial dots, and a ``psum`` over ICI completes them before
+    the epilogue + top-k (replicated).
+
+    Useful when single rows are wide enough that dimension slicing beats
+    row slicing (very wide embeddings, or combining with row sharding on a
+    2-D mesh). ``db``: ``[N, D_total]`` sharded ``P(None, axis)``;
+    ``queries`` ``[Q, D_total]`` sharded the same way; ``db_norms`` and
+    ``valid_mask`` replicated ``[N]``.
+    """
+    metric = DistanceMetric(metric)
+    num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
+
+    def local(q, db_l, norms, nvalid, *maybe_mask):
+        dots = jax.lax.dot_general(
+            q, db_l,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dots = jax.lax.psum(dots, axis)  # complete the contraction over ICI
+        if metric == DistanceMetric.L2:
+            scores = 2.0 * dots - norms[None, :]
+        elif metric == DistanceMetric.COSINE:
+            # caller pre-normalizes queries over the FULL dimension
+            scores = dots * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))[None, :]
+        else:
+            scores = dots
+        n = scores.shape[1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        scores = jnp.where(rows < nvalid[0], scores, -jnp.inf)
+        if maybe_mask:
+            scores = jnp.where(maybe_mask[0][None, :] != 0, scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, k)
+        i = jnp.where(jnp.isneginf(s), -1, i)
+        return s, i
+
+    in_specs = [P(None, axis), P(None, axis), P(), P()]
+    args = [queries, db, db_norms, num_valid.reshape(1)]
+    if valid_mask is not None:
+        in_specs.append(P())
+        args.append(valid_mask)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
 class ShardedDeviceSpace:
     """A vector space sharded row-wise across a device mesh.
 

@@ -105,3 +105,43 @@ def test_shard_placement(rng):
     shard_shapes = {tuple(s.data.shape) for s in db_s.addressable_shards}
     # 800/8 = 100 rows/shard, rounded up to the 8-row sublane tile → 104
     assert shard_shapes == {(104, 32)}
+
+
+def test_dim_sharded_matches_oracle(rng):
+    """Dimension-sharded ("tensor parallel") search: partial dots complete
+    via psum over the mesh; exact global results."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metrovector_tpu.parallel.sharded_search import dim_sharded_topk
+
+    queries, db, norms = _case(rng, n=300, d=512, q=4)
+    mesh = make_mesh(8)
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "shard")))
+    s, i = dim_sharded_topk(
+        put(queries), put(db), replicate(norms, mesh), 300, 7,
+        DistanceMetric.L2, mesh,
+    )
+    _, oi = numpy_oracle(queries, db, 7, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_dim_sharded_tombstones(rng):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metrovector_tpu.parallel.sharded_search import dim_sharded_topk
+
+    queries, db, norms = _case(rng, n=200, d=256, q=2)
+    mesh = make_mesh(4)
+    put = lambda a: jax.device_put(a, NamedSharding(mesh, P(None, "shard")))
+    mask = np.ones(200, np.float32)
+    _, base = dim_sharded_topk(
+        put(queries), put(db), replicate(norms, mesh), 200, 1,
+        DistanceMetric.INNER_PRODUCT, mesh,
+    )
+    mask[np.asarray(base).ravel()] = 0.0
+    _, i2 = dim_sharded_topk(
+        put(queries), put(db), replicate(norms, mesh), 200, 5,
+        DistanceMetric.INNER_PRODUCT, mesh,
+        valid_mask=replicate(mask, mesh),
+    )
+    assert not np.intersect1d(np.asarray(i2), np.asarray(base)).size
