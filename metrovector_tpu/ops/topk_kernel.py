@@ -376,12 +376,14 @@ def _fused_topk(
       the greater-is-better score convention of :mod:`.distances`.
     """
     if db.dtype == jnp.float16.dtype:
-        # Mosaic has no f16 vector type; upcast (exact) inside the jit.
-        # Resident engines pre-cast at upload — this path serves streamed
-        # f16 chunks, where the transient f32 copy is one chunk wide.
-        # (Before block sizing: the VMEM block is f32-wide after the cast.)
-        db = db.astype(jnp.float32)
-        queries = queries.astype(jnp.float32)
+        # Mosaic has no f16 vector type, and device-side f16→f32 casts are
+        # pathologically slow on TPU (measured ~3 MB/s — likely an
+        # emulated elementwise path). Callers must pre-cast on the host
+        # (exact: f16 ⊂ f32); DeviceSpace and StreamingSearcher do.
+        raise TypeError(
+            "fused_topk does not accept float16 operands on TPU; cast the "
+            "block to float32 (or store bfloat16) before the kernel"
+        )
     q, d = queries.shape
     n = db.shape[0]
     qt = min(query_tile, _round_up(q, 8))

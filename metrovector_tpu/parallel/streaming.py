@@ -147,6 +147,10 @@ class StreamingSearcher:
             lo = j * cr
             hi = min(lo + cr, total)
             blk = self._block[lo:hi]
+            if blk.dtype == np.float16:
+                # host-side upcast: device-side f16 casts are ~3 MB/s on
+                # TPU (see fused_topk); numpy does this at memory speed
+                blk = blk.astype(np.float32)
             nrm = self._norms[lo:hi]
             msk = self._mask[lo:hi] if self._mask is not None else None
             bias = None
