@@ -92,6 +92,8 @@ class DeviceSpace:
         dtype: DataType = DataType.FLOAT32,
         name: str = "",
         rowsums: jax.Array | None = None,
+        data_lo: jax.Array | None = None,
+        precision: str = "highest",
     ):
         self.data = data
         self.norms = norms
@@ -106,6 +108,9 @@ class DeviceSpace:
         # uint8 offset path: per-row sums of the shifted int8 codes
         # (Σ(c−128) over logical dims), consumed as the kernel's bias_row.
         self.rowsums = rowsums
+        # f32 'high' precision: precomputed bf16 lo plane (hi lives in data)
+        self.data_lo = data_lo
+        self.precision = precision
 
     # -- construction ---------------------------------------------------------
 
@@ -115,6 +120,7 @@ class DeviceSpace:
         space: VectorSpace,
         device: Any | None = None,
         include_tombstones: bool = True,
+        precision: str = "highest",
     ) -> "DeviceSpace":
         """Upload a host :class:`VectorSpace` view to one device. The padded
         block goes up verbatim; tombstones become a validity mask applied in
@@ -140,6 +146,20 @@ class DeviceSpace:
             # f32, so values and rankings are bit-identical to the file.
             # (Memory-sensitive deployments should store bf16 instead.)
             block = block.astype(np.float32)
+        data_lo = None
+        if block.dtype == np.float32 and precision in ("high", "default"):
+            # 'high': precompute hi/lo bf16 planes (same total HBM bytes,
+            # ~16 significand bits, 3 MXU passes instead of HIGHEST's 6).
+            # 'default': keep only the hi plane (HALF the HBM bytes and
+            # one MXU pass; near-ties reorder at bf16 resolution).
+            import ml_dtypes
+
+            hi = block.astype(ml_dtypes.bfloat16)
+            if precision == "high":
+                data_lo = put(
+                    (block - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+                )
+            block = hi
         rowsums = None
         if space.dtype == DataType.UINT8:
             shifted = block.astype(np.int16) - 128
@@ -161,6 +181,8 @@ class DeviceSpace:
             dtype=space.dtype,
             name=space.name,
             rowsums=rowsums,
+            data_lo=data_lo,
+            precision=precision,
         )
 
     @property
@@ -262,9 +284,12 @@ class SearchEngine:
     """
 
     def __init__(self, space: VectorSpace | DeviceSpace, backend: str = "pallas",
-                 device: Any | None = None, interpret: bool | None = None):
+                 device: Any | None = None, interpret: bool | None = None,
+                 precision: str = "highest"):
         if isinstance(space, VectorSpace):
-            space = DeviceSpace.from_space(space, device=device)
+            space = DeviceSpace.from_space(
+                space, device=device, precision=precision
+            )
         self.space = space
         if backend not in ("pallas", "xla"):
             raise ValueError(f"unknown backend {backend!r}")
@@ -309,12 +334,20 @@ class SearchEngine:
         if uint8_cosine or (self.backend == "xla" and sp.dtype == DataType.UINT8):
             scores, idx = self._search_uint8_dequant(prep.qdev, k_eff)
         elif self.backend == "pallas":
+            qdev = prep.qdev
+            kernel_prec = "highest"
+            if sp.data_lo is not None:
+                kernel_prec = "high"  # split planes: kernel re-splits queries
+            elif sp.dtype == DataType.FLOAT32 and sp.precision == "default":
+                qdev = qdev.astype(sp.data.dtype)  # bf16-only storage
+                kernel_prec = "default"
             scores, idx = fused_topk(
-                prep.qdev, sp.data, sp.norms,
+                qdev, sp.data, sp.norms,
                 jnp.int32(sp.num_valid), k_eff, sp.metric,
                 valid_mask=sp.valid_mask, scale=prep.dot_scale,
                 bias_row=sp.rowsums, bias_scale=prep.bias_scale,
-                interpret=self.interpret,
+                interpret=self.interpret, precision=kernel_prec,
+                db_lo=sp.data_lo,
             )
         else:
             q_x, db_x = prep.qdev, sp.data

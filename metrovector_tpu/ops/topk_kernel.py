@@ -129,20 +129,24 @@ _PRECISIONS = {
 
 def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                  scale: float, has_valid: bool, int_path: bool,
-                 precision: str, has_bias: bool = False):
+                 precision: str, has_bias: bool = False,
+                 split_planes: bool = False):
     metric = DistanceMetric(metric)
     prec = _PRECISIONS[precision]
-    bf16x3 = precision == "high" and not int_path
+    bf16x3 = precision == "high" and not int_path and not split_planes
     lanes = 128
     n_chunks = block_rows // lanes
 
     def kernel(nvalid_ref, *rest):
         # Optional inputs appear in declaration order: bias_scale (SMEM),
-        # queries, db, norms, bias_row, valid_mask, then outputs + scratch.
+        # queries, db, [db_lo], norms, bias_row, valid_mask, then outputs
+        # + scratch.
         rest = list(rest)
         bias_scale_ref = rest.pop(0) if has_bias else None
-        q_ref, db_ref, norms_ref = rest[:3]
-        rest = rest[3:]
+        q_ref, db_ref = rest[:2]
+        rest = rest[2:]
+        db_lo_ref = rest.pop(0) if split_planes else None
+        norms_ref = rest.pop(0)
         bias_ref = rest.pop(0) if has_bias else None
         valid_ref = rest.pop(0) if has_valid else None
         out_s_ref, out_i_ref, best_s, best_i = rest
@@ -161,6 +165,26 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                 q_ref[:], db_ref[:], dimension_numbers=dims,
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
+        elif split_planes:
+            # Precomputed hi/lo bf16 planes (f32 = hi + lo to ~16
+            # significand bits; same total HBM bytes as f32). Only the
+            # queries split in-kernel — three single-pass bf16 MXU dots,
+            # no per-block VPU casting of the corpus.
+            q32 = q_ref[:]
+            q_hi = q32.astype(jnp.bfloat16)
+            q_lo = (q32 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dots = jax.lax.dot_general(
+                q_hi, db_ref[:], dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dots += jax.lax.dot_general(
+                q_hi, db_lo_ref[:], dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            dots += jax.lax.dot_general(
+                q_lo, db_ref[:], dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
         elif bf16x3:
             # Manual bf16x3 split: q = q_hi + q_lo exactly captures ~16
             # significand bits; q·x ≈ q_hi·x_hi + q_hi·x_lo + q_lo·x_hi
@@ -285,6 +309,7 @@ def fused_topk(
     precision: str = "highest",
     bias_row=None,
     bias_scale=1.0,
+    db_lo=None,
 ):
     """VMEM-robust front end for :func:`_fused_topk`: if Mosaic's scoped
     VMEM allocator rejects the auto-sized block (its live-set model is not
@@ -300,7 +325,7 @@ def fused_topk(
                 valid_mask=valid_mask, scale=scale, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
                 precision=precision, bias_row=bias_row,
-                bias_scale=bias_scale,
+                bias_scale=bias_scale, db_lo=db_lo,
             )
         except Exception as exc:  # jaxlib runtime error types vary
             msg = str(exc)
@@ -346,6 +371,7 @@ def _fused_topk(
     precision: str = "highest",
     bias_row: jax.Array | None = None,
     bias_scale: jax.Array | float = 1.0,
+    db_lo: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k search over one resident DB shard.
 
@@ -388,10 +414,14 @@ def _fused_topk(
     n = db.shape[0]
     qt = min(query_tile, _round_up(q, 8))
     k_pad = _round_up(k, LANES)
+    split_planes = db_lo is not None
     if block_rows is None:
+        # split planes stream two bf16 blocks = f32-equivalent bytes
+        eff_itemsize = 4 if split_planes else db.dtype.itemsize
         block_rows = default_block_rows(
-            d, db.dtype.itemsize, qt,
-            bf16x3=precision == "high" and db.dtype.itemsize == 4,
+            d, eff_itemsize, qt,
+            bf16x3=precision == "high" and db.dtype.itemsize == 4
+            and not split_planes,
             k_pad=k_pad,
         )
     # The lane-fold merge requires whole 128-lane chunks per block.
@@ -417,13 +447,18 @@ def _fused_topk(
     if bias_row is not None:
         in_specs.append(smem_spec)
         args.append(jnp.asarray(bias_scale, jnp.float32).reshape(1, 1))
+    db_spec = pl.BlockSpec((block_rows, d), lambda qi, ni: (ni, 0),
+                           memory_space=pltpu.VMEM)
     in_specs += [
         pl.BlockSpec((qt, d), lambda qi, ni: (qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, d), lambda qi, ni: (ni, 0),
-                     memory_space=pltpu.VMEM),
-        row_spec,
+        db_spec,
     ]
-    args += [queries, db, norms_2d]
+    args += [queries, db]
+    if split_planes:
+        in_specs.append(db_spec)
+        args.append(db_lo)
+    in_specs.append(row_spec)
+    args.append(norms_2d)
     if bias_row is not None:
         in_specs.append(row_spec)
         args.append(bias_row.reshape(1, n).astype(jnp.float32))
@@ -435,6 +470,7 @@ def _fused_topk(
         k, k_pad, block_rows, metric, float(scale),
         has_valid=valid_mask is not None, int_path=int_path,
         precision=precision, has_bias=bias_row is not None,
+        split_planes=split_planes,
     )
 
     flops_dot = 2 * q_pad * n * d

@@ -151,3 +151,27 @@ def test_device_space_nbytes(tmp_path, rng):
     # padded 64×128 f32 + 64 f32 norms
     assert ds.nbytes == 64 * 128 * 4 + 64 * 4
     assert ds.padded_rows == 64 and ds.padded_dim == 128
+
+
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_precision_modes(tmp_path, rng, precision):
+    """'high' (split hi/lo bf16 planes) must match the f32 oracle exactly
+    on well-separated data; 'default' (bf16-only, half HBM) must keep very
+    high overlap."""
+    path, data = _build(tmp_path, rng, n=400, d=64)
+    eng = SearchEngine.open(path, backend="pallas", precision=precision)
+    queries = rng.standard_normal((5, 64)).astype(np.float32)
+    res = eng.search(queries, k=10)
+    _, oi = numpy_oracle(queries, data, 10, DistanceMetric.L2)
+    if precision == "high":
+        assert np.array_equal(res.indices, oi)
+        assert eng.space.data_lo is not None
+        assert eng.space.data.dtype.name == "bfloat16"
+    else:
+        overlap = np.mean(
+            [len(set(res.indices[r]) & set(oi[r])) / 10 for r in range(5)]
+        )
+        assert overlap >= 0.9
+        assert eng.space.data_lo is None
+        # half the memory of f32
+        assert eng.space.data.dtype.itemsize == 2
