@@ -53,7 +53,10 @@ _LAZY = {
     "SparseSearchEngine": ".sparse",
     "PreparedQueries": ".engine",
     "IVFIndex": ".index",
+    "PQIndex": ".index",
     "train_kmeans": ".index",
+    "train_pq": ".index",
+    "encode_pq": ".index",
     "StreamingSearcher": ".parallel",
     "ShardedDeviceSpace": ".parallel",
     "DistributedSearcher": ".parallel",
@@ -84,6 +87,7 @@ __all__ = [
     "IVFIndex",
     "IndexKind",
     "MvtError",
+    "PQIndex",
     "PreparedQueries",
     "Reader",
     "SearchEngine",
@@ -99,8 +103,10 @@ __all__ = [
     "VectorType",
     "Writer",
     "compact",
+    "encode_pq",
     "errors",
     "make_mesh",
     "sharded_topk",
     "train_kmeans",
+    "train_pq",
 ]

@@ -106,6 +106,9 @@ class _PendingSpace:
         # Optional trained IVF structure: (centroids f32 [C,D], assignments
         # i32 [N]) persisted as data blocks at build.
         self.ivf_data: tuple[np.ndarray, np.ndarray] | None = None
+        # Optional PQ sidecar: (codebooks f32 [m,ksub,dsub], codes u8 [N,m],
+        # reconstruction squared norms f32 [N]).
+        self.pq_data: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         # SPARSE accumulation (CSR pieces per appended row)
         self.sp_vals: list[np.ndarray] = []
         self.sp_cols: list[np.ndarray] = []
@@ -332,6 +335,45 @@ class Builder:
             },
         )
 
+    def set_pq_index(
+        self,
+        space_name: str,
+        codebooks: np.ndarray,
+        codes: np.ndarray,
+        recon_norms: np.ndarray | None = None,
+    ) -> None:
+        """Attach a trained product-quantization sidecar (e.g. from
+        :func:`metrovector_tpu.index.train_pq` / ``encode_pq``) so readers
+        can ADC-search without retraining or re-encoding. The reference
+        declares PQ codebook tables in its extensions schema
+        (``schema/extensions.fbs``) but never writes them; MVT persists
+        codebooks, codes and reconstruction norms as real blocks."""
+        sp = self._get_space(space_name)
+        codebooks = np.ascontiguousarray(codebooks, dtype="<f4")
+        if codebooks.ndim != 3:
+            raise BuildError("codebooks must have shape [m, ksub, dsub]")
+        m, ksub, dsub = codebooks.shape
+        if ksub > 256:
+            raise BuildError("ksub > 256 does not fit uint8 codes")
+        if sp.dim and m * dsub != sp.dim:
+            raise DimensionMismatchError(expected=sp.dim, actual=m * dsub)
+        codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        if codes.shape != (sp.num_vectors, m):
+            raise BuildError(
+                f"codes shape {codes.shape} != ({sp.num_vectors}, {m})"
+            )
+        if recon_norms is None:
+            recon = np.empty((codes.shape[0], m * dsub), np.float64)
+            for j in range(m):
+                recon[:, j * dsub : (j + 1) * dsub] = codebooks[j, codes[:, j]]
+            recon_norms = np.einsum("ij,ij->i", recon, recon).astype("<f4")
+        recon_norms = np.ascontiguousarray(recon_norms, dtype="<f4")
+        if recon_norms.shape != (sp.num_vectors,):
+            raise BuildError(
+                f"recon_norms shape {recon_norms.shape} != ({sp.num_vectors},)"
+            )
+        sp.pq_data = (codebooks, codes, recon_norms)
+
     def delete_vector(self, space_name: str, index: int) -> None:
         """Mark a row deleted; emitted as a BITMAP tombstone block at build.
         The reference declares tombstones but never writes them
@@ -532,6 +574,19 @@ class Builder:
             ab = push_block(sp.ivf_data[1])
             info.index.params["centroids_block"] = cb
             info.index.params["assignments_block"] = ab
+
+        if sp.pq_data is not None:
+            from .manifest import PQInfo
+
+            books, codes, rnorms = sp.pq_data
+            info.pq = PQInfo(
+                m=int(books.shape[0]),
+                ksub=int(books.shape[1]),
+                dsub=int(books.shape[2]),
+                codebooks_block=push_block(books),
+                codes_block=push_block(codes),
+                recon_norms_block=push_block(rnorms),
+            )
 
         for col in sp.columns.values():
             data = _encode_column(col, sp.heap)

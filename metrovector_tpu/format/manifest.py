@@ -108,6 +108,43 @@ class QuantizationInfo:
 
 
 @dataclasses.dataclass
+class PQInfo:
+    """Per-space product-quantization sidecar (the reference's PQ codebook
+    extension, ``schema/extensions.fbs`` quantization tables — declared
+    there, never written; implemented here, see
+    :mod:`metrovector_tpu.index.pq`). Blocks: codebooks ``[m, ksub, dsub]``
+    f32, codes ``[N, m]`` u8, reconstruction squared norms ``[N]`` f32."""
+
+    m: int = 0
+    ksub: int = 0
+    dsub: int = 0
+    codebooks_block: int = -1
+    codes_block: int = -1
+    recon_norms_block: int = -1
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "m": self.m,
+            "ksub": self.ksub,
+            "dsub": self.dsub,
+            "codebooks_block": self.codebooks_block,
+            "codes_block": self.codes_block,
+            "recon_norms_block": self.recon_norms_block,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "PQInfo":
+        return cls(
+            m=int(d.get("m", 0)),
+            ksub=int(d.get("ksub", 0)),
+            dsub=int(d.get("dsub", 0)),
+            codebooks_block=int(d.get("codebooks_block", -1)),
+            codes_block=int(d.get("codes_block", -1)),
+            recon_norms_block=int(d.get("recon_norms_block", -1)),
+        )
+
+
+@dataclasses.dataclass
 class TombstoneInfo:
     """Deleted-row bookkeeping (reference ``TombstoneInfo``,
     ``schema/core.fbs:35-39``). BITMAP: ``block`` holds one byte per
@@ -212,6 +249,7 @@ class SpaceInfo:
     columns: list[ColumnInfo] = dataclasses.field(default_factory=list)
     string_heap_block: int = -1  # block id of this space's string heap
     sparse: SparseInfo | None = None  # present iff vector_type == SPARSE
+    pq: PQInfo | None = None  # product-quantization sidecar
 
     def to_json(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -234,6 +272,8 @@ class SpaceInfo:
             d["quantization"] = self.quantization.to_json()
         if self.sparse is not None:
             d["sparse"] = self.sparse.to_json()
+        if self.pq is not None:
+            d["pq"] = self.pq.to_json()
         return d
 
     @classmethod
@@ -261,6 +301,7 @@ class SpaceInfo:
             sparse=(
                 SparseInfo.from_json(d["sparse"]) if "sparse" in d else None
             ),
+            pq=(PQInfo.from_json(d["pq"]) if "pq" in d else None),
         )
 
 

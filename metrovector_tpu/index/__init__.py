@@ -1,7 +1,16 @@
 """Index structures over MVT spaces (SURVEY.md §2: the reference declares a
-Flat/IVF/HNSW index union in its schema but implements none of them —
-here Flat is the fused exact engine and IVF is fully implemented)."""
+Flat/IVF/HNSW index union plus PQ quantization extensions in its schema but
+implements none of them — here Flat is the fused exact engine, IVF and PQ
+are fully implemented)."""
 
 from .ivf import IVFIndex, train_kmeans
+from .pq import PQIndex, encode_pq, reconstruct_pq, train_pq
 
-__all__ = ["IVFIndex", "train_kmeans"]
+__all__ = [
+    "IVFIndex",
+    "PQIndex",
+    "encode_pq",
+    "reconstruct_pq",
+    "train_kmeans",
+    "train_pq",
+]

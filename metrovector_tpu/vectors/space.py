@@ -278,6 +278,34 @@ class VectorSpace:
         )
         return cent, assign
 
+    def pq_arrays(
+        self,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Stored product-quantization sidecar ``(codebooks [m, ksub, dsub]
+        f32, codes [N, m] u8, recon_norms [N] f32)`` if the builder persisted
+        one (``Builder.set_pq_index``), else None. Zero-copy views of the
+        mmap (the reference declares PQ tables in ``schema/extensions.fbs``
+        but can neither write nor read them)."""
+        pq = self._info.pq
+        if pq is None or pq.codebooks_block < 0:
+            return None
+        books = np.frombuffer(
+            self._reader.block_bytes(pq.codebooks_block),
+            dtype="<f4",
+            count=pq.m * pq.ksub * pq.dsub,
+        ).reshape(pq.m, pq.ksub, pq.dsub)
+        codes = np.frombuffer(
+            self._reader.block_bytes(pq.codes_block),
+            dtype=np.uint8,
+            count=self.num_vectors * pq.m,
+        ).reshape(self.num_vectors, pq.m)
+        rnorms = np.frombuffer(
+            self._reader.block_bytes(pq.recon_norms_block),
+            dtype="<f4",
+            count=self.num_vectors,
+        )
+        return books, codes, rnorms
+
     # -- tombstones ----------------------------------------------------------------
 
     def tombstone_mask(self) -> np.ndarray | None:
