@@ -162,6 +162,8 @@ class Builder:
     def __init__(self):
         self._spaces: dict[str, _PendingSpace] = {}
         self._hints: dict = {}
+        self._extensions: dict[str, bytes] = {}
+        self._security: dict = {}
 
     def set_hint(self, key: str, value) -> None:
         """Record a performance hint in the manifest. Unlike the reference's
@@ -171,6 +173,22 @@ class Builder:
         :class:`~metrovector_tpu.parallel.streaming.StreamingSearcher`'s
         chunk size; unknown keys round-trip untouched."""
         self._hints[str(key)] = value
+
+    def add_extension(self, name: str, data: bytes) -> None:
+        """Attach an opaque named extension block (reference
+        ``CustomExtension``, ``schema/extensions.fbs`` — declared there,
+        never written by any code path; MVT stores the payload as a real
+        CRC-checked block readable via ``Reader.extension``)."""
+        if name in self._extensions:
+            raise BuildError(f"extension {name!r} already exists")
+        self._extensions[str(name)] = bytes(data)
+
+    def set_security(self, **fields) -> None:
+        """Record a declarative security descriptor in the manifest
+        (reference security/encryption tables, ``schema/extensions.fbs``).
+        Purely declarative in the reference and here: the descriptor
+        round-trips verbatim; MVT does not encrypt blocks."""
+        self._security.update(fields)
 
     # -- registration -------------------------------------------------------
 
@@ -508,12 +526,29 @@ class Builder:
             manifest.spaces.append(info)
             total_logical += sp.num_vectors
 
+        for name, data in self._extensions.items():
+            manifest.extensions[name] = push_block(data)
+
+        # File statistics (reference ``FileStatistics``,
+        # ``schema/extensions.fbs`` — declared, never populated; MVT fills
+        # them in at every build).
         manifest.stats = {
             "num_spaces": len(manifest.spaces),
+            "num_blocks": len(manifest.blocks),
             "total_vectors": total_logical,
+            "deleted_vectors": sum(len(s.deleted) for s in self._spaces.values()),
             "data_bytes": offset - len(MAGIC),
+            "per_space": {
+                s.name: {
+                    "vectors": s.num_vectors,
+                    "dim": s.dim,
+                    "dtype": int(s.dtype),
+                }
+                for s in self._spaces.values()
+            },
         }
         manifest.hints = dict(self._hints)
+        manifest.security = dict(self._security)
         return BuiltFile(manifest, payloads)
 
     @staticmethod

@@ -314,6 +314,13 @@ class Manifest:
     blocks: list[BlockInfo] = dataclasses.field(default_factory=list)
     stats: dict[str, Any] = dataclasses.field(default_factory=dict)
     hints: dict[str, Any] = dataclasses.field(default_factory=dict)
+    # Named custom extension blocks (reference ``CustomExtension`` entries,
+    # ``schema/extensions.fbs``): extension name → block id.
+    extensions: dict[str, int] = dataclasses.field(default_factory=dict)
+    # Declarative security descriptor (reference security/encryption tables,
+    # ``schema/extensions.fbs`` — declarative there too; MVT round-trips it
+    # verbatim, it does not encrypt).
+    security: dict[str, Any] = dataclasses.field(default_factory=dict)
 
     def to_bytes(self) -> bytes:
         doc = {
@@ -324,6 +331,10 @@ class Manifest:
             "stats": self.stats,
             "hints": self.hints,
         }
+        if self.extensions:
+            doc["extensions"] = self.extensions
+        if self.security:
+            doc["security"] = self.security
         return json.dumps(doc, separators=(",", ":"), sort_keys=True).encode("utf-8")
 
     @classmethod
@@ -341,6 +352,11 @@ class Manifest:
                 blocks=[BlockInfo.from_json(b) for b in doc.get("blocks", [])],
                 stats=dict(doc.get("stats", {})),
                 hints=dict(doc.get("hints", {})),
+                extensions={
+                    str(k): int(v)
+                    for k, v in dict(doc.get("extensions", {})).items()
+                },
+                security=dict(doc.get("security", {})),
             )
         except (KeyError, ValueError, TypeError) as exc:
             raise InvalidFormatError(f"invalid manifest field: {exc}") from exc

@@ -163,6 +163,25 @@ class Reader:
     def stats(self) -> dict:
         return dict(self._manifest.stats)
 
+    @property
+    def security(self) -> dict:
+        """Declarative security descriptor recorded at build (reference
+        security/encryption tables, ``schema/extensions.fbs``)."""
+        return dict(self._manifest.security)
+
+    def extension_names(self) -> list[str]:
+        """Names of custom extension blocks stored in the file."""
+        return sorted(self._manifest.extensions)
+
+    def extension(self, name: str, verify: bool = False) -> memoryview | bytes:
+        """Payload of a named custom extension block (zero-copy unless the
+        block is compressed). Raises ``ExtensionError`` for unknown names."""
+        if name not in self._manifest.extensions:
+            from ..errors import ExtensionError
+
+            raise ExtensionError(f"no extension named {name!r}")
+        return self.block_bytes(self._manifest.extensions[name], verify=verify)
+
     # -- block access --------------------------------------------------------
 
     def block_bytes(self, block_id: int, verify: bool = False) -> memoryview | bytes:

@@ -180,6 +180,25 @@ def test_compression_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(r.vector_space("c").to_numpy(), data)
 
 
+def test_zstd_compression_roundtrip(tmp_path, rng):
+    """ZSTD blocks round-trip when the optional codec is present (it is
+    baked into this environment); absence raises ExtensionError instead."""
+    pytest.importorskip("zstandard")
+    data = np.tile(rng.standard_normal((4, 64)).astype(np.float32), (32, 1))
+    b = Builder()
+    b.add_vector_space("c", dim=64)
+    b.add_vectors("c", data)
+    built = b.build(compression=CompressionAlgorithm.ZSTD)
+    path = tmp_path / "z.mvt"
+    built.save(path)
+    r = Reader.open(path)
+    r.validate_with_checksum()
+    assert any(
+        blk.compression == CompressionAlgorithm.ZSTD for blk in r.manifest.blocks
+    )
+    np.testing.assert_array_equal(r.vector_space("c").to_numpy(), data)
+
+
 def test_empty_space_roundtrip(tmp_path):
     b = Builder()
     b.add_vector_space("empty", dim=4)
