@@ -53,7 +53,9 @@ _LAZY = {
     "SparseSearchEngine": ".sparse",
     "PreparedQueries": ".engine",
     "IVFIndex": ".index",
+    "IVFPQIndex": ".index",
     "PQIndex": ".index",
+    "train_ivfpq": ".index",
     "train_kmeans": ".index",
     "train_pq": ".index",
     "encode_pq": ".index",
@@ -85,6 +87,7 @@ __all__ = [
     "DistanceMetric",
     "DistributedSearcher",
     "IVFIndex",
+    "IVFPQIndex",
     "IndexKind",
     "MvtError",
     "PQIndex",
@@ -107,6 +110,7 @@ __all__ = [
     "errors",
     "make_mesh",
     "sharded_topk",
+    "train_ivfpq",
     "train_kmeans",
     "train_pq",
 ]

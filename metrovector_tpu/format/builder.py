@@ -107,8 +107,10 @@ class _PendingSpace:
         # i32 [N]) persisted as data blocks at build.
         self.ivf_data: tuple[np.ndarray, np.ndarray] | None = None
         # Optional PQ sidecar: (codebooks f32 [m,ksub,dsub], codes u8 [N,m],
-        # reconstruction squared norms f32 [N]).
-        self.pq_data: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        # reconstruction squared norms f32 [N], residual flag).
+        self.pq_data: (
+            tuple[np.ndarray, np.ndarray, np.ndarray, bool] | None
+        ) = None
         # SPARSE accumulation (CSR pieces per appended row)
         self.sp_vals: list[np.ndarray] = []
         self.sp_cols: list[np.ndarray] = []
@@ -359,6 +361,7 @@ class Builder:
         codebooks: np.ndarray,
         codes: np.ndarray,
         recon_norms: np.ndarray | None = None,
+        residual: bool = False,
     ) -> None:
         """Attach a trained product-quantization sidecar (e.g. from
         :func:`metrovector_tpu.index.train_pq` / ``encode_pq``) so readers
@@ -384,13 +387,23 @@ class Builder:
             recon = np.empty((codes.shape[0], m * dsub), np.float64)
             for j in range(m):
                 recon[:, j * dsub : (j + 1) * dsub] = codebooks[j, codes[:, j]]
+            if residual:
+                # Full reconstruction x̂ = centroid + decoded residual: needs
+                # the coarse quantizer persisted via set_ivf_index first.
+                if sp.ivf_data is None:
+                    raise BuildError(
+                        "residual PQ norms require set_ivf_index first "
+                        "(or pass recon_norms explicitly)"
+                    )
+                cent, assign = sp.ivf_data
+                recon += cent.astype(np.float64)[assign]
             recon_norms = np.einsum("ij,ij->i", recon, recon).astype("<f4")
         recon_norms = np.ascontiguousarray(recon_norms, dtype="<f4")
         if recon_norms.shape != (sp.num_vectors,):
             raise BuildError(
                 f"recon_norms shape {recon_norms.shape} != ({sp.num_vectors},)"
             )
-        sp.pq_data = (codebooks, codes, recon_norms)
+        sp.pq_data = (codebooks, codes, recon_norms, bool(residual))
 
     def delete_vector(self, space_name: str, index: int) -> None:
         """Mark a row deleted; emitted as a BITMAP tombstone block at build.
@@ -613,7 +626,7 @@ class Builder:
         if sp.pq_data is not None:
             from .manifest import PQInfo
 
-            books, codes, rnorms = sp.pq_data
+            books, codes, rnorms, residual = sp.pq_data
             info.pq = PQInfo(
                 m=int(books.shape[0]),
                 ksub=int(books.shape[1]),
@@ -621,6 +634,7 @@ class Builder:
                 codebooks_block=push_block(books),
                 codes_block=push_block(codes),
                 recon_norms_block=push_block(rnorms),
+                residual=residual,
             )
 
         for col in sp.columns.values():

@@ -121,6 +121,10 @@ class PQInfo:
     codebooks_block: int = -1
     codes_block: int = -1
     recon_norms_block: int = -1
+    # True when codes encode residuals x − centroid[assignment] against the
+    # space's stored IVF coarse quantizer (IVF-PQ). recon_norms then hold
+    # ‖x̂‖² of the FULL reconstruction centroid + decoded residual.
+    residual: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -130,6 +134,7 @@ class PQInfo:
             "codebooks_block": self.codebooks_block,
             "codes_block": self.codes_block,
             "recon_norms_block": self.recon_norms_block,
+            "residual": self.residual,
         }
 
     @classmethod
@@ -141,6 +146,7 @@ class PQInfo:
             codebooks_block=int(d.get("codebooks_block", -1)),
             codes_block=int(d.get("codes_block", -1)),
             recon_norms_block=int(d.get("recon_norms_block", -1)),
+            residual=bool(d.get("residual", False)),
         )
 
 

@@ -4,13 +4,16 @@ implements none of them — here Flat is the fused exact engine, IVF and PQ
 are fully implemented)."""
 
 from .ivf import IVFIndex, train_kmeans
+from .ivfpq import IVFPQIndex, train_ivfpq
 from .pq import PQIndex, encode_pq, reconstruct_pq, train_pq
 
 __all__ = [
     "IVFIndex",
+    "IVFPQIndex",
     "PQIndex",
     "encode_pq",
     "reconstruct_pq",
+    "train_ivfpq",
     "train_kmeans",
     "train_pq",
 ]

@@ -378,7 +378,9 @@ class PQIndex:
         no retraining, no re-encoding). Tombstoned rows are masked."""
         stored = space.pq_arrays()
         codebooks = codes = None
-        if stored is not None:
+        if stored is not None and not space.info.pq.residual:
+            # Residual sidecars encode x − centroid and belong to
+            # :class:`.ivfpq.IVFPQIndex`; plain PQ retrains on raw rows.
             codebooks, codes, _ = stored
         vectors = np.asarray(space.to_numpy(), dtype=np.float32)
         q = space.quantization

@@ -1,0 +1,150 @@
+"""IVF-PQ: coarse quantizer + residual PQ codes + optional exact re-rank.
+No counterpart exists in the reference (it declares IVF and PQ schemas
+separately, implements neither); the behavioral spec is the classic
+IVF-PQ algebra: codes encode ``x − centroid``, search scores
+``2(q·c + q·r̂) − ‖x̂‖²`` for L2.
+"""
+
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, DistanceMetric, Reader
+from metrovector_tpu.index import IVFPQIndex, PQIndex, train_ivfpq
+from metrovector_tpu.index.pq import reconstruct_pq
+from metrovector_tpu.ops import numpy_oracle
+
+METRICS = [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT]
+
+
+def _clustered(rng, n_clusters=8, per=100, d=16, spread=0.05):
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 3
+    data = np.concatenate(
+        [c + spread * rng.standard_normal((per, d)).astype(np.float32) for c in centers]
+    )
+    return data
+
+
+def test_train_ivfpq_shapes(rng):
+    data = _clustered(rng)
+    cents, assign, books, codes = train_ivfpq(data, 8, m=4, ksub=16, iters=5)
+    assert cents.shape == (8, 16)
+    assert assign.shape == (800,)
+    assert books.shape == (4, 16, 4)
+    assert codes.shape == (800, 4)
+    # residual encoding: full reconstruction must be closer to the data
+    # than the coarse centroid alone
+    recon = reconstruct_pq(codes, books) + cents[assign]
+    coarse_err = ((data - cents[assign]) ** 2).sum()
+    full_err = ((data - recon) ** 2).sum()
+    assert full_err < 0.6 * coarse_err
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_full_probe_adc_matches_reconstructed_bruteforce(rng, metric):
+    """nprobe == C with no re-rank must rank exactly like brute force over
+    the reconstructions x̂ = c + r̂ (the ADC scoring identity)."""
+    data = _clustered(rng, n_clusters=4, per=50)
+    idx = IVFPQIndex.build(data, metric, num_clusters=4, m=4, ksub=16, iters=6)
+    # rebuild x̂ from the bucket layout
+    ids = np.asarray(idx.bucket_ids).reshape(-1)
+    codes = np.asarray(idx.buckets).reshape(-1, 4)
+    live = ids >= 0
+    recon = np.zeros_like(data)
+    cent_of = np.repeat(np.arange(4), idx.bucket_rows)
+    recon[ids[live]] = (
+        reconstruct_pq(codes[live].astype(np.uint8), idx.codebooks)
+        + idx.centroids[cent_of[live]]
+    )
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    res = idx.search(q, k=10, nprobe=4)
+    _, oi = numpy_oracle(q, recon, 10, metric)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_rerank_recovers_exact_on_clustered(rng):
+    data = _clustered(rng, n_clusters=16, per=100, d=32)
+    idx = IVFPQIndex.build(
+        data, DistanceMetric.L2, num_clusters=16, m=8, ksub=16, iters=8
+    )
+    q = data[rng.choice(len(data), 20)] + 0.01 * rng.standard_normal(
+        (20, 32)
+    ).astype(np.float32)
+    res = idx.search(q, k=10, nprobe=4, rerank=100)
+    _, oi = numpy_oracle(q, data, 10, DistanceMetric.L2)
+    hits = sum(len(set(res.indices[i]) & set(oi[i])) for i in range(20))
+    assert hits / 200 >= 0.95
+
+
+def test_nprobe_monotone_recall(rng):
+    data = _clustered(rng, n_clusters=8, per=80)
+    idx = IVFPQIndex.build(data, DistanceMetric.L2, num_clusters=8, m=4, ksub=16)
+    q = rng.standard_normal((15, 16)).astype(np.float32)
+    _, oi = numpy_oracle(q, data, 10, DistanceMetric.L2)
+
+    def recall(nprobe):
+        res = idx.search(q, k=10, nprobe=nprobe, rerank=60)
+        return sum(len(set(res.indices[i]) & set(oi[i])) for i in range(15))
+
+    assert recall(1) <= recall(4) <= recall(8)
+
+
+def test_ivfpq_persistence_roundtrip(tmp_path, rng):
+    data = _clustered(rng, n_clusters=4, per=60)
+    cents, assign, books, codes = train_ivfpq(data, 4, m=4, ksub=16, iters=5)
+
+    b = Builder()
+    b.add_vector_space("s", dim=16)
+    b.add_vectors("s", data)
+    b.set_ivf_index("s", cents, assign, nprobe=2)
+    b.set_pq_index("s", books, codes, residual=True)
+    path = tmp_path / "ivfpq.mvt"
+    b.build().save(path)
+
+    sp = Reader.open(path).vector_space("s")
+    assert sp.info.pq.residual is True
+    # stored recon norms are FULL reconstruction norms (centroid + residual)
+    _, _, rn = sp.pq_arrays()
+    recon = reconstruct_pq(codes, books) + cents[assign]
+    np.testing.assert_allclose(
+        rn, (recon.astype(np.float64) ** 2).sum(1).astype(np.float32), rtol=1e-6
+    )
+
+    idx = IVFPQIndex.from_space(sp)
+    # reused, not retrained
+    np.testing.assert_array_equal(idx.centroids, cents)
+    np.testing.assert_array_equal(idx.codebooks, books)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    res = idx.search(q, k=5, nprobe=4, rerank=240)
+    _, oi = numpy_oracle(q, data, 5, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+
+    # a plain PQIndex must NOT consume the residual sidecar
+    pq = PQIndex.from_space(sp, m=4, ksub=16, iters=3)
+    r2 = pq.search(q, k=5, rerank=240)
+    assert np.array_equal(r2.indices, oi)
+
+
+def test_residual_pq_requires_ivf_first(rng):
+    data = _clustered(rng, n_clusters=2, per=20)
+    cents, assign, books, codes = train_ivfpq(data, 2, m=4, ksub=8, iters=3)
+    b = Builder()
+    b.add_vector_space("s", dim=16)
+    b.add_vectors("s", data)
+    from metrovector_tpu.errors import BuildError
+
+    with pytest.raises(BuildError, match="set_ivf_index"):
+        b.set_pq_index("s", books, codes, residual=True)
+
+
+def test_ivfpq_excludes_tombstones(tmp_path, rng):
+    data = _clustered(rng, n_clusters=2, per=30)
+    b = Builder()
+    b.add_vector_space("s", dim=16)
+    b.add_vectors("s", data)
+    b.delete_vector("s", 5)
+    path = tmp_path / "t.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    idx = IVFPQIndex.from_space(sp, num_clusters=2, m=4, ksub=8, iters=3)
+    res = idx.search(data[5], k=5, nprobe=2, rerank=59)
+    assert 5 not in res.indices
