@@ -278,10 +278,118 @@ def bench_stream(interpret):
     )
 
 
+def _clustered_u8_corpus(rng, n, d, ncenters=4096, spread=12.0):
+    """SIFT-like structured corpus: u8-valued rows around cluster centers.
+    PQ/IVF-PQ recall on *uniform* random data is meaningless (there is no
+    structure for a quantizer to exploit); real embedding corpora are
+    strongly clustered, which this emulates."""
+    centers = rng.integers(0, 256, (ncenters, d)).astype(np.float32)
+    rows = centers[rng.integers(0, ncenters, n)]
+    rows += rng.normal(0.0, spread, (n, d)).astype(np.float32)
+    return np.clip(np.rint(rows), 0, 255).astype(np.float32)
+
+
+def bench_sift1m_pq(interpret):
+    """PQ ADC + exact re-rank: 16 B/row codes (32x memory compression)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.index.pq import PQIndex, _rerank
+    from metrovector_tpu.ops.adc_kernel import fused_adc_topk
+
+    rng = np.random.default_rng(6)
+    n, d, k, rr = (1_000_000 if not interpret else 10_000), 128, 10, 100
+    qb = 256 if not interpret else 64
+    ksub = 256 if not interpret else 64
+    db = _clustered_u8_corpus(rng, n, d)
+    log(f"training PQ m=16 ksub={ksub} ...")
+    idx = PQIndex.build(
+        db, DistanceMetric.L2, m=16, ksub=ksub,
+        iters=4 if not interpret else 2, keep_vectors=True,
+    )
+    books = jnp.asarray(idx.codebooks)
+    nvalid = jnp.int32(n)
+
+    def run(q):
+        _, cand = fused_adc_topk(
+            q, idx.codes, books, idx.recon_norms, nvalid, rr,
+            DistanceMetric.L2, exact_lut=False, interpret=interpret,
+        )
+        return _rerank(q, idx.db, idx.db_norms, cand, k, DistanceMetric.L2)
+
+    def mkq(nq):
+        base = db[rng.integers(0, n, nq)]
+        return np.clip(base + rng.normal(0, 8, base.shape), 0, 255).astype(np.float32)
+
+    qc = mkq(8)
+    got = np.asarray(run(jax.device_put(qc))[1])
+    d2 = (db.astype(np.float64) ** 2).sum(1)[None] - 2 * (
+        qc.astype(np.float64) @ db.T.astype(np.float64)
+    )
+    oi = np.argsort(d2, 1, kind="stable")[:, :k]
+    recall = _recall(got, oi, k)
+    dt = _measure(run, lambda: mkq(qb), iters=5 if interpret else 20)
+    _report(f"sift1m-pq(n={n},m=16,rerank={rr},k=10,{qb}q)", qb / dt, dt * 1e3,
+            recall, "bf16 LUT-matmul ADC + f32 exact re-rank, 16 B/row codes")
+
+
+def bench_sift1m_ivfpq(interpret):
+    """IVF-PQ: coarse probe + residual ADC + exact re-rank."""
+    import jax
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.index.ivfpq import IVFPQIndex, _ivfpq_search
+    from metrovector_tpu.index.pq import _rerank
+
+    rng = np.random.default_rng(7)
+    n, d, k, rr = (1_000_000 if not interpret else 10_000), 128, 10, 100
+    qb = 256 if not interpret else 64
+    ncl, nprobe = (1024, 64) if not interpret else (32, 8)
+    ksub = 256 if not interpret else 64
+    db = _clustered_u8_corpus(rng, n, d)
+    log(f"training IVF-PQ C={ncl} m=16 ksub={ksub} ...")
+    idx = IVFPQIndex.build(
+        db, DistanceMetric.L2, num_clusters=ncl, m=16, ksub=ksub,
+        iters=4 if not interpret else 2, keep_vectors=True,
+    )
+    import jax.numpy as jnp
+
+    books = jnp.asarray(idx.codebooks)
+
+    def run(q):
+        _, cand = _ivfpq_search(
+            q, idx.probe_centroids, idx.buckets, idx.bucket_ids,
+            idx.bucket_norms, books,
+            k=rr, nprobe=nprobe, metric=DistanceMetric.L2,
+        )
+        return _rerank(q, idx.db, idx.db_norms, cand, k, DistanceMetric.L2)
+
+    def mkq(nq):
+        base = db[rng.integers(0, n, nq)]
+        return np.clip(base + rng.normal(0, 8, base.shape), 0, 255).astype(np.float32)
+
+    qc = mkq(8)
+    got = np.asarray(run(jax.device_put(qc))[1])
+    d2 = (db.astype(np.float64) ** 2).sum(1)[None] - 2 * (
+        qc.astype(np.float64) @ db.T.astype(np.float64)
+    )
+    oi = np.argsort(d2, 1, kind="stable")[:, :k]
+    recall = _recall(got, oi, k)
+    dt = _measure(run, lambda: mkq(qb), iters=5 if interpret else 20)
+    _report(
+        f"sift1m-ivfpq(n={n},C={ncl},nprobe={nprobe},rerank={rr},k=10,{qb}q)",
+        qb / dt, dt * 1e3, recall,
+        "coarse probe + residual LUT ADC + f32 exact re-rank",
+    )
+
+
 CONFIGS = {
     "sim10k": bench_sim10k,
     "sift1m": bench_sift1m,
     "sift1m-u8": bench_sift1m_u8,
+    "sift1m-pq": bench_sift1m_pq,
+    "sift1m-ivfpq": bench_sift1m_ivfpq,
     "gist1m": bench_gist1m,
     "deep10m": bench_deep10m,
     "stream": bench_stream,

@@ -87,8 +87,12 @@ def _kmeanspp_init(
     train: np.ndarray, k: int, rng: np.random.Generator, cap: int = 65_536
 ) -> np.ndarray:
     """k-means++ seeding (D² sampling) on a capped subsample — random init
-    routinely collapses well-separated clusters; ++ seeding does not."""
+    routinely collapses well-separated clusters; ++ seeding does not.
+    Seeding is O(k · pool · D) on the host, so the pool shrinks for large
+    ``k`` (the subsequent Lloyd iterations run on the full device-side
+    sample and recover fine from a coarser seed pool)."""
     pool = train
+    cap = min(cap, max(8_192, (1 << 22) // max(k, 1)))
     if pool.shape[0] > cap:
         pool = pool[rng.choice(pool.shape[0], cap, replace=False)]
     n = pool.shape[0]
@@ -96,8 +100,14 @@ def _kmeanspp_init(
     centers[0] = pool[rng.integers(n)]
     d2 = ((pool - centers[0]) ** 2).sum(1)
     for i in range(1, k):
-        probs = d2 / max(d2.sum(), 1e-30)
-        centers[i] = pool[rng.choice(n, p=probs)]
+        total = float(d2.sum())
+        if not np.isfinite(total) or total <= 0.0:
+            # Degenerate pool (all points coincide with a chosen center,
+            # e.g. a constant subspace in PQ residual training): uniform
+            # sampling instead of D² weights.
+            centers[i] = pool[rng.integers(n)]
+        else:
+            centers[i] = pool[rng.choice(n, p=d2 / total)]
         d2 = np.minimum(d2, ((pool - centers[i]) ** 2).sum(1))
     return centers
 
@@ -154,17 +164,62 @@ def train_kmeans(
 # ----------------------------------------------------------- the index ---
 
 
+def bucket_layout(
+    assignments: np.ndarray,
+    keep: np.ndarray,
+    num_clusters: int,
+    cap_factor: float = 2.0,
+) -> tuple[np.ndarray, list[np.ndarray], int]:
+    """Fixed-size bucket layout with **cluster splitting**.
+
+    k-means fills are skewed (heavy cells routinely reach 5–10× the mean),
+    and a bucket tensor sized to the max fill wastes that factor in HBM and
+    in probe compute. Instead buckets are capped at ``cap_factor ×`` the
+    mean fill and over-full cells split into several buckets that share the
+    cell's centroid; centroid scores tie, so a probe ranking naturally
+    takes a split cell's buckets together (``nprobe`` counts buckets).
+
+    Returns ``(cell_of_bucket [C'] i32, per-bucket row-id arrays,
+    bucket_rows)``. Empty cells keep one empty bucket so every centroid
+    stays addressable."""
+    order = np.argsort(assignments, kind="stable")
+    order = order[keep[order]]
+    fill = np.bincount(assignments[order], minlength=num_clusters)
+    n_live = int(fill.sum())
+    mean = max(1, -(-n_live // max(num_clusters, 1)))
+    cap = max(8, -(-int(cap_factor * mean) // 8) * 8)
+    bucket_rows = max(8, -(-min(cap, int(fill.max(initial=1))) // 8) * 8)
+    starts = np.concatenate([[0], np.cumsum(fill)])
+    cells: list[int] = []
+    row_lists: list[np.ndarray] = []
+    for c in range(num_clusters):
+        rows = order[starts[c] : starts[c + 1]]
+        if len(rows) == 0:
+            cells.append(c)
+            row_lists.append(rows)
+            continue
+        for off in range(0, len(rows), bucket_rows):
+            cells.append(c)
+            row_lists.append(rows[off : off + bucket_rows])
+    return np.asarray(cells, np.int32), row_lists, bucket_rows
+
+
 @dataclasses.dataclass
 class IVFIndex:
     """Bucketed inverted-file layout for one space.
 
-    ``buckets``: ``[C, bucket_rows, D]`` cluster-grouped (zero-padded) rows;
-    ``bucket_ids``: ``[C, bucket_rows]`` original row ids (−1 for padding);
-    ``bucket_norms``: ``[C, bucket_rows]`` squared norms (0 for padding);
-    ``centroids``: ``[C, D]``; ``fill``: ``[C]`` rows actually used.
+    ``buckets``: ``[C', bucket_rows, D]`` bucket-grouped (zero-padded) rows
+    (``C' ≥ num_clusters`` after splitting, see :func:`bucket_layout`);
+    ``bucket_ids``: ``[C', bucket_rows]`` original row ids (−1 padding);
+    ``bucket_norms``: ``[C', bucket_rows]`` squared norms (0 padding);
+    ``centroids``: the trained ``[C, D]``; ``probe_centroids``: device
+    ``[C', D]`` per-bucket (duplicated for splits); ``cells``: ``[C']``
+    bucket → cluster map; ``fill``: ``[C']`` rows used per bucket.
     """
 
     centroids: np.ndarray
+    probe_centroids: jax.Array
+    cells: np.ndarray
     buckets: jax.Array
     bucket_ids: jax.Array
     bucket_norms: jax.Array
@@ -201,27 +256,25 @@ class IVFIndex:
         else:
             keep = np.ones(n, bool)
 
-        order = np.argsort(assignments, kind="stable")
-        order = order[keep[order]]
-        sorted_assign = assignments[order]
-        fill = np.bincount(sorted_assign, minlength=num_clusters)
-        bucket_rows = max(8, -(-int(fill.max(initial=1)) // 8) * 8)
-
-        buckets = np.zeros((num_clusters, bucket_rows, d), np.float32)
-        ids = np.full((num_clusters, bucket_rows), -1, np.int32)
-        bnorms = np.zeros((num_clusters, bucket_rows), np.float32)
-        starts = np.concatenate([[0], np.cumsum(fill)])
-        for c in range(num_clusters):
-            rows = order[starts[c] : starts[c + 1]]
-            buckets[c, : len(rows)] = data32[rows]
-            ids[c, : len(rows)] = rows
-            bnorms[c, : len(rows)] = norms[rows]
+        cells, row_lists, bucket_rows = bucket_layout(
+            assignments, keep, num_clusters
+        )
+        nb = len(cells)
+        buckets = np.zeros((nb, bucket_rows, d), np.float32)
+        ids = np.full((nb, bucket_rows), -1, np.int32)
+        bnorms = np.zeros((nb, bucket_rows), np.float32)
+        for b, rows in enumerate(row_lists):
+            buckets[b, : len(rows)] = data32[rows]
+            ids[b, : len(rows)] = rows
+            bnorms[b, : len(rows)] = norms[rows]
         return cls(
             centroids=centroids,
+            probe_centroids=jax.device_put(centroids[cells]),
+            cells=cells,
             buckets=jax.device_put(buckets),
             bucket_ids=jax.device_put(ids),
             bucket_norms=jax.device_put(bnorms),
-            fill=fill,
+            fill=np.asarray([len(r) for r in row_lists]),
             metric=DistanceMetric(metric),
             dim=d,
         )
@@ -272,13 +325,18 @@ class IVFIndex:
         return int(self.centroids.shape[0])
 
     @property
+    def num_buckets(self) -> int:
+        return int(self.buckets.shape[0])
+
+    @property
     def bucket_rows(self) -> int:
         return int(self.buckets.shape[1])
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8):
-        """Approximate top-k: probe the ``nprobe`` nearest buckets per
-        query. Returns a SearchResult; recall rises with ``nprobe`` and
-        reaches 1.0 at ``nprobe == num_clusters``."""
+        """Approximate top-k: probe the ``nprobe`` best-scoring buckets per
+        query (split cells count one bucket each). Returns a SearchResult;
+        recall rises with ``nprobe`` and reaches 1.0 at
+        ``nprobe == num_buckets``."""
         from ..engine import SearchResult
 
         q = np.asarray(queries, np.float32)
@@ -288,10 +346,10 @@ class IVFIndex:
         qn = q
         if self.metric == DistanceMetric.COSINE:
             qn = q / np.maximum(np.sqrt(qnorms)[:, None], 1e-30)
-        nprobe = min(nprobe, self.num_clusters)
+        nprobe = min(nprobe, self.num_buckets)
         s, i = _ivf_search(
             jax.device_put(qn),
-            jax.device_put(self.centroids),
+            self.probe_centroids,
             self.buckets,
             self.bucket_ids,
             self.bucket_norms,
@@ -317,13 +375,18 @@ class IVFIndex:
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def _ivf_search(q, centroids, buckets, bucket_ids, bucket_norms, k: int,
                 nprobe: int, metric: DistanceMetric):
-    """Device-side IVF probe: centroid scoring → top-nprobe bucket gather →
-    batched bucket matmul → masked top-k."""
+    """Device-side IVF probe: centroid scoring → ``lax.scan`` over the
+    ``nprobe`` probe ranks, each step gathering ONE bucket per query
+    (``[Q, B, D]``) and merging into a carried candidate list. Peak memory
+    is O(Q·B·D) — independent of ``nprobe`` — where the one-shot
+    ``[Q, nprobe, B, D]`` gather this replaces scales with it (and OOMs at
+    production sizes)."""
     metric = DistanceMetric(metric)
+    nq = q.shape[0]
     c_norms = jnp.einsum(
         "ij,ij->i", centroids, centroids, precision=jax.lax.Precision.HIGHEST
     )
-    # Coarse scores [Q, C]: metric-consistent so probing matches ranking.
+    # Coarse scores [Q, C']: metric-consistent so probing matches ranking.
     cdots = jax.lax.dot_general(
         q, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -337,24 +400,33 @@ def _ivf_search(q, centroids, buckets, bucket_ids, bucket_norms, k: int,
         cscores = cdots
     _, probes = jax.lax.top_k(cscores, nprobe)  # [Q, nprobe]
 
-    # Gather probed buckets: [Q, nprobe, B, D] — batched per-query corpora.
-    gb = buckets[probes]          # [Q, nprobe, B, D]
-    gi = bucket_ids[probes]       # [Q, nprobe, B]
-    gn = bucket_norms[probes]     # [Q, nprobe, B]
-    dots = jnp.einsum(
-        "qd,qnbd->qnb", q, gb,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    def step(carry, p_col):  # p_col: [Q] bucket id at this probe rank
+        best_s, best_i = carry
+        gb = buckets[p_col]        # [Q, B, D]
+        gi = bucket_ids[p_col]     # [Q, B]
+        gn = bucket_norms[p_col]   # [Q, B]
+        dots = jnp.einsum(
+            "qd,qbd->qb", q, gb,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == DistanceMetric.L2:
+            scores = 2.0 * dots - gn
+        elif metric == DistanceMetric.COSINE:
+            scores = dots * jax.lax.rsqrt(jnp.maximum(gn, 1e-30))
+        else:
+            scores = dots
+        scores = jnp.where(gi >= 0, scores, _NEG_INF)
+        cand_s = jnp.concatenate([best_s, scores], axis=1)
+        cand_i = jnp.concatenate([best_i, gi], axis=1)
+        top_s, pos = jax.lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((nq, k), _NEG_INF, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
     )
-    if metric == DistanceMetric.L2:
-        scores = 2.0 * dots - gn
-    elif metric == DistanceMetric.COSINE:
-        scores = dots * jax.lax.rsqrt(jnp.maximum(gn, 1e-30))
-    else:
-        scores = dots
-    scores = jnp.where(gi >= 0, scores, _NEG_INF)
-    qn_, flat = scores.shape[0], nprobe * scores.shape[2]
-    s, pos = jax.lax.top_k(scores.reshape(qn_, flat), k)
-    idx = jnp.take_along_axis(gi.reshape(qn_, flat), pos, axis=1)
+    (s, idx), _ = jax.lax.scan(step, init, probes.T)
     idx = jnp.where(jnp.isfinite(s), idx, -1)
     return s, idx

@@ -71,20 +71,26 @@ def train_ivfpq(
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def _ivfpq_search(
     q,
-    centroids,     # [C, D] f32
-    buckets,       # [C, B, m] int32 codes
-    bucket_ids,    # [C, B] i32 (−1 padding)
-    bucket_norms,  # [C, B] f32 ‖x̂‖² of full reconstructions
+    centroids,     # [C', D] f32 per-bucket (split cells duplicate theirs)
+    buckets,       # [C', B, m] uint8 codes
+    bucket_ids,    # [C', B] i32 (−1 padding)
+    bucket_norms,  # [C', B] f32 ‖x̂‖² of full reconstructions
     books,         # [m, ksub, dsub] f32 residual codebooks
     k: int,
     nprobe: int,
     metric: DistanceMetric,
 ):
-    """Device-side IVF-PQ probe: coarse scoring → top-nprobe gather →
-    per-query residual-LUT ADC over probed codes → masked top-k."""
+    """Device-side IVF-PQ probe: coarse scoring → ``lax.scan`` over probe
+    ranks, each step gathering one code bucket per query and looking up the
+    per-query flat LUT with a 2-D batched gather (``[Q, B·m]`` indices into
+    ``[Q, m·ksub]``), then merging into a carried candidate list. Peak
+    memory is O(Q·B·m), independent of ``nprobe`` — the one-shot
+    formulation this replaces broadcast the LUT to ``[Q, P, B, m, ksub]``
+    and OOM'd at production sizes."""
     metric = DistanceMetric(metric)
     nq, d = q.shape
     m, ksub, dsub = books.shape
+    bsize = buckets.shape[1]
 
     c_norms = jnp.einsum(
         "ij,ij->i", centroids, centroids, precision=jax.lax.Precision.HIGHEST
@@ -93,7 +99,7 @@ def _ivfpq_search(
         q, centroids, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )  # [Q, C]
+    )  # [Q, C']
     if metric == DistanceMetric.L2:
         cscores = 2.0 * cdots - c_norms[None, :]
     elif metric == DistanceMetric.COSINE:
@@ -102,44 +108,51 @@ def _ivfpq_search(
         cscores = cdots
     _, probes = jax.lax.top_k(cscores, nprobe)  # [Q, P]
 
-    # One LUT per query: LUT[q, j, c] = q_j · R[j, c]  (q·x̂ = q·c + q·r̂).
+    # One flat LUT per query: LUT[q, j·ksub + c] = q_j · R[j, c]
+    # (q·x̂ = q·c + q·r̂ — residual encoding is free at query time).
     lut = jnp.einsum(
         "qmd,mkd->qmk",
         q.reshape(nq, m, dsub),
         books,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )  # [Q, m, ksub]
+    ).reshape(nq, m * ksub)
 
-    gc = buckets[probes]       # [Q, P, B, m] codes
-    gi = bucket_ids[probes]    # [Q, P, B]
-    gn = bucket_norms[probes]  # [Q, P, B]
-    qc = jnp.take_along_axis(cdots, probes, axis=1)  # [Q, P] coarse dots
-
-    # Residual dot per candidate: Σ_j LUT[q, j, code]. Candidate sets are
-    # small (P·B rows/query), so a ksub-axis gather beats one-hot matmuls.
-    lutq = lut[:, None, None, :, :]                     # [Q,1,1,m,ksub]
-    picked = jnp.take_along_axis(
-        jnp.broadcast_to(lutq, (nq, nprobe, gc.shape[2], m, ksub)),
-        gc[..., None],
-        axis=4,
-    )[..., 0]                                           # [Q, P, B, m]
-    rdots = picked.sum(axis=3)                          # [Q, P, B]
-    dots = qc[:, :, None] + rdots                       # q·x̂
-
-    if metric == DistanceMetric.L2:
-        scores = 2.0 * dots - gn
-    elif metric == DistanceMetric.COSINE:
+    qin = None
+    if metric == DistanceMetric.COSINE:
         qnorm = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1)
         qin = jax.lax.rsqrt(jnp.maximum(qnorm, 1e-30))
-        scores = dots * jax.lax.rsqrt(jnp.maximum(gn, 1e-30)) * qin[:, None, None]
-    else:
-        scores = dots
-    scores = jnp.where(gi >= 0, scores, _NEG_INF)
 
-    flat = nprobe * scores.shape[2]
-    s, pos = jax.lax.top_k(scores.reshape(nq, flat), k)
-    idx = jnp.take_along_axis(gi.reshape(nq, flat), pos, axis=1)
+    j_off = ksub * jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2)
+
+    def step(carry, p_col):  # p_col: [Q] bucket id at this probe rank
+        best_s, best_i = carry
+        gc = buckets[p_col].astype(jnp.int32)  # [Q, B, m]
+        gi = bucket_ids[p_col]                 # [Q, B]
+        gn = bucket_norms[p_col]               # [Q, B]
+        qc = jnp.take_along_axis(cdots, p_col[:, None], axis=1)  # [Q, 1]
+        flat_idx = (gc + j_off).reshape(nq, bsize * m)
+        vals = jnp.take_along_axis(lut, flat_idx, axis=1)
+        rdots = vals.reshape(nq, bsize, m).sum(axis=2)  # [Q, B]
+        dots = qc + rdots                               # q·x̂
+        if metric == DistanceMetric.L2:
+            scores = 2.0 * dots - gn
+        elif metric == DistanceMetric.COSINE:
+            scores = dots * jax.lax.rsqrt(jnp.maximum(gn, 1e-30)) * qin[:, None]
+        else:
+            scores = dots
+        scores = jnp.where(gi >= 0, scores, _NEG_INF)
+        cand_s = jnp.concatenate([best_s, scores], axis=1)
+        cand_i = jnp.concatenate([best_i, gi], axis=1)
+        top_s, pos = jax.lax.top_k(cand_s, k)
+        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return (top_s, top_i), None
+
+    init = (
+        jnp.full((nq, k), _NEG_INF, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+    (s, idx), _ = jax.lax.scan(step, init, probes.T)
     idx = jnp.where(s > _NEG_INF, idx, -1)
     return s, idx
 
@@ -148,12 +161,18 @@ def _ivfpq_search(
 class IVFPQIndex:
     """Probe-ready IVF-PQ structure for one space.
 
-    ``buckets``: ``[C, B, m]`` int32 cluster-grouped residual codes;
-    ``bucket_ids``/``bucket_norms``: ``[C, B]`` row ids (−1 pad) and full
-    reconstruction norms ``‖c + r̂‖²``; ``centroids``: ``[C, D]``;
-    ``codebooks``: ``[m, ksub, dsub]`` residual codebooks."""
+    ``buckets``: ``[C', B, m]`` uint8 bucket-grouped residual codes
+    (``C' ≥ num_clusters`` after split-capping, see
+    :func:`.ivf.bucket_layout`); ``bucket_ids``/``bucket_norms``:
+    ``[C', B]`` row ids (−1 pad) and full reconstruction norms
+    ``‖c + r̂‖²``; ``centroids``: the trained ``[C, D]``;
+    ``probe_centroids``: device ``[C', D]`` per-bucket; ``cells``:
+    ``[C']`` bucket → cluster map; ``codebooks``: ``[m, ksub, dsub]``
+    residual codebooks."""
 
     centroids: np.ndarray
+    probe_centroids: jax.Array
+    cells: np.ndarray
     codebooks: np.ndarray
     buckets: jax.Array
     bucket_ids: jax.Array
@@ -206,21 +225,19 @@ class IVFPQIndex:
         ).astype(np.float32)
 
         keep = np.ones(n, bool) if valid_mask is None else ~np.asarray(valid_mask)
-        order = np.argsort(assignments, kind="stable")
-        order = order[keep[order]]
-        sorted_assign = assignments[order]
-        fill = np.bincount(sorted_assign, minlength=num_clusters)
-        bucket_rows = max(8, -(-int(fill.max(initial=1)) // 8) * 8)
+        from .ivf import bucket_layout
 
-        bcodes = np.zeros((num_clusters, bucket_rows, m), np.int32)
-        ids = np.full((num_clusters, bucket_rows), -1, np.int32)
-        bnorms = np.zeros((num_clusters, bucket_rows), np.float32)
-        starts = np.concatenate([[0], np.cumsum(fill)])
-        for c in range(num_clusters):
-            rows = order[starts[c] : starts[c + 1]]
-            bcodes[c, : len(rows)] = codes[rows]
-            ids[c, : len(rows)] = rows
-            bnorms[c, : len(rows)] = recon_norms[rows]
+        cells, row_lists, bucket_rows = bucket_layout(
+            assignments, keep, num_clusters
+        )
+        nb = len(cells)
+        bcodes = np.zeros((nb, bucket_rows, m), np.uint8)
+        ids = np.full((nb, bucket_rows), -1, np.int32)
+        bnorms = np.zeros((nb, bucket_rows), np.float32)
+        for b, rows in enumerate(row_lists):
+            bcodes[b, : len(rows)] = codes[rows]
+            ids[b, : len(rows)] = rows
+            bnorms[b, : len(rows)] = recon_norms[rows]
 
         db = db_norms = None
         if keep_vectors:
@@ -234,11 +251,13 @@ class IVFPQIndex:
             )
         return cls(
             centroids=centroids,
+            probe_centroids=jax.device_put(centroids[cells]),
+            cells=cells,
             codebooks=codebooks,
             buckets=jax.device_put(bcodes),
             bucket_ids=jax.device_put(ids),
             bucket_norms=jax.device_put(bnorms),
-            fill=fill,
+            fill=np.asarray([len(r) for r in row_lists]),
             metric=DistanceMetric(metric),
             dim=d,
             num_vectors=n,
@@ -302,6 +321,10 @@ class IVFPQIndex:
         return int(self.centroids.shape[0])
 
     @property
+    def num_buckets(self) -> int:
+        return int(self.buckets.shape[0])
+
+    @property
     def bucket_rows(self) -> int:
         return int(self.buckets.shape[1])
 
@@ -312,9 +335,10 @@ class IVFPQIndex:
         nprobe: int = 8,
         rerank: int = 0,
     ):
-        """Approximate top-k: ADC over the ``nprobe`` nearest buckets'
-        residual codes; ``rerank=R`` rescores the top-R survivors exactly
-        against the original vectors. Returns a ``SearchResult``."""
+        """Approximate top-k: ADC over the ``nprobe`` best-scoring buckets'
+        residual codes (split cells count one bucket each); ``rerank=R``
+        rescores the top-R survivors exactly against the original vectors.
+        Returns a ``SearchResult``."""
         from ..engine import SearchResult
 
         q = np.ascontiguousarray(queries, np.float32)
@@ -325,13 +349,13 @@ class IVFPQIndex:
 
             raise DimensionMismatchError(expected=self.dim, actual=int(q.shape[1]))
         qnorms = np.einsum("ij,ij->i", q, q, dtype=np.float64).astype(np.float32)
-        nprobe = min(nprobe, self.num_clusters)
+        nprobe = min(nprobe, self.num_buckets)
         fetch = max(k, rerank) if rerank else k
         fetch = min(fetch, self.bucket_rows * nprobe) or 1
         qdev = jax.device_put(q)
         s, i = _ivfpq_search(
             qdev,
-            jax.device_put(self.centroids),
+            self.probe_centroids,
             self.buckets,
             self.bucket_ids,
             self.bucket_norms,

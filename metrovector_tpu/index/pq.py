@@ -185,28 +185,27 @@ def _adc_search(
             jax.lax.Precision.DEFAULT,
         )
 
-    # Flattened one-hot targets: code (row, j) → column j*ksub + code.
-    col_of = codes + ksub * jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-
     nblocks = -(-n // block_rows)
     pad = nblocks * block_rows - n
     if pad:
-        col_of = jnp.pad(col_of, ((0, pad), (0, 0)))
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
         recon_norms = jnp.pad(recon_norms, (0, pad))
         if valid_mask is not None:
             valid_mask = jnp.pad(valid_mask, (0, pad))
-    cols_b = col_of.reshape(nblocks, block_rows, m)
+    cols_b = codes.reshape(nblocks, block_rows, m)
     norms_b = recon_norms.reshape(nblocks, block_rows)
     mask_b = (
         valid_mask.reshape(nblocks, block_rows) if valid_mask is not None else None
     )
-    iota_mk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, mk), 2)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ksub), 2)
 
     def block_scores(cols, nrm):
-        # Multi-hot [B, mk]: exactly one 1 per ksub-segment (per subspace).
-        onehot = (cols[:, :, None] == iota_mk).astype(oh_dtype).sum(axis=1)
+        # Per-subspace one-hot [B, m, ksub] (B·m·ksub compares, not
+        # B·m·m·ksub) reshaped to the flattened multi-hot [B, m·ksub]:
+        # position (row, j·ksub + code[row, j]) holds 1.
+        onehot = (cols[:, :, None] == iota_k).astype(oh_dtype)
         s1 = jax.lax.dot_general(
-            onehot,
+            onehot.reshape(-1, mk),
             lut_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -295,7 +294,7 @@ class PQIndex:
     (``4·D/m``× smaller than the f32 rows it stands in for).
 
     ``codebooks``: host ``[m, ksub, dsub]`` f32; ``codes``: device
-    ``[N, m]`` int32 (uint8-valued); ``recon_norms``: device ``[N]`` f32
+    ``[N, m]`` uint8; ``recon_norms``: device ``[N]`` f32
     squared norms of the *reconstructed* rows; ``db``/``db_norms``:
     optional device originals enabling exact re-ranking."""
 
@@ -352,7 +351,7 @@ class PQIndex:
             valid = jax.device_put((~np.asarray(valid_mask)).astype(np.int32))
         return cls(
             codebooks=codebooks,
-            codes=jax.device_put(np.asarray(codes, np.int32)),
+            codes=jax.device_put(np.asarray(codes, np.uint8)),
             recon_norms=jax.device_put(recon_norms),
             metric=DistanceMetric(metric),
             dim=d,
@@ -417,12 +416,16 @@ class PQIndex:
         k: int = 10,
         rerank: int = 0,
         exact_lut: bool = True,
-        block_rows: int = 4096,
+        block_rows: int | None = None,
+        backend: str = "auto",
     ):
         """Approximate top-k by ADC over the codes. ``rerank=R`` (R ≥ k)
         rescores the top-R ADC candidates against the original vectors
         (requires ``keep_vectors``/``db``), typically recovering
-        recall@k ≈ 1.0 with R ≈ 4–8·k. Returns a ``SearchResult``."""
+        recall@k ≈ 1.0 with R ≈ 4–8·k. ``backend``: 'pallas' (fused
+        kernel, the TPU fast path), 'xla' (scan formulation), or 'auto'
+        (pallas on TPU, xla elsewhere — the Pallas interpreter is too slow
+        for CPU serving). Returns a ``SearchResult``."""
         from ..engine import SearchResult
 
         q = np.ascontiguousarray(queries, np.float32)
@@ -434,23 +437,48 @@ class PQIndex:
             raise DimensionMismatchError(expected=self.dim, actual=int(q.shape[1]))
         qnorms = np.einsum("ij,ij->i", q, q, dtype=np.float64).astype(np.float32)
         qdev = jax.device_put(q)
-        flat_books = jnp.asarray(
-            self.codebooks.reshape(-1, self.codebooks.shape[2])
-        )
         fetch = max(k, rerank) if rerank else k
         fetch = min(fetch, self.num_vectors) or 1
-        s, i = _adc_search(
-            qdev,
-            self.codes,
-            flat_books,
-            self.recon_norms,
-            jnp.int32(self.num_vectors),
-            fetch,
-            self.metric,
-            valid_mask=self.valid,
-            block_rows=min(block_rows, max(8, self.codes.shape[0])),
-            exact_lut=exact_lut,
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
+        if use_pallas:
+            from ..ops.adc_kernel import fused_adc_topk
+
+            qk = qdev
+            if self.metric == DistanceMetric.COSINE:
+                qk = qdev * jax.lax.rsqrt(
+                    jnp.maximum(jnp.sum(qdev * qdev, axis=1, keepdims=True),
+                                1e-30)
+                )
+            s, i = fused_adc_topk(
+                qk,
+                self.codes,
+                jnp.asarray(self.codebooks),
+                self.recon_norms,
+                jnp.int32(self.num_vectors),
+                fetch,
+                self.metric,
+                valid_mask=self.valid,
+                exact_lut=exact_lut,
+                block_rows=block_rows,
+                interpret=not on_tpu,
+            )
+        else:
+            flat_books = jnp.asarray(
+                self.codebooks.reshape(-1, self.codebooks.shape[2])
+            )
+            s, i = _adc_search(
+                qdev,
+                self.codes,
+                flat_books,
+                self.recon_norms,
+                jnp.int32(self.num_vectors),
+                fetch,
+                self.metric,
+                valid_mask=self.valid,
+                block_rows=min(block_rows or 4096, max(8, self.codes.shape[0])),
+                exact_lut=exact_lut,
+            )
         if rerank:
             if self.db is None:
                 raise ValueError(

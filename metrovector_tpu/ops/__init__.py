@@ -1,5 +1,6 @@
 """TPU compute kernels: distance scoring, fused top-k, quantization."""
 
+from .adc_kernel import fused_adc_topk
 from .distances import (
     exact_topk_xla,
     mask_scores,
@@ -12,6 +13,7 @@ from .topk_kernel import default_block_rows, fused_topk
 __all__ = [
     "default_block_rows",
     "exact_topk_xla",
+    "fused_adc_topk",
     "fused_topk",
     "mask_scores",
     "numpy_oracle",

@@ -1,0 +1,317 @@
+"""Pallas TPU kernel: fused PQ asymmetric-distance scan + on-chip top-k.
+
+The Pallas counterpart of :func:`metrovector_tpu.index.pq._adc_search`'s
+XLA path, removing its dominant cost: the XLA formulation materializes a
+``[block, m·ksub]`` multi-hot matrix in HBM per block (written by the VPU,
+re-read by the MXU). Here the one-hot never leaves VMEM:
+
+* Grid ``(query_tiles, code_blocks)``. Each step loads a ``[BN, m]`` uint8
+  code block (``m`` bytes/row — the whole point of PQ) and the per-query
+  LUT tile ``[QT, m·ksub]`` (``LUT[q, j·ksub+c] = q_j · C[j, c]``,
+  computed once per batch outside the kernel).
+* Per subspace ``j`` (static Python loop, ``m`` small): one-hot
+  ``[BN, ksub]`` from an iota compare in VMEM, then an MXU matmul against
+  the LUT's ``j``-th ``[QT, ksub]`` slab, accumulating
+  ``dots[QT, BN] = Σ_j q_j · C[j, code_j]`` — classic per-lane ADC gather
+  recast as dense matmuls.
+* Metric epilogue on precomputed reconstruction norms, padding/tombstone
+  masking, lane-fold candidate compression and k-round selection are
+  shared with :mod:`.topk_kernel` (same exactness discipline: exact with
+  respect to the *reconstructed* corpus; PQ's only approximation is the
+  quantization itself).
+
+MAC cost is ``m·ksub / D`` × an exact matmul (e.g. 32× for m=16, ksub=256,
+D=128) — PQ on TPU is a **memory** optimization (HBM capacity + streaming
+bandwidth shrink ``4·D/m``×), paid for with abundant MXU FLOPs; see the
+module docstring of :mod:`metrovector_tpu.index.pq`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format.constants import LANES, DistanceMetric
+from ..utils.log import get_logger
+from .topk_kernel import _NEG_INF, _round_up, _select_k_into
+
+_log = get_logger("ops.adc")
+
+
+def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
+                           k_pad: int = 128, exact_lut: bool = False) -> int:
+    """Code-block rows per grid step. Live VMEM per step ≈ double-buffered
+    codes (``2·BN·m``), one ``[BN, ksub]`` one-hot (+ compiler slack for a
+    second), the LUT tile (``QT·m·ksub·esz``) and the score tile
+    (``QT·BN·4``)."""
+    esz = 4 if exact_lut else 2
+    budget = 9 * 1024 * 1024 - query_tile * m * ksub * esz
+    budget -= 24 * query_tile * max(k_pad - 128, 0)
+    denom = 2 * m + 2 * ksub * esz + 4 * query_tile + 32
+    bn = budget // max(denom, 1)
+    bn = max(256, min(8192, bn))
+    return (bn // 256) * 256
+
+
+def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
+                     metric: DistanceMetric, has_valid: bool,
+                     exact_lut: bool):
+    metric = DistanceMetric(metric)
+    lanes = LANES
+    n_chunks = block_rows // lanes
+    oh_dtype = jnp.float32 if exact_lut else jnp.bfloat16
+    prec = (
+        jax.lax.Precision.HIGHEST if exact_lut else jax.lax.Precision.DEFAULT
+    )
+
+    def kernel(nvalid_ref, lut_ref, codes_ref, norms_ref, *rest):
+        rest = list(rest)
+        valid_ref = rest.pop(0) if has_valid else None
+        out_s_ref, out_i_ref, best_s, best_i = rest
+
+        ni = pl.program_id(1)
+        nblocks = pl.num_programs(1)
+
+        @pl.when(ni == 0)
+        def _init():
+            best_s[:] = jnp.full_like(best_s, _NEG_INF)
+            best_i[:] = jnp.full_like(best_i, -1)
+
+        codes = codes_ref[:].astype(jnp.int32)  # [BN, m]
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, ksub), 1)
+        qt = lut_ref.shape[0]
+        dots = jnp.zeros((qt, block_rows), jnp.float32)
+        dims = (((1,), (1,)), ((), ()))
+        for j in range(m):
+            onehot = (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
+            lut_j = lut_ref[:, j * ksub : (j + 1) * ksub]
+            dots += jax.lax.dot_general(
+                lut_j, onehot, dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        norms = norms_ref[:]  # (1, BN) f32 — ‖x̂‖² of reconstructions
+        if metric == DistanceMetric.L2:
+            scores = 2.0 * dots - norms
+        elif metric == DistanceMetric.COSINE:
+            # queries pre-normalized by the caller
+            scores = dots * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))
+        else:
+            scores = dots
+
+        row0 = ni * block_rows
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
+        scores = jnp.where(rows < nvalid_ref[0, 0], scores, _NEG_INF)
+        if valid_ref is not None:
+            scores = jnp.where(valid_ref[:] != 0, scores, _NEG_INF)
+
+        full = slice(None)
+        worst = jnp.min(best_s[:, :k])
+        blockmax = jnp.max(scores)
+
+        @pl.when(blockmax > worst)
+        def _merge():
+            # Lane-fold compression + collision fallback, as in
+            # topk_kernel (see its docstring for the exactness argument).
+            theta = best_s[:, k - 1 : k]
+            fm = scores[:, 0:lanes]
+            am = jnp.zeros((qt, lanes), jnp.int32)
+            imp = (fm >= theta).astype(jnp.int32)
+            for c in range(1, n_chunks):
+                sc = scores[:, c * lanes : (c + 1) * lanes]
+                gt = sc > fm
+                fm = jnp.where(gt, sc, fm)
+                am = jnp.where(gt, c, am)
+                imp += (sc >= theta).astype(jnp.int32)
+            collision = jnp.max(imp) >= 2
+
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
+            fold_idx = row0 + am * lanes + lane_iota
+
+            @pl.when(jnp.logical_not(collision))
+            def _fast():
+                cand_s = jnp.concatenate([best_s[:], fm], axis=1)
+                cand_i = jnp.concatenate([best_i[:], fold_idx], axis=1)
+                _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
+
+            @pl.when(collision)
+            def _slow():
+                gidx = row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (qt, block_rows), 1
+                )
+                cand_s = jnp.concatenate([best_s[:], scores], axis=1)
+                cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
+                _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
+
+        @pl.when(ni == nblocks - 1)
+        def _flush():
+            out_s_ref[:] = best_s[:]
+            out_i_ref[:] = best_i[:]
+
+    return kernel
+
+
+def fused_adc_topk(
+    queries,
+    codes,
+    codebooks,
+    recon_norms,
+    num_valid,
+    k: int,
+    metric,
+    valid_mask=None,
+    exact_lut: bool = False,
+    block_rows: int | None = None,
+    query_tile: int = 128,
+    interpret: bool = False,
+):
+    """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
+    scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`)."""
+    bn = block_rows
+    last_exc = None
+    for _ in range(5):
+        try:
+            return _fused_adc_topk(
+                queries, codes, codebooks, recon_norms, num_valid, k, metric,
+                valid_mask=valid_mask, exact_lut=exact_lut, block_rows=bn,
+                query_tile=query_tile, interpret=interpret,
+            )
+        except Exception as exc:
+            msg = str(exc)
+            if "vmem" not in msg.lower():
+                raise
+            last_exc = exc
+            if bn is None:
+                m, ksub, _ = codebooks.shape
+                qt = min(query_tile, _round_up(queries.shape[0], 8))
+                bn = default_adc_block_rows(
+                    m, ksub, qt, _round_up(k, LANES), exact_lut
+                )
+            new_bn = max(LANES, _round_up(bn // 2, LANES))
+            _log.warning(
+                "Mosaic VMEM OOM at block_rows=%d (ADC); retrying with %d",
+                bn, new_bn,
+            )
+            bn = new_bn
+    raise last_exc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "exact_lut", "block_rows", "query_tile",
+                     "interpret"),
+)
+def _fused_adc_topk(
+    queries: jax.Array,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    recon_norms: jax.Array,
+    num_valid,
+    k: int,
+    metric: DistanceMetric,
+    valid_mask: jax.Array | None = None,
+    exact_lut: bool = False,
+    block_rows: int | None = None,
+    query_tile: int = 128,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused ADC top-k over a PQ-coded corpus shard.
+
+    Args:
+      queries: ``[Q, D]`` f32 (pre-normalized for cosine).
+      codes: ``[N, m]`` uint8/int32 PQ codes, HBM-resident.
+      codebooks: ``[m, ksub, dsub]`` f32 (``m·dsub == D``).
+      recon_norms: ``[N]`` f32 squared norms of the reconstructions.
+      num_valid: scalar int32 — rows ≥ this are padding.
+      k / metric: as in :func:`.topk_kernel.fused_topk` (static).
+      valid_mask: optional ``[N]``; 0 ⇒ tombstoned.
+      exact_lut: f32-HIGHEST one-hot matmuls (ranking equals the f64 ADC
+        oracle to f32 rounding) instead of single-pass bf16 (default,
+        ~6× less MXU time; error ≪ PQ quantization error).
+
+    Returns ``(scores [Q, k] f32, indices [Q, k] int32)`` best-first.
+    """
+    q, d = queries.shape
+    n, m = codes.shape
+    mb, ksub, dsub = codebooks.shape
+    assert mb == m and m * dsub == d, (codebooks.shape, codes.shape, d)
+    metric = DistanceMetric(metric)
+    qt = min(query_tile, _round_up(q, 8))
+    k_pad = _round_up(k, LANES)
+    if block_rows is None:
+        block_rows = default_adc_block_rows(m, ksub, qt, k_pad, exact_lut)
+    block_rows = max(LANES, _round_up(block_rows, LANES))
+
+    # Per-query LUT [Q, m·ksub] — a tiny einsum (Q·ksub·D MACs), f32 for
+    # exactness then cast to the kernel's matmul dtype.
+    lut = jnp.einsum(
+        "qmd,mkd->qmk",
+        queries.astype(jnp.float32).reshape(q, m, dsub),
+        codebooks,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).reshape(q, m * ksub)
+    lut = lut.astype(jnp.float32 if exact_lut else jnp.bfloat16)
+
+    q_pad = _round_up(q, qt)
+    if q_pad != q:
+        lut = jnp.pad(lut, ((0, q_pad - q), (0, 0)))
+
+    codes_u8 = codes.astype(jnp.uint8)
+    nvalid_arr = jnp.asarray(num_valid, dtype=jnp.int32).reshape(1, 1)
+    norms_2d = recon_norms.reshape(1, n).astype(jnp.float32)
+
+    grid = (q_pad // qt, pl.cdiv(n, block_rows))
+    smem_spec = pl.BlockSpec((1, 1), lambda qi, ni: (0, 0),
+                             memory_space=pltpu.SMEM)
+    row_spec = pl.BlockSpec((1, block_rows), lambda qi, ni: (0, ni),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        smem_spec,
+        pl.BlockSpec((qt, m * ksub), lambda qi, ni: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, m), lambda qi, ni: (ni, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec,
+    ]
+    args = [nvalid_arr, lut, codes_u8, norms_2d]
+    if valid_mask is not None:
+        in_specs.append(row_spec)
+        args.append(valid_mask.reshape(1, n).astype(jnp.float32))
+
+    kernel = _make_adc_kernel(
+        k, k_pad, block_rows, m, ksub, metric,
+        has_valid=valid_mask is not None, exact_lut=exact_lut,
+    )
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((qt, k_pad), lambda qi, ni: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k_pad), lambda qi, ni: (qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((qt, k_pad), jnp.float32),
+            pltpu.VMEM((qt, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n * m * ksub,
+            bytes_accessed=n * m + q_pad * m * ksub * lut.dtype.itemsize
+            + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    out_i = jnp.where(jnp.isneginf(out_s), -1, out_i)
+    return out_s[:q, :k], out_i[:q, :k]

@@ -50,7 +50,7 @@ def test_full_probe_adc_matches_reconstructed_bruteforce(rng, metric):
     codes = np.asarray(idx.buckets).reshape(-1, 4)
     live = ids >= 0
     recon = np.zeros_like(data)
-    cent_of = np.repeat(np.arange(4), idx.bucket_rows)
+    cent_of = np.repeat(idx.cells, idx.bucket_rows)
     recon[ids[live]] = (
         reconstruct_pq(codes[live].astype(np.uint8), idx.codebooks)
         + idx.centroids[cent_of[live]]
@@ -86,6 +86,74 @@ def test_nprobe_monotone_recall(rng):
         return sum(len(set(res.indices[i]) & set(oi[i])) for i in range(15))
 
     assert recall(1) <= recall(4) <= recall(8)
+
+
+def test_probe_widening_crosses_cells(rng):
+    """A query equidistant from two tight cells must pull candidates from
+    one cell at nprobe=1 and both at nprobe=2 (also regression-covers
+    k-means++ seeding on degenerate constant subspaces, which used to
+    crash with zero-sum D² probabilities)."""
+    d = 16
+    a = np.zeros((40, d), np.float32)
+    a[:, 0] = 5 + 0.1 * rng.standard_normal(40)
+    b = np.zeros((40, d), np.float32)
+    b[:, 0] = -5 + 0.1 * rng.standard_normal(40)
+    data = np.concatenate([a, b])
+    idx = IVFPQIndex.build(
+        data, DistanceMetric.L2, num_clusters=2, m=4, ksub=16, iters=10
+    )
+    q = np.zeros((1, d), np.float32)
+    side1 = set(np.asarray(idx.search(q, k=20, nprobe=1).indices[0]) // 40)
+    side2 = set(np.asarray(idx.search(q, k=20, nprobe=2).indices[0]) // 40)
+    assert side1 in ({0}, {1})
+    assert side2 == {0, 1}
+
+
+def test_skewed_fills_split_into_capped_buckets(rng):
+    """One heavy cell must split into several fixed-size buckets (bounded
+    HBM/probe cost) while full-probe search stays exhaustive."""
+    from metrovector_tpu.index.ivf import bucket_layout
+
+    # 90% of rows in one cluster
+    assign = np.zeros(1000, np.int32)
+    assign[900:] = np.arange(100) % 9 + 1
+    cells, row_lists, bucket_rows = bucket_layout(
+        assign, np.ones(1000, bool), 10
+    )
+    assert bucket_rows <= 2 * -(-1000 // 10) + 8  # capped near 2x mean
+    assert (cells == 0).sum() > 1  # the heavy cell split
+    got = np.concatenate([r for r in row_lists if len(r)])
+    assert sorted(got) == list(range(1000))  # no row lost or duplicated
+
+    # end-to-end: 4 well-separated blobs with skewed sizes (850/50/50/50) —
+    # k-means recovers the blobs, so the heavy one must split.
+    blob_centers = rng.standard_normal((4, 16)).astype(np.float32) * 8
+    sizes = [850, 50, 50, 50]
+    data = np.concatenate(
+        [
+            blob_centers[i]
+            + 0.1 * rng.standard_normal((sz, 16)).astype(np.float32)
+            for i, sz in enumerate(sizes)
+        ]
+    )
+    idx = IVFPQIndex.build(
+        data, DistanceMetric.L2, num_clusters=4, m=4, ksub=16, iters=6
+    )
+    assert idx.num_buckets > idx.num_clusters
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    res = idx.search(q, k=10, nprobe=idx.num_buckets, rerank=1000)
+    _, oi = numpy_oracle(q, data, 10, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_kmeans_on_constant_data(rng):
+    """All-identical rows: seeding must not crash, every row lands in one
+    cluster at the data point."""
+    from metrovector_tpu.index import train_kmeans
+
+    data = np.ones((50, 8), np.float32) * 3.0
+    cents, assign = train_kmeans(data, 4, iters=3)
+    np.testing.assert_allclose(cents[assign], data, atol=1e-6)
 
 
 def test_ivfpq_persistence_roundtrip(tmp_path, rng):
