@@ -30,24 +30,22 @@ def recall(indices, oracle, k):
 
 def main():
     rng = np.random.default_rng(11)
-    n, d, k = 20_000, 64, 10
-    centers = rng.standard_normal((64, d)).astype(np.float32) * 2.5
-    # Noise comparable to the center spacing: clusters overlap, so a
-    # query's true neighbors span several coarse cells and the nprobe
-    # sweep below has something to trade off.
+    n, d, k = 20_000, 16, 10
+    centers = rng.standard_normal((64, d)).astype(np.float32)
+    # Noise ~ the center spacing (moderate dim, so clusters genuinely
+    # overlap): each query's true top-10 spans several coarse cells and
+    # the nprobe sweep below has something to trade off.
     data = (
         centers[rng.integers(0, 64, n)]
-        + 1.6 * rng.standard_normal((n, d)).astype(np.float32)
+        + 2.0 * rng.standard_normal((n, d)).astype(np.float32)
     )
-    # Off-cluster queries: true neighbors span several coarse cells, so the
-    # nprobe sweep below actually moves recall.
     queries = (
         centers[rng.integers(0, 64, 16)]
-        + 1.2 * rng.standard_normal((16, d)).astype(np.float32)
+        + 2.0 * rng.standard_normal((16, d)).astype(np.float32)
     )
 
     # Train + persist: dense rows AND the PQ sidecar live in one file.
-    books = train_pq(data, m=8, ksub=256, iters=6)
+    books = train_pq(data, m=4, ksub=256, iters=6)
     codes = encode_pq(data, books)
     b = mvt.Builder()
     b.add_vector_space("emb", dim=d, metric=mvt.DistanceMetric.L2)
@@ -70,11 +68,11 @@ def main():
     sp = mvt.Reader.open(path).vector_space("emb")
     pq = PQIndex.from_space(sp)  # reuses the persisted codebooks/codes
     res = pq.search(queries, k=k, rerank=8 * k)
-    print(f"pq m=8 rr=80   recall@{k}: {recall(res.indices, oracle, k):.3f}  "
+    print(f"pq m=4 rr=80   recall@{k}: {recall(res.indices, oracle, k):.3f}  "
           f"working set {pq.codes.nbytes / 1e6 + pq.recon_norms.nbytes / 1e6:6.1f} MB (codes)")
 
     # 3. IVF-PQ: probe a few coarse cells, residual ADC inside them.
-    ivfpq = IVFPQIndex.from_space(sp, num_clusters=64, m=8, ksub=64, iters=6)
+    ivfpq = IVFPQIndex.from_space(sp, num_clusters=64, m=4, ksub=64, iters=6)
     for nprobe in (2, 8, 32):
         res = ivfpq.search(queries, k=k, nprobe=nprobe, rerank=8 * k)
         print(f"ivfpq nprobe={nprobe:<3} recall@{k}: "

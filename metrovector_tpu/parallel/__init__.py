@@ -2,7 +2,12 @@
 
 from .distributed import DistributedSearcher, initialize, load_space_sharded
 from .mesh import SHARD_AXIS, make_mesh, replicate, rows_per_shard, shard_rows
-from .sharded_search import ShardedDeviceSpace, dim_sharded_topk, sharded_topk
+from .sharded_search import (
+    ShardedDeviceSpace,
+    dim_sharded_topk,
+    sharded_pq_topk,
+    sharded_topk,
+)
 from .streaming import StreamingSearcher
 
 __all__ = [
@@ -17,5 +22,6 @@ __all__ = [
     "replicate",
     "rows_per_shard",
     "shard_rows",
+    "sharded_pq_topk",
     "sharded_topk",
 ]

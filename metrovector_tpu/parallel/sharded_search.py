@@ -132,6 +132,101 @@ def sharded_topk(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "k", "rerank", "metric", "mesh", "axis", "exact_lut", "backend",
+        "interpret",
+    ),
+)
+def sharded_pq_topk(
+    queries: jax.Array,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    recon_norms: jax.Array,
+    num_valid,
+    k: int,
+    metric: DistanceMetric,
+    mesh: Mesh,
+    db: jax.Array | None = None,
+    db_norms: jax.Array | None = None,
+    rerank: int = 0,
+    valid_mask: jax.Array | None = None,
+    axis: str = SHARD_AXIS,
+    exact_lut: bool = False,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Global PQ search over a row-sharded coded corpus.
+
+    ``codes`` ``[total_rows, m]`` and ``recon_norms`` ``[total_rows]`` are
+    sharded ``P(axis, None)`` / ``P(axis)``; ``codebooks`` and ``queries``
+    replicate. With ``rerank=R`` (requires sharded ``db``/``db_norms``),
+    each shard rescores its own top-R ADC candidates exactly — candidate
+    rows live where their codes live, so re-ranking needs **no cross-shard
+    gather**; only the final ``[Q, k]`` lists ride ICI. Queries must be
+    pre-normalized for cosine. Returns replicated global results."""
+    from ..index.pq import _adc_search, _rerank
+    from ..ops.adc_kernel import fused_adc_topk
+
+    total_rows = codes.shape[0]
+    n_shards = mesh.shape[axis]
+    local_rows = total_rows // n_shards
+    metric = DistanceMetric(metric)
+    num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
+    fetch = max(k, rerank) if rerank else k
+    fetch = min(fetch, local_rows)
+
+    def local(q, codes_l, rnorms_l, nvalid, *extras):
+        sid = jax.lax.axis_index(axis)
+        offset = sid * local_rows
+        nvalid_local = jnp.clip(nvalid[0] - offset, 0, local_rows)
+        extras = list(extras)
+        db_l = extras.pop(0) if db is not None else None
+        dnorms_l = extras.pop(0) if db is not None else None
+        mask_l = extras.pop(0) if valid_mask is not None else None
+        if backend == "pallas":
+            s, i = fused_adc_topk(
+                q, codes_l, codebooks, rnorms_l, nvalid_local, fetch, metric,
+                valid_mask=mask_l, exact_lut=exact_lut, interpret=interpret,
+            )
+        else:
+            s, i = _adc_search(
+                q, codes_l,
+                codebooks.reshape(-1, codebooks.shape[2]),
+                rnorms_l, nvalid_local, fetch, metric,
+                valid_mask=mask_l, exact_lut=exact_lut,
+            )
+        if rerank:
+            s, i = _rerank(q, db_l, dnorms_l, i, min(k, fetch), metric)
+        else:
+            s, i = s[:, :k], i[:, :k]
+        i = jnp.where(i >= 0, i + offset, i)
+        all_s = jax.lax.all_gather(s, axis)
+        all_i = jax.lax.all_gather(i, axis)
+        q_n = s.shape[0]
+        kk = s.shape[1]
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q_n, n_shards * kk)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q_n, n_shards * kk)
+        best_s, pos = jax.lax.top_k(cand_s, min(k, n_shards * kk))
+        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return best_s, best_i
+
+    in_specs = [P(), P(axis, None), P(axis), P()]
+    args = [queries, codes, recon_norms, num_valid.reshape(1)]
+    if db is not None:
+        in_specs += [P(axis, None), P(axis)]
+        args += [db, db_norms]
+    if valid_mask is not None:
+        in_specs.append(P(axis))
+        args.append(valid_mask)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "metric", "mesh", "axis"),
 )
 def dim_sharded_topk(
