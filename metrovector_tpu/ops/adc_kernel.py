@@ -9,11 +9,11 @@ re-read by the MXU). Here the one-hot never leaves VMEM:
   code block (``m`` bytes/row — the whole point of PQ) and the per-query
   LUT tile ``[QT, m·ksub]`` (``LUT[q, j·ksub+c] = q_j · C[j, c]``,
   computed once per batch outside the kernel).
-* Per subspace ``j`` (static Python loop, ``m`` small): one-hot
-  ``[BN, ksub]`` from an iota compare in VMEM, then an MXU matmul against
-  the LUT's ``j``-th ``[QT, ksub]`` slab, accumulating
-  ``dots[QT, BN] = Σ_j q_j · C[j, code_j]`` — classic per-lane ADC gather
-  recast as dense matmuls.
+* The ``m`` per-subspace one-hots (iota compares in VMEM) concatenate
+  along lanes into one ``[BN, m·ksub]`` operand, and a single deep
+  (K = m·ksub) MXU matmul against the LUT computes
+  ``dots[QT, BN] = Σ_j q_j · C[j, code_j]`` — the classic per-lane ADC
+  gather recast as one dense matmul per block.
 * Metric epilogue on precomputed reconstruction norms, padding/tombstone
   masking, lane-fold candidate compression and k-round selection are
   shared with :mod:`.topk_kernel` (same exactness discipline: exact with
@@ -45,13 +45,18 @@ _log = get_logger("ops.adc")
 def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
                            k_pad: int = 128, exact_lut: bool = False) -> int:
     """Code-block rows per grid step. Live VMEM per step ≈ double-buffered
-    codes (``2·BN·m``), one ``[BN, ksub]`` one-hot (+ compiler slack for a
-    second), the LUT tile (``QT·m·ksub·esz``) and the score tile
-    (``QT·BN·4``)."""
+    codes (``2·BN·m``), the full-width one-hot (``BN·m·ksub·esz`` — the
+    m per-subspace one-hots concatenate into one ``[BN, m·ksub]`` operand
+    so the MXU sees a single K=m·ksub matmul), the LUT tile
+    (``QT·m·ksub·esz``) and the score tile (``QT·BN·4``)."""
     esz = 4 if exact_lut else 2
-    budget = 9 * 1024 * 1024 - query_tile * m * ksub * esz
+    # ~20 MB live-set target (measured sweet spot on v5e: block_rows=2048
+    # at m=16/ksub=256/bf16 — larger blocks lose to score-tile pressure,
+    # smaller ones to per-step overhead; the VMEM-OOM retry in
+    # fused_adc_topk guards tighter parts).
+    budget = 20 * 1024 * 1024 - query_tile * m * ksub * esz
     budget -= 24 * query_tile * max(k_pad - 128, 0)
-    denom = 2 * m + 2 * ksub * esz + 4 * query_tile + 32
+    denom = 2 * m + m * ksub * esz + 4 * query_tile + 32
     bn = budget // max(denom, 1)
     bn = max(256, min(8192, bn))
     return (bn // 256) * 256
@@ -84,15 +89,21 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
         codes = codes_ref[:].astype(jnp.int32)  # [BN, m]
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, ksub), 1)
         qt = lut_ref.shape[0]
-        dots = jnp.zeros((qt, block_rows), jnp.float32)
         dims = (((1,), (1,)), ((), ()))
-        for j in range(m):
-            onehot = (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
-            lut_j = lut_ref[:, j * ksub : (j + 1) * ksub]
-            dots += jax.lax.dot_general(
-                lut_j, onehot, dimension_numbers=dims,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+        # Concatenate the m per-subspace one-hots along lanes and contract
+        # in ONE K = m·ksub matmul — deep contractions keep the MXU
+        # pipeline full where m separate K=ksub matmuls each pay spin-up.
+        onehot = jnp.concatenate(
+            [
+                (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
+                for j in range(m)
+            ],
+            axis=1,
+        )  # [BN, m·ksub]
+        dots = jax.lax.dot_general(
+            lut_ref[:], onehot, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
 
         norms = norms_ref[:]  # (1, BN) f32 — ‖x̂‖² of reconstructions
         if metric == DistanceMetric.L2:
@@ -166,7 +177,7 @@ def fused_adc_topk(
     valid_mask=None,
     exact_lut: bool = False,
     block_rows: int | None = None,
-    query_tile: int = 128,
+    query_tile: int = 256,
     interpret: bool = False,
 ):
     """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
@@ -216,7 +227,7 @@ def _fused_adc_topk(
     valid_mask: jax.Array | None = None,
     exact_lut: bool = False,
     block_rows: int | None = None,
-    query_tile: int = 128,
+    query_tile: int = 256,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ADC top-k over a PQ-coded corpus shard.
