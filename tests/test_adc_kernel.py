@@ -89,6 +89,29 @@ def test_kernel_bf16_lut_close(rng):
     assert overlap >= 0.8
 
 
+@pytest.mark.parametrize("mev", [1, 2, 4])
+def test_deferred_selection_parity(rng, mev):
+    """merge_every deferral must not change any result — including on
+    adversarial near-duplicate corpora that force fold collisions."""
+    base = rng.standard_normal((50, 16)).astype(np.float32)
+    # many near-duplicates → dense score ties → frequent collisions
+    data = np.concatenate([base + 1e-3 * rng.standard_normal((50, 16))
+                           for _ in range(12)]).astype(np.float32)
+    books = train_pq(data, m=4, ksub=16, iters=4)
+    codes = encode_pq(data, books)
+    recon = reconstruct_pq(codes, books)
+    rnorms = np.einsum(
+        "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
+    ).astype(np.float32)
+    q = base[:6] + 0.01 * rng.standard_normal((6, 16)).astype(np.float32)
+    s, i = fused_adc_topk(
+        q, codes, books, rnorms, np.int32(len(data)), 40, DistanceMetric.L2,
+        exact_lut=True, block_rows=128, interpret=True, merge_every=mev,
+    )
+    _, oi = numpy_oracle(q, recon, 40, DistanceMetric.L2)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
 def test_kernel_odd_sizes(rng):
     """Non-multiple-of-block row counts and tiny query batches."""
     data, books, codes, recon, rnorms = _fixture(rng, n=333)
