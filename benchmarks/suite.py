@@ -5,6 +5,7 @@
   sift1m-u8 SIFT1M as uint8 codes (offset-int8 MXU path), L2 top-10
   gist1m    GIST1M-scale: 1M x 960 f32, cosine top-10 (wide-dim tiling)
   deep10m   DEEP10M-scale: 10M x 96 int8, quantized dot top-10
+  deep100m-pq  100M x 96 PQ-coded corpus on one chip (1.2 GB codes)
   stream    larger-than-HBM demo: f16 corpus streamed from host DRAM
 
 Each config prints one JSON line with QPS, p50 batch latency, and a recall
@@ -390,12 +391,72 @@ def bench_sift1m_ivfpq(interpret):
     )
 
 
+def bench_deep100m_pq(interpret):
+    """Capacity headline: 100M-row PQ-coded corpus resident on ONE chip
+    (12 B/row → 1.2 GB codes + 0.4 GB norms; the same corpus as f32 would
+    be 38 GB — larger than HBM — and as int8 still 9.6 GB). Throughput of
+    the fused ADC kernel over all 100M rows per query batch.
+
+    Correctness gate: queries are exact reconstructions of planted rows —
+    ADC scores are maximized by the row whose reconstruction equals the
+    query, so each planted row must surface in its query's top-10."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.index.pq import reconstruct_pq
+    from metrovector_tpu.ops.adc_kernel import fused_adc_topk
+
+    rng = np.random.default_rng(8)
+    n = 100_000_000 if not interpret else 200_000
+    m, ksub, dsub, k, qb = 12, 256, 8, 10, 256
+    d = m * dsub
+    log(f"synthesizing {n / 1e6:.0f}M codes ({n * m / 1e9:.1f} GB) ...")
+    codes = rng.integers(0, 256, (n, m), dtype=np.uint8)
+    books = (rng.standard_normal((m, ksub, dsub)) * 0.5).astype(np.float32)
+    b_norms = np.einsum("mkd,mkd->mk", books.astype(np.float64),
+                        books.astype(np.float64))
+    # ‖x̂‖² = Σ_j ‖C[j, code_j]‖² — computed by table lookup, no decode.
+    rnorms = b_norms[np.arange(m)[None, :], codes.astype(np.int64)].sum(1)
+    rnorms = rnorms.astype(np.float32)
+    codes_d = jax.device_put(codes)
+    rnorms_d = jax.device_put(rnorms)
+    books_d = jax.device_put(books)
+    jax.block_until_ready((codes_d, rnorms_d, books_d))
+    nv = jnp.int32(n)
+
+    def run(q):
+        return fused_adc_topk(
+            q, codes_d, books_d, rnorms_d, nv, k, DistanceMetric.L2,
+            exact_lut=False, interpret=interpret,
+        )
+
+    planted = rng.integers(0, n, 8)
+    qc = reconstruct_pq(codes[planted], books)
+    got = np.asarray(run(jax.device_put(qc))[1])
+    hits = sum(planted[r] in got[r] for r in range(8))
+    recall = hits / 8.0
+
+    def mkq():
+        rows = rng.integers(0, n, qb)
+        return reconstruct_pq(codes[rows], books) + 0.05 * rng.standard_normal(
+            (qb, d)
+        ).astype(np.float32)
+
+    dt = _measure(run, mkq, iters=3 if interpret else 8)
+    _report(
+        f"deep100m-pq(n={n},m=12,k=10,{qb}q)", qb / dt, dt * 1e3, recall,
+        f"{n * m / 1e9:.1f} GB codes on one chip; planted-row gate",
+    )
+
+
 CONFIGS = {
     "sim10k": bench_sim10k,
     "sift1m": bench_sift1m,
     "sift1m-u8": bench_sift1m_u8,
     "sift1m-pq": bench_sift1m_pq,
     "sift1m-ivfpq": bench_sift1m_ivfpq,
+    "deep100m-pq": bench_deep100m_pq,
     "gist1m": bench_gist1m,
     "deep10m": bench_deep10m,
     "stream": bench_stream,

@@ -307,6 +307,27 @@ class SearchEngine:
     def search(self, queries, k: int = 10) -> SearchResult:
         """Batched exact top-k. ``queries``: ``[Q, dim]`` (or a single
         vector). Returns best-first results for every query."""
+        return self._finalize(self._launch(queries, k), k)
+
+    def search_pipelined(self, query_batches, k: int = 10):
+        """Iterator of :class:`SearchResult`s over an iterable of query
+        batches, with **one batch in flight**: batch ``i+1`` is uploaded
+        and its kernel launched before batch ``i``'s results are read back,
+        hiding host↔device transfer latency behind device compute (the
+        serving analog of the benchmark methodology in ``bench.py``).
+        Order of results matches the input order."""
+        pending = None
+        for q in query_batches:
+            launched = self._launch(q, k)
+            if pending is not None:
+                yield self._finalize(pending, k)
+            pending = launched
+        if pending is not None:
+            yield self._finalize(pending, k)
+
+    def _launch(self, queries, k: int):
+        """Upload + launch without forcing a readback. Returns an opaque
+        pending tuple for :meth:`_finalize`."""
         sp = self.space
         if sp.metric == DistanceMetric.CUSTOM:
             raise InvalidVectorTypeError(
@@ -315,17 +336,7 @@ class SearchEngine:
             )
         prep = sp.prepare_queries(queries)
         if sp.num_valid == 0:  # empty space: all-sentinel results
-            nq = prep.qdev.shape[0]
-            return SearchResult(
-                indices=np.full((nq, k), -1, np.int32),
-                scores=np.full((nq, k), -np.inf, np.float32),
-                distances=np.full(
-                    (nq, k),
-                    np.inf if sp.metric == DistanceMetric.L2 else -np.inf,
-                    np.float32,
-                ),
-                metric=sp.metric,
-            )
+            return (None, None, prep, 0)
         k_eff = min(k, sp.num_valid)
 
         uint8_cosine = (
@@ -360,7 +371,24 @@ class SearchEngine:
                 q_x, db_x, sp.norms, sp.num_valid, k_eff, sp.metric,
                 valid_mask=sp.valid_mask,
             )
+        return (scores, idx, prep, k_eff)
 
+    def _finalize(self, pending, k: int) -> SearchResult:
+        """Force the readback and convert to a user-facing result."""
+        sp = self.space
+        scores, idx, prep, k_eff = pending
+        if k_eff == 0:  # empty space
+            nq = prep.qdev.shape[0]
+            return SearchResult(
+                indices=np.full((nq, k), -1, np.int32),
+                scores=np.full((nq, k), -np.inf, np.float32),
+                distances=np.full(
+                    (nq, k),
+                    np.inf if sp.metric == DistanceMetric.L2 else -np.inf,
+                    np.float32,
+                ),
+                metric=sp.metric,
+            )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         if prep.const is not None:

@@ -376,11 +376,29 @@ class PQIndex:
         codebooks/codes persisted in the file when present (O(1)-open:
         no retraining, no re-encoding). Tombstoned rows are masked."""
         stored = space.pq_arrays()
-        codebooks = codes = None
+        codebooks = codes = stored_rnorms = None
         if stored is not None and not space.info.pq.residual:
             # Residual sidecars encode x − centroid and belong to
             # :class:`.ivfpq.IVFPQIndex`; plain PQ retrains on raw rows.
-            codebooks, codes, _ = stored
+            codebooks, codes, stored_rnorms = stored
+        if stored_rnorms is not None and not keep_vectors:
+            # Code-only fast path: everything needed lives in the sidecar —
+            # never touch (or page in) the dense rows.
+            valid = None
+            mask = space.tombstone_mask()
+            if mask is not None:
+                valid = jax.device_put((~mask).astype(np.int32))
+            return cls(
+                codebooks=np.ascontiguousarray(codebooks, np.float32),
+                codes=jax.device_put(np.ascontiguousarray(codes, np.uint8)),
+                recon_norms=jax.device_put(
+                    np.ascontiguousarray(stored_rnorms, np.float32)
+                ),
+                metric=DistanceMetric(space.metric),
+                dim=space.dim,
+                num_vectors=space.num_vectors,
+                valid=valid,
+            )
         vectors = np.asarray(space.to_numpy(), dtype=np.float32)
         q = space.quantization
         if q is not None:

@@ -5,6 +5,29 @@ ranking parity with the NumPy port of the reference's brute force
 import numpy as np
 import pytest
 
+
+def test_search_pipelined_matches_search(rng_engine_fixtureless=None):
+    """Pipelined batches must return the same results, in order, as
+    sequential search() calls."""
+    from metrovector_tpu import Builder, DistanceMetric, SearchEngine
+    import tempfile, os
+
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((600, 32)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=32)
+    b.add_vectors("v", data)
+    path = os.path.join(tempfile.mkdtemp(), "p.mvt")
+    b.build().save(path)
+    eng = SearchEngine.open(path, backend="xla")
+    batches = [rng.standard_normal((q, 32)).astype(np.float32) for q in (4, 7, 1)]
+    piped = list(eng.search_pipelined(iter(batches), k=5))
+    assert len(piped) == 3
+    for q, res in zip(batches, piped):
+        ref = eng.search(q, k=5)
+        np.testing.assert_array_equal(res.indices, ref.indices)
+        np.testing.assert_allclose(res.distances, ref.distances, rtol=1e-6)
+
 from metrovector_tpu import Builder, DataType, DistanceMetric, Reader
 from metrovector_tpu.engine import DeviceSpace, SearchEngine
 from metrovector_tpu.errors import DimensionMismatchError

@@ -176,6 +176,34 @@ def test_pq_roundtrip_through_file(tmp_path, rng):
     assert np.array_equal(res.indices, oi)
 
 
+def test_code_only_from_space_skips_dense_rows(tmp_path, rng):
+    """keep_vectors=False with a stored sidecar must build straight from
+    the sidecar blocks (no dense-row materialization) and search like the
+    trained index."""
+    data = _data(rng, n=90, d=16)
+    books = train_pq(data, m=4, ksub=16, iters=4)
+    codes = encode_pq(data, books)
+    b = Builder()
+    b.add_vector_space("s", dim=16)
+    b.add_vectors("s", data)
+    b.set_pq_index("s", books, codes)
+    path = tmp_path / "co.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+
+    calls = []
+    orig = sp.to_numpy
+    sp.to_numpy = lambda: (calls.append(1), orig())[1]
+    idx = PQIndex.from_space(sp, keep_vectors=False)
+    assert not calls  # dense rows never touched
+    assert idx.db is None
+    q = _data(rng, n=3, d=16)
+    res = idx.search(q, k=5)
+    recon = reconstruct_pq(codes, books)
+    _, oi = numpy_oracle(q, recon, 5, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+
+
 def test_pq_validation_errors(rng):
     data = _data(rng, n=30, d=8)
     b = Builder()
