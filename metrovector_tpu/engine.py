@@ -304,10 +304,14 @@ class SearchEngine:
         name = space_name or r.vector_space_names[0]
         return cls(r.vector_space(name), **kw)
 
-    def search(self, queries, k: int = 10) -> SearchResult:
+    def search(self, queries, k: int = 10, filter_mask=None) -> SearchResult:
         """Batched exact top-k. ``queries``: ``[Q, dim]`` (or a single
-        vector). Returns best-first results for every query."""
-        return self._finalize(self._launch(queries, k), k)
+        vector). ``filter_mask``: optional ``[num_vectors]`` boolean/int
+        row predicate (e.g. built from a metadata column) — rows with 0 are
+        excluded from results exactly, composed with tombstones; when fewer
+        than ``k`` rows qualify, the tail holds ``-1`` sentinels. Returns
+        best-first results for every query."""
+        return self._finalize(self._launch(queries, k, filter_mask), k)
 
     def search_pipelined(self, query_batches, k: int = 10):
         """Iterator of :class:`SearchResult`s over an iterable of query
@@ -325,7 +329,7 @@ class SearchEngine:
         if pending is not None:
             yield self._finalize(pending, k)
 
-    def _launch(self, queries, k: int):
+    def _launch(self, queries, k: int, filter_mask=None):
         """Upload + launch without forcing a readback. Returns an opaque
         pending tuple for :meth:`_finalize`."""
         sp = self.space
@@ -338,12 +342,23 @@ class SearchEngine:
         if sp.num_valid == 0:  # empty space: all-sentinel results
             return (None, None, prep, 0)
         k_eff = min(k, sp.num_valid)
+        eff_mask = sp.valid_mask
+        if filter_mask is not None:
+            fm = np.asarray(filter_mask)
+            if fm.shape != (sp.num_valid,):
+                raise DimensionMismatchError(
+                    expected=sp.num_valid, actual=int(fm.shape[0])
+                )
+            full = np.zeros(sp.data.shape[0], np.float32)
+            full[: sp.num_valid] = fm.astype(bool)
+            fdev = jax.device_put(full)
+            eff_mask = fdev if eff_mask is None else eff_mask * fdev
 
         uint8_cosine = (
             sp.dtype == DataType.UINT8 and sp.metric == DistanceMetric.COSINE
         )
         if uint8_cosine or (self.backend == "xla" and sp.dtype == DataType.UINT8):
-            scores, idx = self._search_uint8_dequant(prep.qdev, k_eff)
+            scores, idx = self._search_uint8_dequant(prep.qdev, k_eff, eff_mask)
         elif self.backend == "pallas":
             qdev = prep.qdev
             kernel_prec = "highest"
@@ -355,7 +370,7 @@ class SearchEngine:
             scores, idx = fused_topk(
                 qdev, sp.data, sp.norms,
                 jnp.int32(sp.num_valid), k_eff, sp.metric,
-                valid_mask=sp.valid_mask, scale=prep.dot_scale,
+                valid_mask=eff_mask, scale=prep.dot_scale,
                 bias_row=sp.rowsums, bias_scale=prep.bias_scale,
                 interpret=self.interpret, precision=kernel_prec,
                 db_lo=sp.data_lo,
@@ -369,7 +384,7 @@ class SearchEngine:
                 q_x = q_x * jnp.float32(prep.dot_scale)
             scores, idx = exact_topk_xla(
                 q_x, db_x, sp.norms, sp.num_valid, k_eff, sp.metric,
-                valid_mask=sp.valid_mask,
+                valid_mask=eff_mask,
             )
         return (scores, idx, prep, k_eff)
 
@@ -409,7 +424,7 @@ class SearchEngine:
         return SearchResult(indices=idx, scores=scores, distances=dist,
                             metric=sp.metric)
 
-    def _search_uint8_dequant(self, qdev, k: int):
+    def _search_uint8_dequant(self, qdev, k: int, eff_mask=None):
         """Affine-uint8 fallback (cosine / xla backend): dequantize on the
         fly. Device codes are the re-centered ``c' = c − 128`` int8 block,
         so ``x = (c' + 128 − zp)·scale``; XLA fuses the dequant into the
@@ -417,7 +432,9 @@ class SearchEngine:
         dequantize to a nonzero constant but pair with zero query dims."""
         sp = self.space
         deq = (sp.data.astype(jnp.float32) + (128.0 - sp.zero_point)) * sp.scale
+        if eff_mask is None:
+            eff_mask = sp.valid_mask
         return exact_topk_xla(
             qdev, deq, sp.norms, sp.num_valid, k, sp.metric,
-            valid_mask=sp.valid_mask,
+            valid_mask=eff_mask,
         )

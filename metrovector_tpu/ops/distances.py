@@ -149,7 +149,10 @@ def exact_topk_xla(
     if n_pad <= block_rows:
         s = scores_block(q, db, db_norms, metric, qin)
         s = mask_scores(s, 0, num_valid, valid_mask)
-        return jax.lax.top_k(s, k)
+        s, i = jax.lax.top_k(s, k)
+        # Unfilled slots (fewer than k unmasked rows) carry −inf scores and
+        # arbitrary positions: normalize to the −1 sentinel.
+        return s, jnp.where(jnp.isneginf(s), -1, i)
 
     nblocks = -(-n_pad // block_rows)
     pad_to = nblocks * block_rows
@@ -191,7 +194,7 @@ def exact_topk_xla(
     if mask_b is not None:
         xs = xs + (mask_b,)
     (best_s, best_i), _ = jax.lax.scan(step, init, xs)
-    return best_s, best_i
+    return best_s, jnp.where(jnp.isneginf(best_s), -1, best_i)
 
 
 def numpy_oracle(queries, db, k, metric, valid_mask=None):

@@ -386,6 +386,12 @@ def _fused_topk(
       valid_mask: optional ``[N]`` f32/int mask; 0 ⇒ row is tombstoned.
       scale: static dequant factor applied to raw dots (int8: sq·sx).
       block_rows / query_tile: tile sizes (static; defaults auto-sized).
+        CAUTION (measured on v5e): oversized tiles can exceed VMEM
+        *silently* — Mosaic spills to HBM at a ~1000× slowdown instead of
+        erroring (e.g. block_rows=8192 at D=128, or query_tile=256 with
+        auto block_rows). The defaults sit safely below the cliff; when
+        overriding, keep ``query_tile·block_rows·4 + 2·block_rows·D·esz``
+        well under ~10 MB.
       interpret: run in the Pallas interpreter (CPU testing).
       precision: f32 MXU passes — 'highest' (bf16x6, bit-faithful f32,
         the exactness default), 'high' (bf16x3, f32-faithful for

@@ -6,6 +6,55 @@ import numpy as np
 import pytest
 
 
+def test_filtered_search_via_metadata(tmp_path=None):
+    """filter_mask restricts results exactly (composed with tombstones):
+    the canonical vector-DB 'search within category' flow."""
+    from metrovector_tpu import Builder, DistanceMetric, Reader, SearchEngine
+    from metrovector_tpu.ops import numpy_oracle
+    import tempfile, os
+
+    rng = np.random.default_rng(8)
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    cats = [("red" if i % 3 == 0 else "blue") for i in range(300)]
+    b = Builder()
+    b.add_vector_space("v", dim=16)
+    b.add_vectors("v", data)
+    b.add_metadata_column("v", "cat", cats)
+    b.delete_vector("v", 0)  # a red row, also tombstoned
+    path = os.path.join(tempfile.mkdtemp(), "f.mvt")
+    b.build().save(path)
+
+    r = Reader.open(path)
+    sp = r.vector_space("v")
+    col = sp.metadata_column("cat")
+    mask = np.asarray([c == "red" for c in col])
+    eng = SearchEngine(sp, backend="xla")
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    res = eng.search(q, k=10, filter_mask=mask)
+    # oracle over red rows minus the tombstone
+    oracle_mask = mask.copy()
+    oracle_mask[0] = False
+    _, oi = numpy_oracle(q, data, 10, DistanceMetric.L2,
+                         valid_mask=oracle_mask.astype(np.float32))
+    assert np.array_equal(res.indices, oi)
+    assert all(cats[i] == "red" for row in res.indices for i in row if i >= 0)
+    assert 0 not in res.indices
+
+    # filter with fewer matches than k: -1 sentinels fill the tail
+    tiny = np.zeros(300, bool)
+    tiny[[7, 8]] = True
+    res2 = eng.search(q[:1], k=5, filter_mask=tiny)
+    assert set(res2.indices[0][:2]) == {7, 8}
+    assert (res2.indices[0][2:] == -1).all()
+
+    # wrong-length mask raises
+    import pytest as _pytest
+    from metrovector_tpu.errors import DimensionMismatchError
+
+    with _pytest.raises(DimensionMismatchError):
+        eng.search(q[:1], k=3, filter_mask=np.ones(10, bool))
+
+
 def test_search_pipelined_matches_search(rng_engine_fixtureless=None):
     """Pipelined batches must return the same results, in order, as
     sequential search() calls."""
