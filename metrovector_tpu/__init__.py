@@ -52,6 +52,7 @@ _LAZY = {
     "SearchResult": ".engine",
     "SparseSearchEngine": ".sparse",
     "PreparedQueries": ".engine",
+    "HNSWIndex": ".index",
     "IVFIndex": ".index",
     "IVFPQIndex": ".index",
     "PQIndex": ".index",
@@ -86,6 +87,7 @@ __all__ = [
     "DimensionSlice",
     "DistanceMetric",
     "DistributedSearcher",
+    "HNSWIndex",
     "IVFIndex",
     "IVFPQIndex",
     "IndexKind",

@@ -111,6 +111,8 @@ class _PendingSpace:
         self.pq_data: (
             tuple[np.ndarray, np.ndarray, np.ndarray, bool] | None
         ) = None
+        # Optional HNSW graph: (layers [(ids i32, adj i32)], entry, m, efc).
+        self.hnsw_data: tuple[list, int, int, int] | None = None
         # SPARSE accumulation (CSR pieces per appended row)
         self.sp_vals: list[np.ndarray] = []
         self.sp_cols: list[np.ndarray] = []
@@ -405,6 +407,39 @@ class Builder:
             )
         sp.pq_data = (codebooks, codes, recon_norms, bool(residual))
 
+    def set_hnsw_index(
+        self,
+        space_name: str,
+        layers: list,
+        entry: int,
+        m: int = 16,
+        ef_construction: int = 200,
+    ) -> None:
+        """Attach a built HNSW graph (e.g. from
+        :meth:`metrovector_tpu.index.HNSWIndex.build`: pass
+        ``index.layers``, ``index.entry``, …) so readers can search without
+        rebuilding. ``layers``: bottom-up list of ``(ids [N_L] i32,
+        adj [N_L, width] i32)``. The reference's writer stores
+        ``graph_block_index: 0`` with a TODO and never builds a graph
+        (``src/builder.rs:459``); MVT persists real per-layer blocks."""
+        sp = self._get_space(space_name)
+        norm_layers = []
+        for ids, adj in layers:
+            ids = np.ascontiguousarray(ids, "<i4")
+            adj = np.ascontiguousarray(adj, "<i4")
+            if adj.shape[0] != ids.shape[0]:
+                raise BuildError(
+                    f"layer ids/adj row mismatch: {ids.shape[0]} vs {adj.shape[0]}"
+                )
+            if ids.size and int(ids.max()) >= sp.num_vectors:
+                raise IndexOutOfBoundsError(int(ids.max()), sp.num_vectors)
+            norm_layers.append((ids, adj))
+        sp.hnsw_data = (norm_layers, int(entry), int(m), int(ef_construction))
+        sp.index = IndexInfo(
+            kind=IndexKind.HNSW,
+            params={"m": int(m), "ef_construction": int(ef_construction)},
+        )
+
     def delete_vector(self, space_name: str, index: int) -> None:
         """Mark a row deleted; emitted as a BITMAP tombstone block at build.
         The reference declares tombstones but never writes them
@@ -622,6 +657,23 @@ class Builder:
             ab = push_block(sp.ivf_data[1])
             info.index.params["centroids_block"] = cb
             info.index.params["assignments_block"] = ab
+
+        if sp.hnsw_data is not None:
+            layers, entry, m, efc = sp.hnsw_data
+            layer_meta = []
+            for ids, adj in layers:
+                layer_meta.append(
+                    {
+                        "ids_block": push_block(ids),
+                        "adj_block": push_block(adj),
+                        "count": int(ids.shape[0]),
+                        "width": int(adj.shape[1]),
+                    }
+                )
+            info.index.params.update(
+                {"entry": entry, "m": m, "ef_construction": efc,
+                 "layers": layer_meta}
+            )
 
         if sp.pq_data is not None:
             from .manifest import PQInfo

@@ -29,6 +29,7 @@ from ..errors import (
 from ..format.constants import (
     DataType,
     DistanceMetric,
+    IndexKind,
     TombstoneFormat,
     VectorType,
     numpy_dtype,
@@ -305,6 +306,35 @@ class VectorSpace:
             count=self.num_vectors,
         )
         return books, codes, rnorms
+
+    def hnsw_arrays(self):
+        """Stored HNSW graph ``(layers [(ids, adj)], entry, m,
+        ef_construction)`` if the builder persisted one
+        (``Builder.set_hnsw_index``), else None. Zero-copy views of the
+        mmap (the reference stores a TODO stub instead of a graph,
+        ``src/builder.rs:459``)."""
+        idx = self._info.index
+        meta = idx.params.get("layers")
+        if not meta or idx.kind != IndexKind.HNSW:
+            return None
+        layers = []
+        for lm in meta:
+            count, width = int(lm["count"]), int(lm["width"])
+            ids = np.frombuffer(
+                self._reader.block_bytes(int(lm["ids_block"])),
+                dtype="<i4", count=count,
+            )
+            adj = np.frombuffer(
+                self._reader.block_bytes(int(lm["adj_block"])),
+                dtype="<i4", count=count * width,
+            ).reshape(count, width)
+            layers.append((ids, adj))
+        return (
+            layers,
+            int(idx.params.get("entry", -1)),
+            int(idx.params.get("m", 16)),
+            int(idx.params.get("ef_construction", 200)),
+        )
 
     # -- tombstones ----------------------------------------------------------------
 

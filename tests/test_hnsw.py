@@ -1,0 +1,128 @@
+"""HNSW graph index: build, search recall, persistence, tombstones.
+The reference declares the HNSW schema but its writer stores a TODO stub
+(``src/builder.rs:459`` in thegenem0/metrovector) — these tests define the
+real behavior. HNSW runs host-side by design (graph traversal is
+gather-bound on TPU; see index/hnsw.py docstring)."""
+
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, DistanceMetric, Reader
+from metrovector_tpu.index import HNSWIndex
+from metrovector_tpu.ops import numpy_oracle
+
+METRICS = [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT]
+
+
+def _data(rng, n=600, d=24):
+    return rng.standard_normal((n, d)).astype(np.float32)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_hnsw_high_recall(rng, metric):
+    data = _data(rng)
+    idx = HNSWIndex.build(data, metric, m=12, ef_construction=100, seed=1)
+    q = _data(rng, n=15)
+    res = idx.search(q, k=10, ef=128)
+    _, oi = numpy_oracle(q, data, 10, metric)
+    hits = sum(len(set(res.indices[i]) & set(oi[i])) for i in range(15))
+    assert hits / 150 >= 0.9
+
+
+def test_ef_monotone_recall(rng):
+    data = _data(rng, n=1000)
+    idx = HNSWIndex.build(data, DistanceMetric.L2, m=8, ef_construction=60)
+    q = _data(rng, n=20)
+    _, oi = numpy_oracle(q, data, 10, DistanceMetric.L2)
+
+    def recall(ef):
+        res = idx.search(q, k=10, ef=ef)
+        return sum(len(set(res.indices[i]) & set(oi[i])) for i in range(20))
+
+    assert recall(10) <= recall(64) <= recall(256)
+    assert recall(256) / 200 >= 0.85
+
+
+def test_graph_is_connected_enough(rng):
+    """Every live row must be reachable: searching for each row's own
+    vector with a generous beam must find it."""
+    data = _data(rng, n=300, d=8)
+    idx = HNSWIndex.build(data, DistanceMetric.L2, m=8, ef_construction=80)
+    res = idx.search(data, k=1, ef=128)
+    found = (res.indices[:, 0] == np.arange(300)).mean()
+    assert found >= 0.99
+
+
+def test_single_and_tiny_corpus(rng):
+    one = _data(rng, n=1, d=8)
+    idx = HNSWIndex.build(one, DistanceMetric.L2)
+    res = idx.search(one, k=3)
+    assert res.indices[0, 0] == 0
+    assert (res.indices[0, 1:] == -1).all()
+
+
+def test_distances_match_engine_convention(rng):
+    """Returned distances are true Euclidean distances (reference
+    find_top_k_similar convention)."""
+    data = _data(rng, n=200, d=8)
+    idx = HNSWIndex.build(data, DistanceMetric.L2, m=8, ef_construction=60)
+    q = data[7:8] + 0.01
+    res = idx.search(q, k=1, ef=64)
+    i = int(res.indices[0, 0])
+    true_d = np.linalg.norm(q[0] - data[i])
+    np.testing.assert_allclose(res.distances[0, 0], true_d, rtol=1e-4)
+
+
+def test_hnsw_persistence_roundtrip(tmp_path, rng):
+    data = _data(rng, n=400, d=16)
+    idx = HNSWIndex.build(data, DistanceMetric.L2, m=8, ef_construction=80,
+                          seed=3)
+    b = Builder()
+    b.add_vector_space("s", dim=16)
+    b.add_vectors("s", data)
+    b.set_hnsw_index("s", idx.layers, idx.entry, m=8, ef_construction=80)
+    path = tmp_path / "h.mvt"
+    b.build().save(path)
+
+    sp = Reader.open(path).vector_space("s")
+    from metrovector_tpu.format.constants import IndexKind
+
+    assert sp.info.index.kind == IndexKind.HNSW
+    re = HNSWIndex.from_space(sp)
+    assert re.entry == idx.entry
+    assert len(re.layers) == len(idx.layers)
+    for (ia, aa), (ib, ab) in zip(re.layers, idx.layers):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(aa, ab)
+    # identical graph → identical results
+    q = _data(rng, n=8, d=16)
+    a = re.search(q, k=5, ef=64)
+    c = idx.search(q, k=5, ef=64)
+    np.testing.assert_array_equal(a.indices, c.indices)
+
+
+def test_hnsw_excludes_tombstones(tmp_path, rng):
+    data = _data(rng, n=150, d=8)
+    b = Builder()
+    b.add_vector_space("s", dim=8)
+    b.add_vectors("s", data)
+    b.delete_vector("s", 4)
+    path = tmp_path / "t.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    idx = HNSWIndex.from_space(sp, m=8, ef_construction=60)
+    res = idx.search(data[4:5], k=5, ef=64)
+    assert 4 not in res.indices
+
+
+def test_hnsw_config_roundtrip_without_graph(tmp_path, rng):
+    """The reference-level behavior — storing only the config — still
+    works via the fluent handle."""
+    b = Builder()
+    b.add_vector_space("s", dim=8).with_hnsw_index(m=24, ef_construction=77)
+    b.add_vectors("s", _data(rng, n=10, d=8))
+    path = tmp_path / "c.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    assert sp.info.index.params == {"m": 24, "ef_construction": 77}
+    assert sp.hnsw_arrays() is None  # no graph stored
