@@ -4,10 +4,12 @@ The reference has no deletion story beyond schema-level tombstones it never
 writes (``src/builder.rs:485`` in thegenem0/metrovector); MVT writes them
 (``Builder.delete_vector``) and masks them at query time, and this module
 closes the loop: physically drop deleted rows, renumber, filter metadata
-columns, and re-emit a clean file. Index structures are carried as
-*configuration* only — persisted IVF centroids/assignments reference old
-row ids, so they are dropped and rebuilt lazily on next use
-(``IVFIndex.from_space`` retrains when blocks are absent).
+columns, and re-emit a clean file. Index structures (IVF blocks, HNSW
+graphs, PQ sidecars) are carried as *configuration* only — their persisted
+blocks reference old row ids, so they are dropped and rebuilt lazily on
+next use (``*.from_space`` retrains when blocks are absent). File-level
+custom extensions and the security descriptor are row-independent and
+round-trip verbatim.
 """
 
 from __future__ import annotations
@@ -26,6 +28,12 @@ def compact(reader: Reader, path=None) -> BuiltFile:
     b = Builder()
     for k, v in reader.manifest.hints.items():
         b.set_hint(k, v)
+    # Carry file-level extension payloads and the security descriptor —
+    # they are row-independent and must survive compaction verbatim.
+    for ext_name in reader.extension_names():
+        b.add_extension(ext_name, bytes(reader.extension(ext_name)))
+    if reader.security:
+        b.set_security(**reader.security)
     for name in reader.vector_space_names:
         sp = reader.vector_space(name)
         info = sp.info
@@ -46,10 +54,14 @@ def compact(reader: Reader, path=None) -> BuiltFile:
                 sp.quantization.scale, sp.quantization.zero_point
             )
         if info.index.kind != 0:
+            # Strip everything that references old block ids or old row
+            # numbering: top-level *_block entries (IVF), the HNSW per-layer
+            # block list and its entry node id. What survives is pure
+            # configuration; graphs/assignments rebuild lazily on next use.
             params = {
                 k: v
                 for k, v in info.index.params.items()
-                if not k.endswith("_block")
+                if not k.endswith("_block") and k not in ("layers", "entry")
             }
             b._get_space(name).index = IndexInfo(
                 kind=info.index.kind, params=params

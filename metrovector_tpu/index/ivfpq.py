@@ -198,12 +198,17 @@ class IVFPQIndex:
         assignments: np.ndarray | None = None,
         codebooks: np.ndarray | None = None,
         codes: np.ndarray | None = None,
+        recon_norms: np.ndarray | None = None,
         keep_vectors: bool = True,
         valid_mask: np.ndarray | None = None,
     ) -> "IVFPQIndex":
         """Train (or accept precomputed) coarse + residual structure and lay
-        codes out into uniform buckets. Tombstoned rows (``valid_mask``
-        True) are excluded from the buckets entirely."""
+        codes out into uniform buckets. With everything precomputed
+        (centroids/assignments/codebooks/codes/recon_norms, as persisted by
+        ``Builder.set_ivf_index`` + ``set_pq_index(residual=True)``) no
+        training, encoding or reconstruction runs — O(1)-open. Tombstoned
+        rows (``valid_mask`` True) are excluded from the buckets
+        entirely."""
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n, d = vectors.shape
         if centroids is None or assignments is None:
@@ -211,18 +216,24 @@ class IVFPQIndex:
                 vectors, num_clusters, iters=iters, seed=seed
             )
         num_clusters = centroids.shape[0]
-        residuals = vectors - centroids[assignments]
-        if codebooks is None:
-            codebooks = train_pq(residuals, m=m, ksub=ksub, iters=iters, seed=seed + 1)
+        if codebooks is None or codes is None:
+            residuals = vectors - centroids[assignments]
+            if codebooks is None:
+                codebooks = train_pq(
+                    residuals, m=m, ksub=ksub, iters=iters, seed=seed + 1
+                )
+            codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
+            if codes is None:
+                codes = encode_pq(residuals, codebooks)
         codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
-        if codes is None:
-            codes = encode_pq(residuals, codebooks)
         m = codebooks.shape[0]
 
-        recon = reconstruct_pq(codes, codebooks) + centroids[assignments]
-        recon_norms = np.einsum(
-            "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
-        ).astype(np.float32)
+        if recon_norms is None:
+            recon = reconstruct_pq(codes, codebooks) + centroids[assignments]
+            recon_norms = np.einsum(
+                "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
+            ).astype(np.float32)
+        recon_norms = np.ascontiguousarray(recon_norms, dtype=np.float32)
 
         keep = np.ones(n, bool) if valid_mask is None else ~np.asarray(valid_mask)
         from .ivf import bucket_layout
@@ -280,7 +291,7 @@ class IVFPQIndex:
         reusing the persisted coarse quantizer (IVF blocks) and residual PQ
         sidecar when both are present — no retraining, no re-encoding."""
         stored_ivf = space.ivf_arrays()
-        centroids = assignments = codebooks = codes = None
+        centroids = assignments = codebooks = codes = recon_norms = None
         if stored_ivf is not None:
             centroids, assignments = stored_ivf
         stored_pq = space.pq_arrays()
@@ -289,7 +300,7 @@ class IVFPQIndex:
             and space.info.pq.residual
             and stored_ivf is not None
         ):
-            codebooks, codes, _ = stored_pq
+            codebooks, codes, recon_norms = stored_pq
         if num_clusters is None:
             num_clusters = int(
                 space.info.index.params.get(
@@ -312,6 +323,7 @@ class IVFPQIndex:
             assignments=assignments,
             codebooks=codebooks,
             codes=codes,
+            recon_norms=recon_norms,
             keep_vectors=keep_vectors,
             valid_mask=space.tombstone_mask(),
         )

@@ -319,12 +319,15 @@ class PQIndex:
         seed: int = 0,
         codebooks: np.ndarray | None = None,
         codes: np.ndarray | None = None,
+        recon_norms: np.ndarray | None = None,
         keep_vectors: bool = True,
         valid_mask: np.ndarray | None = None,
     ) -> "PQIndex":
         """Train (or accept precomputed) codebooks, encode, and upload. With
         ``keep_vectors`` the originals stay on device for re-ranking; without
-        it only codes occupy HBM (the capacity-scaling mode)."""
+        it only codes occupy HBM (the capacity-scaling mode). Passing
+        everything precomputed (as persisted by ``Builder.set_pq_index``)
+        skips training, encoding and reconstruction."""
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n, d = vectors.shape
         if codebooks is None:
@@ -332,10 +335,12 @@ class PQIndex:
         codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
         if codes is None:
             codes = encode_pq(vectors, codebooks)
-        recon = reconstruct_pq(codes, codebooks)
-        recon_norms = np.einsum(
-            "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
-        ).astype(np.float32)
+        if recon_norms is None:
+            recon = reconstruct_pq(codes, codebooks)
+            recon_norms = np.einsum(
+                "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
+            ).astype(np.float32)
+        recon_norms = np.ascontiguousarray(recon_norms, dtype=np.float32)
         db = db_norms = None
         if keep_vectors:
             db = jax.device_put(vectors)
@@ -412,6 +417,7 @@ class PQIndex:
             seed=seed,
             codebooks=codebooks,
             codes=codes,
+            recon_norms=stored_rnorms,
             keep_vectors=keep_vectors,
             valid_mask=space.tombstone_mask(),
         )
