@@ -23,7 +23,7 @@ import numpy as np
 from .errors import DimensionMismatchError, InvalidVectorTypeError
 from .format.constants import DataType, DistanceMetric, numpy_dtype
 from .format.reader import Reader
-from .ops.distances import exact_topk_xla, scores_to_distances
+from .ops.distances import distances_np, exact_topk_xla
 from .ops.topk_kernel import fused_topk
 from .vectors.space import VectorSpace
 
@@ -412,9 +412,7 @@ class SearchEngine:
             mult = 2.0 if sp.metric == DistanceMetric.L2 else 1.0
             scores = scores + mult * prep.const[:, None]
         qnorms = prep.sq_norms
-        dist = np.asarray(
-            scores_to_distances(jnp.asarray(scores), sp.metric, jnp.asarray(qnorms))
-        )
+        dist = distances_np(scores, sp.metric, qnorms)
         if k_eff < k:  # pad out to requested k with sentinels
             pad = ((0, 0), (0, k - k_eff))
             idx = np.pad(idx, pad, constant_values=-1)

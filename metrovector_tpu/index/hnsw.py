@@ -257,8 +257,7 @@ class HNSWIndex:
         """Approximate top-k; ``ef`` (≥ k) is the layer-0 beam width —
         recall rises with it. Returns a ``SearchResult``."""
         from ..engine import SearchResult
-        from ..ops.distances import scores_to_distances
-        import jax.numpy as jnp
+        from ..ops.distances import distances_np
 
         metric = self.metric
         q2 = np.ascontiguousarray(queries, np.float32)
@@ -299,9 +298,7 @@ class HNSWIndex:
             scores = out_s
         else:
             scores = out_s
-        dist = np.asarray(
-            scores_to_distances(jnp.asarray(scores), metric, jnp.asarray(qn))
-        )
+        dist = distances_np(scores, metric, qn)
         bad = np.inf if metric == DistanceMetric.L2 else -np.inf
         dist = np.where(out_i >= 0, dist, bad)
         return SearchResult(out_i, scores, dist.astype(np.float32), metric)

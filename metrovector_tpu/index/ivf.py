@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format.constants import DistanceMetric
-from ..ops.distances import scores_to_distances
+from ..ops.distances import distances_np
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
@@ -358,9 +358,7 @@ class IVFIndex:
             metric=self.metric,
         )
         s, i = np.asarray(s), np.asarray(i)
-        dist = np.asarray(
-            scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
-        )
+        dist = distances_np(s, self.metric, qnorms)
         dist = np.where(i >= 0, dist,
                         np.inf if self.metric == DistanceMetric.L2 else -np.inf)
         if s.shape[1] < k:

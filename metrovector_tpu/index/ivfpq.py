@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format.constants import DistanceMetric
-from ..ops.distances import scores_to_distances
+from ..ops.distances import distances_np
 from .ivf import train_kmeans
 from .pq import _rerank, encode_pq, reconstruct_pq, train_pq
 
@@ -386,9 +386,7 @@ class IVFPQIndex:
         else:
             s, i = s[:, :k], i[:, :k]
         s, i = np.asarray(s), np.asarray(i)
-        dist = np.asarray(
-            scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
-        )
+        dist = distances_np(s, self.metric, qnorms)
         bad_fill = np.inf if self.metric == DistanceMetric.L2 else -np.inf
         dist = np.where(i >= 0, dist, bad_fill)
         if s.shape[1] < k:

@@ -102,6 +102,26 @@ def scores_to_distances(
     return scores
 
 
+def distances_np(
+    scores, metric: DistanceMetric, query_sq_norms=None
+):
+    """NumPy twin of :func:`scores_to_distances` for host-side result
+    finalization — the conversion is trivial elementwise math, and routing
+    it through jax from host arrays costs a full host↔device round trip
+    per query batch (~30 ms over a remote-TPU link)."""
+    import numpy as np
+
+    metric = DistanceMetric(metric)
+    scores = np.asarray(scores)
+    if metric == DistanceMetric.L2:
+        if query_sq_norms is None:
+            raise ValueError("L2 distance conversion requires query norms")
+        return np.sqrt(
+            np.maximum(np.asarray(query_sq_norms)[:, None] - scores, 0.0)
+        )
+    return scores
+
+
 def mask_scores(
     scores: jax.Array,
     row_offset,

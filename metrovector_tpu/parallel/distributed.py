@@ -145,10 +145,9 @@ class DistributedSearcher:
                interpret: bool = False):
         from ..engine import DeviceSpace, SearchResult
         from ..format.constants import DistanceMetric
-        from ..ops.distances import scores_to_distances
+        from ..ops.distances import distances_np
         from .mesh import replicate
         from .sharded_search import sharded_topk
-        import jax.numpy as jnp
 
         helper = DeviceSpace(
             data=self.data, norms=self.norms, num_valid=self.num_valid,
@@ -164,11 +163,7 @@ class DistributedSearcher:
             scale=prep.dot_scale, backend=backend, interpret=interpret,
         )
         s, i = np.asarray(s), np.asarray(i)
-        dist = np.asarray(
-            scores_to_distances(
-                jnp.asarray(s), self.metric, jnp.asarray(prep.sq_norms)
-            )
-        )
+        dist = distances_np(s, self.metric, prep.sq_norms)
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))
             i = np.pad(i, pad, constant_values=-1)

@@ -349,7 +349,7 @@ class ShardedDeviceSpace:
         import numpy as np
 
         from ..engine import DeviceSpace, SearchResult
-        from ..ops.distances import scores_to_distances
+        from ..ops.distances import distances_np
 
         # Reuse single-chip query preprocessing (pad/normalize/quantize).
         from ..format.constants import DataType
@@ -387,9 +387,7 @@ class ShardedDeviceSpace:
             mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
             s = s + mult * prep.const[:, None]
         qnorms = prep.sq_norms
-        dist = np.asarray(
-            scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
-        )
+        dist = distances_np(s, self.metric, qnorms)
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))
             i = np.pad(i, pad, constant_values=-1)

@@ -92,7 +92,7 @@ class StreamingSearcher:
         """Stream all chunks and return a
         :class:`~metrovector_tpu.engine.SearchResult`."""
         from ..engine import DeviceSpace, SearchResult
-        from ..ops.distances import scores_to_distances
+        from ..ops.distances import distances_np
 
         sp = self.space
         q_meta = sp.quantization
@@ -205,9 +205,7 @@ class StreamingSearcher:
         if prep.const is not None:
             mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
             s = s + mult * prep.const[:, None]
-        dist = np.asarray(
-            scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
-        )
+        dist = distances_np(s, self.metric, qnorms)
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))
             i = np.pad(i, pad, constant_values=-1)

@@ -25,7 +25,7 @@ import numpy as np
 
 from .errors import DimensionMismatchError, InvalidVectorTypeError
 from .format.constants import DistanceMetric, VectorType
-from .ops.distances import scores_to_distances
+from .ops.distances import distances_np
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
@@ -150,9 +150,7 @@ class SparseSearchEngine:
             self.num_vectors, self.nnz_chunk,
         )
         s, i = np.asarray(s), np.asarray(i)
-        dist = np.asarray(
-            scores_to_distances(jnp.asarray(s), self.metric, jnp.asarray(qnorms))
-        )
+        dist = distances_np(s, self.metric, qnorms)
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))
             i = np.pad(i, pad, constant_values=-1)
