@@ -145,6 +145,7 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
         bias_scale_ref = rest.pop(0) if has_bias else None
         q_ref, db_ref = rest[:2]
         rest = rest[2:]
+        q_lo_ref = rest.pop(0) if split_planes else None
         db_lo_ref = rest.pop(0) if split_planes else None
         norms_ref = rest.pop(0)
         bias_ref = rest.pop(0) if has_bias else None
@@ -167,12 +168,13 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
             ).astype(jnp.float32)
         elif split_planes:
             # Precomputed hi/lo bf16 planes (f32 = hi + lo to ~16
-            # significand bits; same total HBM bytes as f32). Only the
-            # queries split in-kernel — three single-pass bf16 MXU dots,
+            # significand bits; same total HBM bytes as f32). The queries
+            # split OUTSIDE the kernel (tiny tensors; in-kernel f32→bf16
+            # casts of matmul operands fail Mosaic layout at wide dims —
+            # "Bad lhs type" at D=1024) — three single-pass bf16 MXU dots,
             # no per-block VPU casting of the corpus.
-            q32 = q_ref[:]
-            q_hi = q32.astype(jnp.bfloat16)
-            q_lo = (q32 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            q_hi = q_ref[:]
+            q_lo = q_lo_ref[:]
             dots = jax.lax.dot_general(
                 q_hi, db_ref[:], dimension_numbers=dims,
                 preferred_element_type=jnp.float32, precision=prec,
@@ -330,6 +332,26 @@ def fused_topk(
         except Exception as exc:  # jaxlib runtime error types vary
             msg = str(exc)
             if "vmem" not in msg.lower() and "VMEM" not in msg:
+                if db_lo is not None and (
+                    "Mosaic" in msg or "mosaic" in msg
+                ):
+                    # Split-plane compilation is toolchain-sensitive (a
+                    # Mosaic "Bad lhs type" regression appeared mid-cycle
+                    # on v5e for the two-plane operand layout). Reconstruct
+                    # f32 = hi + lo on device and serve at HIGHEST — exact,
+                    # just without the bf16x3 speedup.
+                    _log.warning(
+                        "split-plane kernel failed to compile (%s); "
+                        "falling back to f32 HIGHEST", msg.splitlines()[0]
+                    )
+                    db32 = db.astype(jnp.float32) + db_lo.astype(jnp.float32)
+                    return _fused_topk(
+                        queries, db32, db_norms, num_valid, k, metric,
+                        valid_mask=valid_mask, scale=scale, block_rows=None,
+                        query_tile=query_tile, interpret=interpret,
+                        precision="highest", bias_row=bias_row,
+                        bias_scale=bias_scale, db_lo=None,
+                    )
                 raise
             last_exc = exc
             if bn is None:
@@ -436,6 +458,13 @@ def _fused_topk(
     q_pad = _round_up(q, qt)
     if q_pad != q:
         queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+    queries_lo = None
+    if split_planes:
+        # Host/XLA-side query split (see kernel comment): hi plane rides
+        # the regular query slot, lo plane is an extra input.
+        q_hi = queries.astype(jnp.bfloat16)
+        queries_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        queries = q_hi
 
     metric = DistanceMetric(metric)
     int_path = db.dtype in (jnp.int8.dtype, jnp.uint8.dtype)
@@ -461,6 +490,12 @@ def _fused_topk(
     ]
     args += [queries, db]
     if split_planes:
+        # lo query plane first (matches kernel arg order), then lo db plane
+        in_specs.append(
+            pl.BlockSpec((qt, d), lambda qi, ni: (qi, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(queries_lo)
         in_specs.append(db_spec)
         args.append(db_lo)
     in_specs.append(row_spec)
