@@ -185,6 +185,20 @@ class DeviceSpace:
             precision=precision,
         )
 
+    def _latch_split_fallback(self) -> None:
+        """One-time recovery when the split-plane kernel cannot compile on
+        the current toolchain (ops.topk_kernel.split_planes_broken): rebuild
+        the f32 corpus from the hi/lo bf16 planes on-device, drop the lo
+        plane, and serve at HIGHEST from then on. Exact — f32 == hi + lo by
+        construction — and avoids per-search reconstruction."""
+        import jax.numpy as _jnp
+
+        self.data = self.data.astype(_jnp.float32) + self.data_lo.astype(
+            _jnp.float32
+        )
+        self.data_lo = None
+        self.precision = "highest"
+
     @property
     def padded_rows(self) -> int:
         return int(self.data.shape[0])
@@ -347,7 +361,8 @@ class SearchEngine:
             fm = np.asarray(filter_mask)
             if fm.shape != (sp.num_valid,):
                 raise DimensionMismatchError(
-                    expected=sp.num_valid, actual=int(fm.shape[0])
+                    expected=sp.num_valid,
+                    actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
                 )
             full = np.zeros(sp.data.shape[0], np.float32)
             full[: sp.num_valid] = fm.astype(bool)
@@ -361,6 +376,11 @@ class SearchEngine:
             scores, idx = self._search_uint8_dequant(prep.qdev, k_eff, eff_mask)
         elif self.backend == "pallas":
             qdev = prep.qdev
+            if sp.data_lo is not None:
+                from .ops import topk_kernel as _tk
+
+                if _tk.split_planes_broken():
+                    sp._latch_split_fallback()
             kernel_prec = "highest"
             if sp.data_lo is not None:
                 kernel_prec = "high"  # split planes: kernel re-splits queries

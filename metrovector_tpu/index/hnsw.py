@@ -103,7 +103,7 @@ class HNSWIndex:
         rng = np.random.default_rng(seed)
         live = np.arange(n)
         if valid_mask is not None:
-            live = live[~np.asarray(valid_mask)]
+            live = live[~np.asarray(valid_mask, dtype=bool)]
         if len(live) == 0:
             return cls(rows, norms, [], _SENTINEL, metric, m, ef_construction,
                        valid=None)
@@ -213,7 +213,7 @@ class HNSWIndex:
                            np.full((1, width0), _SENTINEL, np.int32))]
         valid = None
         if valid_mask is not None:
-            valid = ~np.asarray(valid_mask)
+            valid = ~np.asarray(valid_mask, dtype=bool)
         return cls(rows, norms, layers_out, entry, metric, m,
                    ef_construction, valid=valid)
 

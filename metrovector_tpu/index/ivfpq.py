@@ -235,7 +235,11 @@ class IVFPQIndex:
             ).astype(np.float32)
         recon_norms = np.ascontiguousarray(recon_norms, dtype=np.float32)
 
-        keep = np.ones(n, bool) if valid_mask is None else ~np.asarray(valid_mask)
+        keep = (
+            np.ones(n, bool)
+            if valid_mask is None
+            else ~np.asarray(valid_mask, dtype=bool)
+        )
         from .ivf import bucket_layout
 
         cells, row_lists, bucket_rows = bucket_layout(

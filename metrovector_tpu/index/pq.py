@@ -353,7 +353,9 @@ class PQIndex:
             )
         valid = None
         if valid_mask is not None:
-            valid = jax.device_put((~np.asarray(valid_mask)).astype(np.int32))
+            valid = jax.device_put(
+                (~np.asarray(valid_mask, dtype=bool)).astype(np.int32)
+            )
         return cls(
             codebooks=codebooks,
             codes=jax.device_put(np.asarray(codes, np.uint8)),

@@ -48,6 +48,19 @@ from ..utils.log import get_logger
 _NEG_INF = float("-inf")
 _log = get_logger("ops.topk")
 
+# Latched True the first time the split-plane ('high' precision) kernel
+# fails Mosaic compilation on this toolchain, so later calls skip the
+# re-attempt (lowering failures are not jit-cached; remote compiles cost
+# 30s+ each). Engines should consult split_planes_broken() and drop their
+# lo planes permanently (see engine.DeviceSpace._latch_split_fallback).
+_SPLIT_PLANES_BROKEN = False
+
+
+def split_planes_broken() -> bool:
+    """True once the split-plane kernel has failed to compile in this
+    process; the 'high' path will serve via f32 reconstruction instead."""
+    return _SPLIT_PLANES_BROKEN
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -318,6 +331,29 @@ def fused_topk(
     exactly predictable, e.g. large-``k`` selection), retry with
     successively smaller ``block_rows``. The shrink only triggers on the
     first compile of a shape; steady-state calls hit the jit cache."""
+    global _SPLIT_PLANES_BROKEN
+
+    def _reconstructed_highest():
+        # Split-plane compilation is toolchain-sensitive (a Mosaic "Bad
+        # lhs type" regression appeared mid-cycle on v5e for the two-plane
+        # operand layout). Reconstruct f32 = hi + lo on device and serve
+        # at HIGHEST — exact, just without the bf16x3 speedup. Callers
+        # holding the planes (engine.DeviceSpace) should check
+        # :func:`split_planes_broken` and latch the reconstruction so this
+        # per-call rebuild happens at most once per corpus.
+        db32 = db.astype(jnp.float32) + db_lo.astype(jnp.float32)
+        return _fused_topk(
+            queries, db32, db_norms, num_valid, k, metric,
+            valid_mask=valid_mask, scale=scale, block_rows=None,
+            query_tile=query_tile, interpret=interpret,
+            precision="highest", bias_row=bias_row,
+            bias_scale=bias_scale, db_lo=None,
+        )
+
+    if db_lo is not None and _SPLIT_PLANES_BROKEN:
+        # Latched: skip the (30s+ remote-compile) re-attempt entirely.
+        return _reconstructed_highest()
+
     bn = block_rows
     last_exc = None
     for _ in range(5):
@@ -335,23 +371,12 @@ def fused_topk(
                 if db_lo is not None and (
                     "Mosaic" in msg or "mosaic" in msg
                 ):
-                    # Split-plane compilation is toolchain-sensitive (a
-                    # Mosaic "Bad lhs type" regression appeared mid-cycle
-                    # on v5e for the two-plane operand layout). Reconstruct
-                    # f32 = hi + lo on device and serve at HIGHEST — exact,
-                    # just without the bf16x3 speedup.
                     _log.warning(
                         "split-plane kernel failed to compile (%s); "
                         "falling back to f32 HIGHEST", msg.splitlines()[0]
                     )
-                    db32 = db.astype(jnp.float32) + db_lo.astype(jnp.float32)
-                    return _fused_topk(
-                        queries, db32, db_norms, num_valid, k, metric,
-                        valid_mask=valid_mask, scale=scale, block_rows=None,
-                        query_tile=query_tile, interpret=interpret,
-                        precision="highest", bias_row=bias_row,
-                        bias_scale=bias_scale, db_lo=None,
-                    )
+                    _SPLIT_PLANES_BROKEN = True
+                    return _reconstructed_highest()
                 raise
             last_exc = exc
             if bn is None:

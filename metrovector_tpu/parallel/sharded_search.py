@@ -134,7 +134,7 @@ def sharded_topk(
     jax.jit,
     static_argnames=(
         "k", "rerank", "metric", "mesh", "axis", "exact_lut", "backend",
-        "interpret",
+        "interpret", "block_rows",
     ),
 )
 def sharded_pq_topk(
@@ -154,6 +154,7 @@ def sharded_pq_topk(
     exact_lut: bool = False,
     backend: str = "pallas",
     interpret: bool = False,
+    block_rows: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Global PQ search over a row-sharded coded corpus.
 
@@ -184,9 +185,15 @@ def sharded_pq_topk(
         dnorms_l = extras.pop(0) if db is not None else None
         mask_l = extras.pop(0) if valid_mask is not None else None
         if backend == "pallas":
+            # block_rows is threaded through because the in-kernel VMEM-OOM
+            # retry in fused_adc_topk only runs at trace time; Mosaic
+            # scoped-VMEM rejections surface at first *execution*, outside
+            # this jit, so recovery happens by the caller re-invoking with a
+            # smaller explicit block_rows (advisor finding r1).
             s, i = fused_adc_topk(
                 q, codes_l, codebooks, rnorms_l, nvalid_local, fetch, metric,
                 valid_mask=mask_l, exact_lut=exact_lut, interpret=interpret,
+                block_rows=block_rows,
             )
         else:
             s, i = _adc_search(
