@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..format.constants import LANES, DistanceMetric
 from ..utils.log import get_logger
-from .topk_kernel import _NEG_INF, _round_up, _select_k_into
+from .topk_kernel import _NEG_INF, _pool_flush, _pool_merge_block, _round_up
 
 _log = get_logger("ops.adc")
 
@@ -56,7 +56,9 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
     # fused_adc_topk guards tighter parts).
     budget = 20 * 1024 * 1024 - query_tile * m * ksub * esz
     budget -= 24 * query_tile * max(k_pad - 128, 0)
-    denom = 2 * m + m * ksub * esz + 4 * query_tile + 32
+    # 12·qt per code row: the f32 score tile (4·qt) plus the pool merge's
+    # collision-path full-width (scores, ids) loop carries (8·qt).
+    denom = 2 * m + m * ksub * esz + 12 * query_tile + 32
     bn = budget // max(denom, 1)
     bn = max(256, min(8192, bn))
     return (bn // 256) * 256
@@ -64,32 +66,17 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
 
 def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
                      metric: DistanceMetric, has_valid: bool,
-                     exact_lut: bool, merge_every: int = 1):
+                     exact_lut: bool):
     metric = DistanceMetric(metric)
-    lanes = LANES
-    n_chunks = block_rows // lanes
     oh_dtype = jnp.float32 if exact_lut else jnp.bfloat16
     prec = (
         jax.lax.Precision.HIGHEST if exact_lut else jax.lax.Precision.DEFAULT
     )
-    mev = merge_every
 
     def kernel(nvalid_ref, lut_ref, codes_ref, norms_ref, *rest):
-        # Deferred selection (mev > 1): per-block lane-fold maxima are
-        # PARKED in a candidate buffer (one 128-lane segment per block)
-        # and the k-round selection runs once per `mev` blocks — selection
-        # is the dominant cost at large k, and deferral divides its
-        # frequency. Exactness: the skip threshold and collision theta go
-        # stale by < mev blocks, but stale thresholds are strictly LOWER,
-        # so they only under-skip / over-flag — never drop a qualifying
-        # candidate.
         rest = list(rest)
         valid_ref = rest.pop(0) if has_valid else None
-        if mev > 1:
-            out_s_ref, out_i_ref, best_s, best_i, buf_s, buf_i = rest
-        else:
-            out_s_ref, out_i_ref, best_s, best_i = rest
-            buf_s = buf_i = None
+        out_s_ref, out_i_ref, best_s, best_i = rest
 
         ni = pl.program_id(1)
         nblocks = pl.num_programs(1)
@@ -98,13 +85,9 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
         def _init():
             best_s[:] = jnp.full_like(best_s, _NEG_INF)
             best_i[:] = jnp.full_like(best_i, -1)
-            if buf_s is not None:
-                buf_s[:] = jnp.full_like(buf_s, _NEG_INF)
-                buf_i[:] = jnp.full_like(buf_i, -1)
 
         codes = codes_ref[:].astype(jnp.int32)  # [BN, m]
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, ksub), 1)
-        qt = lut_ref.shape[0]
         dims = (((1,), (1,)), ((), ()))
         # Concatenate the m per-subspace one-hots along lanes and contract
         # in ONE K = m·ksub matmul — deep contractions keep the MXU
@@ -136,78 +119,15 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
         if valid_ref is not None:
             scores = jnp.where(valid_ref[:] != 0, scores, _NEG_INF)
 
-        full = slice(None)
-        worst = jnp.min(best_s[:, :k])
-        blockmax = jnp.max(scores)
-
-        @pl.when(blockmax > worst)
-        def _merge():
-            # Lane-fold compression + collision fallback, as in
-            # topk_kernel (see its docstring for the exactness argument).
-            theta = best_s[:, k - 1 : k]
-            fm = scores[:, 0:lanes]
-            am = jnp.zeros((qt, lanes), jnp.int32)
-            imp = (fm >= theta).astype(jnp.int32)
-            for c in range(1, n_chunks):
-                sc = scores[:, c * lanes : (c + 1) * lanes]
-                gt = sc > fm
-                fm = jnp.where(gt, sc, fm)
-                am = jnp.where(gt, c, am)
-                imp += (sc >= theta).astype(jnp.int32)
-            collision = jnp.max(imp) >= 2
-
-            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
-            fold_idx = row0 + am * lanes + lane_iota
-
-            @pl.when(jnp.logical_not(collision))
-            def _fast():
-                if buf_s is None:
-                    cand_s = jnp.concatenate([best_s[:], fm], axis=1)
-                    cand_i = jnp.concatenate([best_i[:], fold_idx], axis=1)
-                    _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
-                else:
-                    seg = (ni % mev) * lanes
-                    buf_s[:, pl.dslice(seg, lanes)] = fm
-                    buf_i[:, pl.dslice(seg, lanes)] = fold_idx
-
-            @pl.when(collision)
-            def _slow():
-                gidx = row0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (qt, block_rows), 1
-                )
-                if buf_s is None:
-                    cand_s = jnp.concatenate([best_s[:], scores], axis=1)
-                    cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
-                else:
-                    # Pending buffered candidates join the full-width merge.
-                    cand_s = jnp.concatenate([best_s[:], buf_s[:], scores], axis=1)
-                    cand_i = jnp.concatenate([best_i[:], buf_i[:], gidx], axis=1)
-                _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
-                if buf_s is not None:
-                    buf_s[:] = jnp.full_like(buf_s, _NEG_INF)
-                    buf_i[:] = jnp.full_like(buf_i, -1)
-
-        if buf_s is not None:
-            # Periodic drain: fold the parked segments into the carried
-            # top-k once per `mev` blocks (and at the end of the scan).
-            @pl.when(
-                jnp.logical_or(ni % mev == mev - 1, ni == nblocks - 1)
-            )
-            def _drain():
-                has_any = jnp.max(buf_s[:]) > _NEG_INF
-
-                @pl.when(has_any)
-                def _sel():
-                    cand_s = jnp.concatenate([best_s[:], buf_s[:]], axis=1)
-                    cand_i = jnp.concatenate([best_i[:], buf_i[:]], axis=1)
-                    _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
-                    buf_s[:] = jnp.full_like(buf_s, _NEG_INF)
-                    buf_i[:] = jnp.full_like(buf_i, -1)
+        # Shared streaming pool merge (topk_kernel): per-block work scales
+        # with actual improvements, not k — this replaced the deferred
+        # "merge_every" selection batching, which only divided the k-round
+        # frequency by a constant.
+        _pool_merge_block(scores, best_s, best_i, row0, k, k_pad, block_rows)
 
         @pl.when(ni == nblocks - 1)
         def _flush():
-            out_s_ref[:] = best_s[:]
-            out_i_ref[:] = best_i[:]
+            _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k, k_pad)
 
     return kernel
 
@@ -225,7 +145,6 @@ def fused_adc_topk(
     block_rows: int | None = None,
     query_tile: int = 256,
     interpret: bool = False,
-    merge_every: int | None = None,
 ):
     """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
     scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`)."""
@@ -237,7 +156,6 @@ def fused_adc_topk(
                 queries, codes, codebooks, recon_norms, num_valid, k, metric,
                 valid_mask=valid_mask, exact_lut=exact_lut, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
-                merge_every=merge_every,
             )
         except Exception as exc:
             msg = str(exc)
@@ -262,7 +180,7 @@ def fused_adc_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "exact_lut", "block_rows", "query_tile",
-                     "interpret", "merge_every"),
+                     "interpret"),
 )
 def _fused_adc_topk(
     queries: jax.Array,
@@ -277,7 +195,6 @@ def _fused_adc_topk(
     block_rows: int | None = None,
     query_tile: int = 256,
     interpret: bool = False,
-    merge_every: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ADC top-k over a PQ-coded corpus shard.
 
@@ -292,11 +209,6 @@ def _fused_adc_topk(
       exact_lut: f32-HIGHEST one-hot matmuls (ranking equals the f64 ADC
         oracle to f32 rounding) instead of single-pass bf16 (default,
         ~6× less MXU time; error ≪ PQ quantization error).
-      merge_every: run the k-round candidate selection once per this many
-        code blocks, parking per-block lane-fold maxima in a VMEM buffer
-        in between (None = auto: 1 for k ≤ 32, where selection is cheap;
-        4 for larger k, where it dominates). Results are exact for any
-        value.
 
     Returns ``(scores [Q, k] f32, indices [Q, k] int32)`` best-first.
     """
@@ -310,8 +222,6 @@ def _fused_adc_topk(
     if block_rows is None:
         block_rows = default_adc_block_rows(m, ksub, qt, k_pad, exact_lut)
     block_rows = max(LANES, _round_up(block_rows, LANES))
-    if merge_every is None:
-        merge_every = 1 if k <= 32 else 4
 
     # Per-query LUT [Q, m·ksub] — a tiny einsum (Q·ksub·D MACs), f32 for
     # exactness then cast to the kernel's matmul dtype.
@@ -353,7 +263,6 @@ def _fused_adc_topk(
     kernel = _make_adc_kernel(
         k, k_pad, block_rows, m, ksub, metric,
         has_valid=valid_mask is not None, exact_lut=exact_lut,
-        merge_every=merge_every,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -372,15 +281,7 @@ def _fused_adc_topk(
         scratch_shapes=[
             pltpu.VMEM((qt, k_pad), jnp.float32),
             pltpu.VMEM((qt, k_pad), jnp.int32),
-        ]
-        + (
-            [
-                pltpu.VMEM((qt, LANES * merge_every), jnp.float32),
-                pltpu.VMEM((qt, LANES * merge_every), jnp.int32),
-            ]
-            if merge_every > 1
-            else []
-        ),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * m * ksub,
             bytes_accessed=n * m + q_pad * m * ksub * lut.dtype.itemsize

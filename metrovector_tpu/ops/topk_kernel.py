@@ -76,7 +76,9 @@ def default_block_rows(padded_dim: int, itemsize: int, query_tile: int = 128,
     hi/lo split temporaries (~3·BN·D·esz/2 extra) per block; large ``k``
     charges the candidate/scratch lists (``~24·qt·k_pad`` bytes)."""
     budget = 9 * 1024 * 1024 - 24 * query_tile * max(k_pad - 128, 0)
-    denom = 2 * padded_dim * itemsize + 4 * query_tile + 32
+    # 12·qt per DB row: the f32 score tile (4·qt) plus the collision-path
+    # insert loop's full-width (scores, ids) carries (8·qt).
+    denom = 2 * padded_dim * itemsize + 12 * query_tile + 32
     if bf16x3:
         denom += 3 * padded_dim * itemsize // 2
     bn = budget // max(denom, 1)
@@ -128,6 +130,139 @@ def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
         return jnp.where(onehot, _NEG_INF, cs)
 
     jax.lax.fori_loop(0, k, body, cand_s)
+
+
+
+def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
+                      block_rows: int):
+    """Streaming top-k pool merge for one score block — shared by the
+    distance kernel and the ADC kernel.
+
+    The candidate pool (``best_s`` / ``best_i`` scratch refs, ``[qt,
+    k_pad]``, first ``k`` columns live) is UNSORTED: per-block selection
+    work is proportional to how many rows actually improve the running
+    top-k (a heap's replace-min, vectorized over the query tile, O(k·ln N)
+    inserts over the whole scan) instead of k full selection rounds per
+    merged block. Sorted output is produced once, by :func:`_pool_flush`.
+
+    Exactness: a conservative whole-tile skip (equal scores are skippable —
+    the scan visits rows in ascending id order, so a later tie always loses
+    the lowest-index tie-break), then a 128-lane fold whose per-lane
+    improvement count detects the rare same-lane double-improvement and
+    reruns that block's inserts at full width. Key order everywhere is
+    (score desc, index asc), matching the stable-argsort oracle.
+    """
+    lanes = LANES
+    n_chunks = block_rows // lanes
+    qt = scores.shape[0]
+    big = jnp.int32(2**31 - 1)
+    col_iota_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
+    pool_valid = col_iota_k < k  # pool occupies the first k columns
+
+    # theta_q = the pool's current minimum = the k-th best score so far.
+    theta = jnp.min(
+        jnp.where(pool_valid, best_s[:], jnp.float32(jnp.inf)), axis=1
+    )
+
+    def insert_candidates(inc_s, inc_i, n_rounds):
+        """Vectorized replace-min: each round moves every query's best
+        remaining incoming candidate into its pool slot holding the worst
+        retained entry, if it beats it. ``n_rounds`` bounds the trip count
+        (theta only rises, so the pre-insert beat count is an upper bound
+        on inserts)."""
+
+        def body(_, carry):
+            cs, ci = carry
+            m = jnp.max(cs, axis=1)
+            eqc = cs == m[:, None]
+            sel_i = jnp.min(jnp.where(eqc, ci, big), axis=1)
+            ps = jnp.where(pool_valid, best_s[:], jnp.float32(jnp.inf))
+            wmin = jnp.min(ps, axis=1)
+            eqp = ps == wmin[:, None]
+            # worst key among the minima = the one with LARGEST id
+            evict_i = jnp.max(
+                jnp.where(eqp, best_i[:], jnp.int32(-(2**31))), axis=1
+            )
+            evict_cols = jnp.logical_and(eqp, best_i[:] == evict_i[:, None])
+            evict_col = jnp.min(
+                jnp.where(evict_cols, col_iota_k, big), axis=1
+            )
+            beats = jnp.logical_or(
+                m > wmin,
+                jnp.logical_and(m == wmin, sel_i < evict_i),
+            )
+            do_write = jnp.logical_and(
+                beats[:, None], col_iota_k == evict_col[:, None]
+            )
+            best_s[:] = jnp.where(do_write, m[:, None], best_s[:])
+            best_i[:] = jnp.where(do_write, sel_i[:, None], best_i[:])
+            # Consume the candidate whether or not it beat: if the block's
+            # best remaining didn't, none of the rest will.
+            consumed = jnp.logical_and(eqc, ci == sel_i[:, None])
+            cs = jnp.where(consumed, _NEG_INF, cs)
+            ci = jnp.where(consumed, big, ci)
+            return cs, ci
+
+        jax.lax.fori_loop(0, n_rounds, body, (inc_s, inc_i))
+
+    # Conservative whole-tile skip: nothing in this block can beat the
+    # worst retained candidate of any query in the tile.
+    worst = jnp.min(theta)
+    blockmax = jnp.max(scores)
+
+    @pl.when(blockmax > worst)
+    def _merge():
+        # Lane fold: compress the block to its per-lane maxima — 128
+        # candidates per query in ~2 passes. Exact unless one query has two
+        # pool-beating rows in the same lane of the same block, which the
+        # per-lane improvement count detects; that rare case inserts from
+        # the full-width block instead.
+        th_col = theta[:, None]
+        fm = scores[:, 0:lanes]
+        am = jnp.zeros((qt, lanes), jnp.int32)
+        imp = (fm >= th_col).astype(jnp.int32)
+        for c in range(1, n_chunks):
+            sc = scores[:, c * lanes : (c + 1) * lanes]
+            gt = sc > fm
+            fm = jnp.where(gt, sc, fm)
+            am = jnp.where(gt, c, am)
+            imp += (sc >= th_col).astype(jnp.int32)
+        collision = jnp.max(imp) >= 2
+        # Upper bound on insert rounds this block: the largest per-query
+        # count of candidates ≥ its current k-th best (ties included),
+        # capped at k — a block can insert at most k rows (each insert
+        # evicts), and candidates are consumed in descending key order so
+        # all inserts precede all no-ops. The cap matters while the pool
+        # still has −inf holes (theta=−inf makes the raw count the whole
+        # block).
+        n_rounds = jnp.minimum(jnp.max(jnp.sum(imp, axis=1)), jnp.int32(k))
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
+        fold_idx = row0 + am * lanes + lane_iota
+
+        @pl.when(jnp.logical_not(collision))
+        def _fast():
+            insert_candidates(fm, fold_idx, n_rounds)
+
+        @pl.when(collision)
+        def _slow():
+            gidx = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (qt, block_rows), 1
+            )
+            insert_candidates(scores, gidx, n_rounds)
+
+
+def _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k: int, k_pad: int):
+    """One k-round sort of the (tiny) pool per query tile — the only place
+    selection still costs O(k) passes."""
+    qt = best_s.shape[0]
+    col_iota_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
+    pool_valid = col_iota_k < k
+    out_s_ref[:] = jnp.full_like(out_s_ref, _NEG_INF)
+    out_i_ref[:] = jnp.full_like(out_i_ref, -1)
+    cand_s = jnp.where(pool_valid, best_s[:], _NEG_INF)
+    cand_i = jnp.where(pool_valid, best_i[:], -1)
+    _select_k_into(cand_s, cand_i, out_s_ref, out_i_ref, slice(None), k)
 
 
 _PRECISIONS = {
@@ -255,56 +390,11 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
         if valid_ref is not None:
             scores = jnp.where(valid_ref[:] != 0, scores, _NEG_INF)
 
-        qt = scores.shape[0]
-        full = slice(None)
-
-        # Conservative whole-tile skip: nothing in this block can beat the
-        # worst retained candidate of any query in the tile.
-        worst = jnp.min(best_s[:, :k])
-        blockmax = jnp.max(scores)
-
-        @pl.when(blockmax > worst)
-        def _merge():
-            # Lane fold: compress the block to its per-lane maxima — 128
-            # candidates per query in ~2 passes — then select k from
-            # 128 + k_pad columns instead of block_rows + k_pad. This is
-            # exact unless some query improves its top-k twice in the same
-            # lane of the same block, which a per-lane improvement count
-            # detects; that rare case takes the full-width merge instead.
-            theta = best_s[:, k - 1 : k]  # current kth best per query
-            fm = scores[:, 0:lanes]
-            am = jnp.zeros((qt, lanes), jnp.int32)
-            imp = (fm >= theta).astype(jnp.int32)
-            for c in range(1, n_chunks):
-                sc = scores[:, c * lanes : (c + 1) * lanes]
-                gt = sc > fm
-                fm = jnp.where(gt, sc, fm)
-                am = jnp.where(gt, c, am)
-                imp += (sc >= theta).astype(jnp.int32)
-            collision = jnp.max(imp) >= 2
-
-            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
-            fold_idx = row0 + am * lanes + lane_iota
-
-            @pl.when(jnp.logical_not(collision))
-            def _fast():
-                cand_s = jnp.concatenate([best_s[:], fm], axis=1)
-                cand_i = jnp.concatenate([best_i[:], fold_idx], axis=1)
-                _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
-
-            @pl.when(collision)
-            def _slow():
-                gidx = row0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (qt, block_rows), 1
-                )
-                cand_s = jnp.concatenate([best_s[:], scores], axis=1)
-                cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
-                _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
+        _pool_merge_block(scores, best_s, best_i, row0, k, k_pad, block_rows)
 
         @pl.when(ni == nblocks - 1)
         def _flush():
-            out_s_ref[:] = best_s[:]
-            out_i_ref[:] = best_i[:]
+            _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k, k_pad)
 
     return kernel
 

@@ -89,10 +89,9 @@ def test_kernel_bf16_lut_close(rng):
     assert overlap >= 0.8
 
 
-@pytest.mark.parametrize("mev", [1, 2, 4])
-def test_deferred_selection_parity(rng, mev):
-    """merge_every deferral must not change any result — including on
-    adversarial near-duplicate corpora that force fold collisions."""
+def test_near_duplicate_collisions(rng):
+    """The pool merge must stay exact on adversarial near-duplicate
+    corpora that force fold collisions (full-width insert path)."""
     base = rng.standard_normal((50, 16)).astype(np.float32)
     # many near-duplicates → dense score ties → frequent collisions
     data = np.concatenate([base + 1e-3 * rng.standard_normal((50, 16))
@@ -106,7 +105,7 @@ def test_deferred_selection_parity(rng, mev):
     q = base[:6] + 0.01 * rng.standard_normal((6, 16)).astype(np.float32)
     s, i = fused_adc_topk(
         q, codes, books, rnorms, np.int32(len(data)), 40, DistanceMetric.L2,
-        exact_lut=True, block_rows=128, interpret=True, merge_every=mev,
+        exact_lut=True, block_rows=128, interpret=True,
     )
     _, oi = numpy_oracle(q, recon, 40, DistanceMetric.L2)
     np.testing.assert_array_equal(np.asarray(i), oi)
