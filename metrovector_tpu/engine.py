@@ -49,6 +49,13 @@ class SearchResult:
     scores: np.ndarray
     distances: np.ndarray
     metric: DistanceMetric
+    # Stable external IDs ``[Q, k]`` u64 — the space's ID column gathered at
+    # the result rows (the row positions themselves when the space has no
+    # ID column). Unfilled slots hold the u64 sentinel 2**64−1. Unlike
+    # ``indices``, these stay valid across compaction.
+    ids: np.ndarray | None = None
+
+    ID_SENTINEL = np.uint64(2**64 - 1)
 
     def __len__(self) -> int:
         return self.indices.shape[0]
@@ -94,6 +101,7 @@ class DeviceSpace:
         rowsums: jax.Array | None = None,
         data_lo: jax.Array | None = None,
         precision: str = "highest",
+        host_ids: np.ndarray | None = None,
     ):
         self.data = data
         self.norms = norms
@@ -111,6 +119,9 @@ class DeviceSpace:
         # f32 'high' precision: precomputed bf16 lo plane (hi lives in data)
         self.data_lo = data_lo
         self.precision = precision
+        # Host-side stable ID column (u64), used only to translate result
+        # row positions back to external IDs — never shipped to the device.
+        self.host_ids = host_ids
 
     # -- construction ---------------------------------------------------------
 
@@ -183,6 +194,7 @@ class DeviceSpace:
             rowsums=rowsums,
             data_lo=data_lo,
             precision=precision,
+            host_ids=space.ids(),
         )
 
     def _latch_split_fallback(self) -> None:
@@ -423,6 +435,7 @@ class SearchEngine:
                     np.float32,
                 ),
                 metric=sp.metric,
+                ids=np.full((nq, k), SearchResult.ID_SENTINEL, np.uint64),
             )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
@@ -439,8 +452,13 @@ class SearchEngine:
             scores = np.pad(scores, pad, constant_values=-np.inf)
             dist = np.pad(dist, pad, constant_values=np.inf
                           if sp.metric == DistanceMetric.L2 else -np.inf)
+        if sp.host_ids is not None:
+            ids = sp.host_ids[np.clip(idx, 0, None)].astype(np.uint64)
+        else:
+            ids = idx.astype(np.int64).astype(np.uint64)
+        ids[idx < 0] = SearchResult.ID_SENTINEL
         return SearchResult(indices=idx, scores=scores, distances=dist,
-                            metric=sp.metric)
+                            metric=sp.metric, ids=ids)
 
     def _search_uint8_dequant(self, qdev, k: int, eff_mask=None):
         """Affine-uint8 fallback (cosine / xla backend): dequantize on the

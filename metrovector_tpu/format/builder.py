@@ -117,6 +117,11 @@ class _PendingSpace:
         self.sp_vals: list[np.ndarray] = []
         self.sp_cols: list[np.ndarray] = []
         self.sp_lens: list[int] = []
+        # Optional stable external IDs (u64, one per row; reference
+        # ``vector_ids_block_index``, ``schema/core.fbs:54``). Either
+        # accumulated alongside add_vectors(ids=...) chunks or set
+        # wholesale via set_vector_ids; validated complete+unique at build.
+        self.id_chunks: list[np.ndarray] = []
 
 
 class VectorSpaceHandle:
@@ -227,11 +232,15 @@ class Builder:
 
     # -- data ---------------------------------------------------------------
 
-    def add_vectors(self, name: str, data) -> None:
+    def add_vectors(self, name: str, data, ids=None) -> None:
         """Append rows to a space. Accepts any array-like of shape ``[N, D]``
         (or a list of row sequences). Float input into an int8/uint8 space is
         scalar-quantized: with explicit ``with_quantization`` params if set,
-        else auto-calibrated symmetric (int8) / affine (uint8) on this chunk."""
+        else auto-calibrated symmetric (int8) / affine (uint8) on this chunk.
+
+        ``ids``: optional stable external IDs (u64, one per appended row).
+        If any chunk carries IDs, every chunk must — checked at build. IDs
+        survive compaction, unlike row positions."""
         sp = self._get_space(name)
         if sp.vector_type == VectorType.SPARSE:
             raise InvalidVectorTypeError(
@@ -254,8 +263,29 @@ class Builder:
         ):
             arr = self._quantize(sp, arr.astype(np.float32))
         rows = as_vector_array(arr, sp.dim, sp.dtype)
+        if ids is not None:
+            id_arr = np.ascontiguousarray(np.asarray(ids), dtype="<u8").reshape(-1)
+            if id_arr.shape[0] != rows.shape[0]:
+                raise BuildError(
+                    f"ids length {id_arr.shape[0]} != rows appended "
+                    f"{rows.shape[0]} for space {name!r}"
+                )
+            sp.id_chunks.append(id_arr)
         sp.chunks.append(rows)
         sp.num_vectors += int(rows.shape[0])
+
+    def set_vector_ids(self, name: str, ids) -> None:
+        """Replace a space's stable external IDs wholesale (u64, one per
+        row already appended — call after the data). Equivalent to passing
+        ``ids=`` on every ``add_vectors`` call."""
+        sp = self._get_space(name)
+        id_arr = np.ascontiguousarray(np.asarray(ids), dtype="<u8").reshape(-1)
+        if id_arr.shape[0] != sp.num_vectors:
+            raise BuildError(
+                f"ids length {id_arr.shape[0]} != space {name!r} row count "
+                f"{sp.num_vectors}"
+            )
+        sp.id_chunks = [id_arr]
 
     @staticmethod
     def _quantize(sp: _PendingSpace, arr: np.ndarray) -> np.ndarray:
@@ -597,6 +627,11 @@ class Builder:
         }
         manifest.hints = dict(self._hints)
         manifest.security = dict(self._security)
+        # Declare the oldest reader able to open this file: v2 is only
+        # required when a v2 feature (stable vector IDs) is present.
+        manifest.compat_version = (
+            2 if any(s.ids_block >= 0 for s in manifest.spaces) else 1
+        )
         return BuiltFile(manifest, payloads)
 
     @staticmethod
@@ -699,13 +734,35 @@ class Builder:
             )
         if len(sp.heap):
             info.string_heap_block = push_block(sp.heap.to_bytes())
+        if sp.id_chunks:
+            ids = np.concatenate(sp.id_chunks).astype("<u8", copy=False)
+            if ids.shape[0] != sp.num_vectors:
+                raise BuildError(
+                    f"space {sp.name!r} has ids for {ids.shape[0]} of "
+                    f"{sp.num_vectors} rows; pass ids= on every add_vectors "
+                    "call or use set_vector_ids"
+                )
+            if np.unique(ids).shape[0] != ids.shape[0]:
+                raise BuildError(f"space {sp.name!r} vector ids are not unique")
+            info.ids_block = push_block(ids)
         if sp.deleted:
-            bitmap = np.zeros((sp.num_vectors + 7) // 8, dtype=np.uint8)
-            idx = np.fromiter(sp.deleted, dtype=np.int64)
-            np.bitwise_or.at(bitmap, idx // 8, (1 << (idx % 8)).astype(np.uint8))
-            tb = push_block(bitmap)
+            # Two persisted tombstone encodings, like the reference schema
+            # (``schema/types.fbs:35-39``): a sorted u32 id list when
+            # deletions are sparse enough that it is smaller than the
+            # bitmap (4·count < rows/8), else one bit per row.
+            idx = np.sort(np.fromiter(sp.deleted, dtype=np.int64))
+            if 4 * len(sp.deleted) < (sp.num_vectors + 7) // 8:
+                tb = push_block(idx.astype("<u4"))
+                fmt = TombstoneFormat.SORTED_LIST
+            else:
+                bitmap = np.zeros((sp.num_vectors + 7) // 8, dtype=np.uint8)
+                np.bitwise_or.at(
+                    bitmap, idx // 8, (1 << (idx % 8)).astype(np.uint8)
+                )
+                tb = push_block(bitmap)
+                fmt = TombstoneFormat.BITMAP
             info.tombstones = TombstoneInfo(
-                format=TombstoneFormat.BITMAP, block=tb, count=len(sp.deleted)
+                format=fmt, block=tb, count=len(sp.deleted)
             )
 
 

@@ -22,9 +22,18 @@ from .builder import Builder, BuiltFile
 from .reader import Reader
 
 
-def compact(reader: Reader, path=None) -> BuiltFile:
+def compact(
+    reader: Reader, path=None, materialize_ids: bool = False
+) -> BuiltFile:
     """Rebuild every space without deleted rows. Returns the new
-    :class:`BuiltFile`; also saves to ``path`` when given."""
+    :class:`BuiltFile`; also saves to ``path`` when given.
+
+    Stable ID columns are carried through (filtered to surviving rows), so
+    external references by ID stay valid even though compaction renumbers
+    row positions. ``materialize_ids=True`` additionally writes the
+    *pre-compaction row positions* as the ID column of spaces that had
+    none, so position-based references taken before the compaction can
+    still be resolved afterwards."""
     b = Builder()
     for k, v in reader.manifest.hints.items():
         b.set_hint(k, v)
@@ -77,6 +86,12 @@ def compact(reader: Reader, path=None) -> BuiltFile:
         elif keep.any():
             # raw stored values (codes for quantized spaces) pass through
             b.add_vectors(name, sp.to_numpy()[keep])
+
+        ids = sp.ids()
+        if ids is not None:
+            b.set_vector_ids(name, ids[keep])
+        elif materialize_ids and keep.any():
+            b.set_vector_ids(name, np.flatnonzero(keep).astype(np.uint64))
 
         for col_name in sp.metadata_column_names():
             vals = sp.metadata_column(col_name)

@@ -23,7 +23,16 @@ MAGIC_LEN = len(MAGIC)
 FOOTER_LEN_SIZE = 4  # trailing little-endian u32 footer length
 # minimum possible file: magic + empty footer + len + magic
 MIN_FILE_SIZE = MAGIC_LEN + FOOTER_LEN_SIZE + MAGIC_LEN
-FORMAT_VERSION = 1
+# Format evolution (the analog of the reference's ``format_version`` +
+# ``compatibility_version`` pair, ``schema/mvf.fbs:13-14``): files carry
+# both the writer's version and the *oldest reader version* able to open
+# them. A reader accepts any file whose ``compat_version`` ≤ its own
+# FORMAT_VERSION, so old files keep opening under new readers and new
+# files degrade gracefully (unknown manifest keys are ignored) unless
+# they use features the old reader can't interpret.
+#   v1: round-1 layout (spaces, norms, indexes, tombstones, columns).
+#   v2: adds the optional per-space stable vector-ID block (``ids_block``).
+FORMAT_VERSION = 2
 
 # Data blocks are aligned to this boundary inside the file so a block can be
 # mapped / DMA'd with natural alignment (also friendly to O_DIRECT reads).

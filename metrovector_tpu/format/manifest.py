@@ -249,6 +249,11 @@ class SpaceInfo:
     padded_rows: int = 0  # physical rows in the block
     vectors_block: int = -1  # block id of the tile-packed vector data
     norms_block: int = -1  # block id of f32 squared norms (padded_rows,)
+    # Optional stable external IDs: block of u64 LE, one per logical row
+    # (reference ``vector_ids_block_index``, ``schema/core.fbs:54`` — "0 =
+    # use positions as IDs"; here −1 means positions are the IDs). Unlike
+    # positions, these survive compaction.
+    ids_block: int = -1
     index: IndexInfo = dataclasses.field(default_factory=IndexInfo)
     quantization: QuantizationInfo | None = None
     tombstones: TombstoneInfo = dataclasses.field(default_factory=TombstoneInfo)
@@ -269,6 +274,7 @@ class SpaceInfo:
             "padded_rows": self.padded_rows,
             "vectors_block": self.vectors_block,
             "norms_block": self.norms_block,
+            "ids_block": self.ids_block,
             "index": self.index.to_json(),
             "tombstones": self.tombstones.to_json(),
             "columns": [c.to_json() for c in self.columns],
@@ -295,6 +301,7 @@ class SpaceInfo:
             padded_rows=int(d.get("padded_rows", 0)),
             vectors_block=int(d.get("vectors_block", -1)),
             norms_block=int(d.get("norms_block", -1)),
+            ids_block=int(d.get("ids_block", -1)),
             index=IndexInfo.from_json(d.get("index", {})),
             quantization=(
                 QuantizationInfo.from_json(d["quantization"])
@@ -316,6 +323,11 @@ class Manifest:
     """The whole footer (reference ``FileFooter``, ``schema/mvf.fbs:12-30``)."""
 
     version: int = FORMAT_VERSION
+    # Oldest reader version that can open this file (see
+    # constants.FORMAT_VERSION). Writers set it from the features actually
+    # used, so a v2 writer producing a v1-feature file stays maximally
+    # compatible.
+    compat_version: int = FORMAT_VERSION
     spaces: list[SpaceInfo] = dataclasses.field(default_factory=list)
     blocks: list[BlockInfo] = dataclasses.field(default_factory=list)
     stats: dict[str, Any] = dataclasses.field(default_factory=dict)
@@ -332,6 +344,7 @@ class Manifest:
         doc = {
             "format": "mvt",
             "version": self.version,
+            "compat_version": self.compat_version,
             "spaces": [s.to_json() for s in self.spaces],
             "blocks": [b.to_json() for b in self.blocks],
             "stats": self.stats,
@@ -354,6 +367,9 @@ class Manifest:
         try:
             return cls(
                 version=int(doc["version"]),
+                # v1 files predate the field: they require exactly a v1-capable
+                # reader, i.e. compat == their version.
+                compat_version=int(doc.get("compat_version", doc["version"])),
                 spaces=[SpaceInfo.from_json(s) for s in doc.get("spaces", [])],
                 blocks=[BlockInfo.from_json(b) for b in doc.get("blocks", [])],
                 stats=dict(doc.get("stats", {})),

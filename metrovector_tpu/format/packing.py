@@ -127,6 +127,122 @@ class StringHeap:
 
 
 # Compression ---------------------------------------------------------------
+#
+# LZ4 uses MVT's own block-format codec (native C++ with this pure-Python
+# twin — the spec at lz4.github.io/lz4/lz4_Block_format.html; the reference
+# declares LZ4 in types.fbs:28-32 but this environment ships no lz4
+# package, so the codec is self-contained). Streams are spec-valid: any
+# standard LZ4 block decoder reads them and vice versa.
+
+_LZ4_MINMATCH = 4
+_LZ4_MFLIMIT = 12
+_LZ4_LASTLITERALS = 5
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """Pure-Python LZ4 block encoder (greedy single-probe matcher — the
+    same strategy as the native codec, byte-compatible output rules)."""
+    n = len(data)
+    if n == 0:
+        return b"\x00"
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    match_limit = n - _LZ4_MFLIMIT if n > _LZ4_MFLIMIT else 0
+
+    def emit(lit_len: int, match_len: int, offset: int) -> None:
+        ml = match_len - _LZ4_MINMATCH if match_len else 0
+        token = (min(lit_len, 15) << 4) | (min(ml, 15) if match_len else 0)
+        out.append(token)
+        if lit_len >= 15:
+            rest = lit_len - 15
+            while rest >= 255:
+                out.append(255)
+                rest -= 255
+            out.append(rest)
+        out.extend(data[anchor : anchor + lit_len])
+        if match_len:
+            out.append(offset & 0xFF)
+            out.append(offset >> 8)
+            if ml >= 15:
+                rest = ml - 15
+                while rest >= 255:
+                    out.append(255)
+                    rest -= 255
+                out.append(rest)
+
+    while pos < match_limit:
+        key = data[pos : pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is not None and pos - cand <= 65535:
+            mlen = _LZ4_MINMATCH
+            max_ml = n - _LZ4_LASTLITERALS - pos
+            while (
+                mlen < max_ml and data[cand + mlen] == data[pos + mlen]
+            ):
+                mlen += 1
+            emit(pos - anchor, mlen, pos - cand)
+            pos += mlen
+            anchor = pos
+        else:
+            pos += 1
+    emit(n - anchor, 0, 0)
+    return bytes(out)
+
+
+def lz4_block_decompress(data: bytes, uncompressed_size: int) -> bytes:
+    """Pure-Python LZ4 block decoder with full bounds validation."""
+    ip, n = 0, len(data)
+    out = bytearray()
+    while ip < n:
+        token = data[ip]
+        ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if ip >= n:
+                    raise ExtensionError("malformed LZ4 block (literal len)")
+                b = data[ip]
+                ip += 1
+                lit += b
+                if b != 255:
+                    break
+        if ip + lit > n or len(out) + lit > uncompressed_size:
+            raise ExtensionError("malformed LZ4 block (literal overrun)")
+        out += data[ip : ip + lit]
+        ip += lit
+        if ip >= n:
+            break  # last sequence: literals only
+        if ip + 2 > n:
+            raise ExtensionError("malformed LZ4 block (truncated offset)")
+        offset = data[ip] | (data[ip + 1] << 8)
+        ip += 2
+        if offset == 0 or offset > len(out):
+            raise ExtensionError("malformed LZ4 block (bad offset)")
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                if ip >= n:
+                    raise ExtensionError("malformed LZ4 block (match len)")
+                b = data[ip]
+                ip += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += _LZ4_MINMATCH
+        if len(out) + mlen > uncompressed_size:
+            raise ExtensionError("malformed LZ4 block (match overrun)")
+        start = len(out) - offset
+        for i in range(mlen):  # may self-overlap (RLE): byte order matters
+            out.append(out[start + i])
+    if len(out) != uncompressed_size:
+        raise ExtensionError(
+            f"malformed LZ4 block: decoded {len(out)} of "
+            f"{uncompressed_size} bytes"
+        )
+    return bytes(out)
 
 
 def compress(data: bytes, algo: CompressionAlgorithm, level: int = 3) -> bytes:
@@ -136,11 +252,11 @@ def compress(data: bytes, algo: CompressionAlgorithm, level: int = 3) -> bytes:
     if algo == CompressionAlgorithm.ZLIB:
         return zlib.compress(data, level)
     if algo == CompressionAlgorithm.LZ4:
-        try:
-            import lz4.frame  # type: ignore
-        except ImportError as exc:
-            raise ExtensionError("LZ4 codec not available in this environment") from exc
-        return lz4.frame.compress(data, compression_level=level)
+        from ..native import lz4_compress
+
+        data = bytes(data)
+        native = lz4_compress(data)
+        return native if native is not None else lz4_block_compress(data)
     if algo == CompressionAlgorithm.ZSTD:
         try:
             import zstandard  # type: ignore
@@ -157,11 +273,16 @@ def decompress(data: bytes, algo: CompressionAlgorithm, uncompressed_size: int) 
     if algo == CompressionAlgorithm.ZLIB:
         return zlib.decompress(data)
     if algo == CompressionAlgorithm.LZ4:
+        from ..native import lz4_decompress
+
+        data = bytes(data)
         try:
-            import lz4.frame  # type: ignore
-        except ImportError as exc:
-            raise ExtensionError("LZ4 codec not available in this environment") from exc
-        return lz4.frame.decompress(data)
+            native = lz4_decompress(data, uncompressed_size)
+        except ValueError as exc:
+            raise ExtensionError(str(exc)) from exc
+        if native is not None:
+            return native
+        return lz4_block_decompress(data, uncompressed_size)
     if algo == CompressionAlgorithm.ZSTD:
         try:
             import zstandard  # type: ignore

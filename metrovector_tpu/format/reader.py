@@ -110,8 +110,14 @@ class Reader:
                 f"footer length {footer_len} out of bounds for file of {size} bytes"
             )
         manifest = Manifest.from_bytes(bytes(data[footer_start:flen_off]))
-        if manifest.version != FORMAT_VERSION:
-            raise UnsupportedVersionError(got=manifest.version, expected=FORMAT_VERSION)
+        # Compat floor, not exact match (reference carries format_version +
+        # compatibility_version for exactly this, ``schema/mvf.fbs:13-14``):
+        # accept any file whose declared minimum-reader version we meet, so
+        # v1 files open under this and future readers.
+        if not (1 <= manifest.compat_version <= FORMAT_VERSION):
+            raise UnsupportedVersionError(
+                got=manifest.version, expected=FORMAT_VERSION
+            )
         return manifest
 
     # -- metadata getters (reference src/reader.rs:82-143) ------------------

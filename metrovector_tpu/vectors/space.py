@@ -338,6 +338,38 @@ class VectorSpace:
 
     # -- tombstones ----------------------------------------------------------------
 
+    def ids(self) -> np.ndarray | None:
+        """Stable external IDs ``[num_vectors]`` u64, or None when positions
+        are the IDs (reference ``vector_ids_block_index`` semantics,
+        ``schema/core.fbs:54``). Zero-copy view of the mapped block."""
+        if self._info.ids_block < 0:
+            return None
+        raw = self._reader.block_bytes(self._info.ids_block)
+        return np.frombuffer(raw, dtype="<u8", count=self.num_vectors)
+
+    def id_for(self, index: int) -> int:
+        """The stable ID of row ``index`` (the position itself when the
+        space has no explicit ID column)."""
+        if index < 0 or index >= self.num_vectors:
+            raise IndexOutOfBoundsError(index, self.num_vectors)
+        ids = self.ids()
+        return int(ids[index]) if ids is not None else index
+
+    def row_for_id(self, vector_id: int) -> int:
+        """Inverse lookup: the current row position holding ``vector_id``.
+        O(1) after the first call (lazy hash map); raises KeyError for
+        unknown IDs."""
+        ids = self.ids()
+        if ids is None:
+            if 0 <= vector_id < self.num_vectors:
+                return int(vector_id)
+            raise KeyError(vector_id)
+        lut = getattr(self, "_id_lut", None)
+        if lut is None:
+            lut = {int(v): i for i, v in enumerate(ids)}
+            self._id_lut = lut
+        return lut[int(vector_id)]
+
     def tombstone_mask(self) -> np.ndarray | None:
         """Boolean ``[num_vectors]`` deleted-row mask, or None when the space
         has no tombstones (format per ``TombstoneInfo``)."""

@@ -25,7 +25,9 @@ from metrovector_tpu.format.constants import BLOCK_ALIGN, LANES
 def test_basic_roundtrip(small_file):
     path, data = small_file
     with Reader.open(path) as r:
-        assert r.version == 1
+        from metrovector_tpu.format.constants import FORMAT_VERSION
+
+        assert r.version == FORMAT_VERSION
         assert r.num_vector_spaces == 1
         assert r.vector_space_names == ["embeddings"]
         sp = r.vector_space("embeddings")

@@ -70,14 +70,23 @@ def test_garbage_footer(rng):
 
 
 def test_unsupported_version(rng):
+    # Acceptance is a compat floor (schema/mvf.fbs:13-14 semantics): a file
+    # is rejected only when it declares it needs a NEWER reader than this.
+    from metrovector_tpu.format.constants import FORMAT_VERSION
+
     img = bytearray(_image(rng))
     flen = int.from_bytes(img[-8:-4], "little")
     start = len(img) - 8 - flen
-    footer = img[start : start + flen].replace(b'"version":1', b'"version":9')
+    footer = (
+        img[start : start + flen]
+        .replace(b'"version":%d' % FORMAT_VERSION, b'"version":9')
+        .replace(b'"compat_version":1', b'"compat_version":9')
+        .replace(b'"compat_version":2', b'"compat_version":9')
+    )
     new = img[:start] + footer + len(footer).to_bytes(4, "little") + b"MVT1"
     with pytest.raises(UnsupportedVersionError) as ei:
         Reader.from_bytes(bytes(new))
-    assert ei.value.got == 9 and ei.value.expected == 1
+    assert ei.value.got == 9 and ei.value.expected == FORMAT_VERSION
 
 
 def test_checksum_detects_flipped_bit(rng):
