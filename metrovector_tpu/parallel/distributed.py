@@ -55,14 +55,21 @@ def load_space_sharded(
     space: VectorSpace,
     mesh: Mesh | None = None,
     axis: str = SHARD_AXIS,
+    uint8_offset: bool = False,
 ):
     """Load one space row-sharded over a (possibly multi-host) mesh,
     touching only locally-owned rows.
 
-    Returns ``(data, norms, valid_mask_or_None, rows_per_shard)`` as global
-    jax arrays sharded ``P(axis, …)``. Each addressable device receives its
-    slice via ``device_put`` of a *view* of the mmap — rows owned by remote
-    hosts are never read on this host.
+    Returns ``(data, norms, valid_mask_or_None, rowsums_or_None,
+    rows_per_shard)`` as global jax arrays sharded ``P(axis, …)``. Each
+    addressable device receives its slice via ``device_put`` of a *view*
+    of the mmap — rows owned by remote hosts are never read on this host.
+
+    ``uint8_offset=True`` applies the uint8 offset transform per local
+    slice (re-center codes to int8 ``c' = c − 128`` and compute the
+    per-row code sums the kernel's affine correction needs — see
+    ``DeviceSpace.from_space``), so the f32 corpus never materializes on
+    any host.
     """
     if mesh is None:
         mesh = global_mesh(axis)
@@ -82,32 +89,59 @@ def load_space_sharded(
     # Device order along the mesh axis defines row ownership.
     devices = list(mesh.devices.reshape(-1))
 
-    def assemble(host_array, spec, pad_width):
-        shape_global = (total,) + host_array.shape[1:]
+    dim, nvalid = space.dim, space.num_vectors
+
+    def _recenter(piece: np.ndarray, lo: int) -> np.ndarray:
+        shifted = piece.astype(np.int16) - 128
+        shifted[:, dim:] = 0
+        local_valid = int(np.clip(nvalid - lo, 0, shifted.shape[0]))
+        shifted[local_valid:, :] = 0
+        return shifted
+
+    def assemble(host_array, spec, transform=None):
+        tail = (
+            transform(np.asarray(host_array[0:0]), 0)
+            if transform is not None
+            else host_array[0:0]
+        ).shape[1:]
+        shape_global = (total,) + tail
         shards = []
-        owned = []
         for di, dev in enumerate(devices):
             if dev.process_index != jax.process_index():
                 continue
             lo = di * per
             hi = min(lo + per, host_array.shape[0])
             piece = np.asarray(host_array[lo:hi])
+            if transform is not None:
+                piece = transform(piece, lo)
             if piece.shape[0] < per:  # trailing padding rows
                 pw = ((0, per - piece.shape[0]),) + ((0, 0),) * (
-                    host_array.ndim - 1
+                    piece.ndim - 1
                 )
                 piece = np.pad(piece, pw)
             shards.append(jax.device_put(piece, dev))
-            owned.append(di)
         sharding = NamedSharding(mesh, spec)
         return jax.make_array_from_single_device_arrays(
             shape_global, sharding, shards
         )
 
-    data = assemble(block, P(axis, None), None)
-    norms_g = assemble(norms, P(axis), None)
-    mask_g = assemble(mask_full, P(axis), None) if mask_full is not None else None
-    return data, norms_g, mask_g, per
+    if uint8_offset:
+        data = assemble(
+            block, P(axis, None),
+            transform=lambda p, lo: _recenter(p, lo).astype(np.int8),
+        )
+        rowsums_g = assemble(
+            block, P(axis),
+            transform=lambda p, lo: _recenter(p, lo)[:, :dim]
+            .sum(axis=1, dtype=np.int32)
+            .astype(np.float32),
+        )
+    else:
+        data = assemble(block, P(axis, None))
+        rowsums_g = None
+    norms_g = assemble(norms, P(axis))
+    mask_g = assemble(mask_full, P(axis)) if mask_full is not None else None
+    return data, norms_g, mask_g, rowsums_g, per
 
 
 class DistributedSearcher:
@@ -124,10 +158,6 @@ class DistributedSearcher:
 
         if mesh is None:
             mesh = global_mesh(axis)
-        if DataType(space.dtype) == DataType.UINT8:
-            raise NotImplementedError(
-                "distributed uint8 offset loading not yet wired; store int8"
-            )
         self.mesh = mesh
         self.axis = axis
         self.space_meta = space.info
@@ -136,15 +166,20 @@ class DistributedSearcher:
         self.num_valid = space.num_vectors
         q = space.quantization
         self.scale = q.scale if q else 1.0
-        self.dtype = space.dtype
-        self.data, self.norms, self.valid_mask, self.rows_per_shard = (
-            load_space_sharded(space, mesh, axis)
+        self.zero_point = q.zero_point if q else 0.0
+        self.dtype = DataType(space.dtype)
+        (
+            self.data, self.norms, self.valid_mask, self.rowsums,
+            self.rows_per_shard,
+        ) = load_space_sharded(
+            space, mesh, axis,
+            uint8_offset=self.dtype == DataType.UINT8,
         )
 
     def search(self, queries, k: int = 10, backend: str = "pallas",
                interpret: bool = False):
         from ..engine import DeviceSpace, SearchResult
-        from ..format.constants import DistanceMetric
+        from ..format.constants import DataType, DistanceMetric
         from ..ops.distances import distances_np
         from .mesh import replicate
         from .sharded_search import sharded_topk
@@ -152,17 +187,33 @@ class DistributedSearcher:
         helper = DeviceSpace(
             data=self.data, norms=self.norms, num_valid=self.num_valid,
             dim=self.dim, metric=self.metric, scale=self.scale,
-            dtype=self.dtype,
+            zero_point=self.zero_point, dtype=self.dtype,
         )
+        uint8_cosine = (
+            self.dtype == DataType.UINT8
+            and self.metric == DistanceMetric.COSINE
+        )
+        dequant_bias = None
+        if uint8_cosine:
+            backend = "xla"  # dequant-on-read, as in ShardedDeviceSpace
+            dequant_bias = 128.0 - self.zero_point
+        elif self.dtype == DataType.UINT8:
+            backend = "pallas"  # offset-bias path only exists in-kernel
         prep = helper.prepare_queries(queries)
         k_eff = min(k, max(self.num_valid, 1))
         qrep = replicate(np.asarray(prep.qdev), self.mesh)
         s, i = sharded_topk(
             qrep, self.data, self.norms, self.num_valid, k_eff, self.metric,
             self.mesh, valid_mask=self.valid_mask, axis=self.axis,
-            scale=prep.dot_scale, backend=backend, interpret=interpret,
+            scale=self.scale if uint8_cosine else prep.dot_scale,
+            backend=backend, interpret=interpret,
+            bias_row=None if uint8_cosine else self.rowsums,
+            bias_scale=prep.bias_scale, dequant_bias=dequant_bias,
         )
         s, i = np.asarray(s), np.asarray(i)
+        if prep.const is not None:
+            mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
+            s = s + mult * prep.const[:, None]
         dist = distances_np(s, self.metric, prep.sq_norms)
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))

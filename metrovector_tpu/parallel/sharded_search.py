@@ -35,7 +35,7 @@ from .mesh import SHARD_AXIS
     jax.jit,
     static_argnames=(
         "k", "metric", "mesh", "axis", "scale", "backend", "interpret",
-        "block_rows",
+        "block_rows", "dequant_bias",
     ),
 )
 def sharded_topk(
@@ -54,8 +54,15 @@ def sharded_topk(
     block_rows: int | None = None,
     bias_row: jax.Array | None = None,
     bias_scale: float = 0.0,
+    dequant_bias: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact global top-k over a row-sharded corpus.
+
+    ``dequant_bias``: affine-uint8 dequant-on-read for the XLA backend —
+    each shard scores ``x = (c' + dequant_bias)·scale`` with f32 queries
+    (``c'`` the re-centered int8 codes, ``dequant_bias = 128 − zero_point``),
+    the sharded mirror of ``SearchEngine._search_uint8_dequant``. XLA fuses
+    the dequant into the matmul read; no f32 corpus copy persists in HBM.
 
     ``db``: ``[total_rows, D]`` sharded ``P(axis, None)``; ``db_norms``
     ``[total_rows]`` sharded ``P(axis)``; ``queries`` ``[Q, D]``
@@ -86,7 +93,12 @@ def sharded_topk(
             )
         else:
             q_x, db_x = q, db_l
-            if db_l.dtype == jnp.int8.dtype:
+            if dequant_bias is not None:
+                # affine-uint8 dequant-on-read (cosine path; see docstring)
+                db_x = (
+                    db_l.astype(jnp.float32) + jnp.float32(dequant_bias)
+                ) * jnp.float32(scale)
+            elif db_l.dtype == jnp.int8.dtype:
                 # symmetric int8 via dequant-on-read (bias_row spaces are
                 # routed to the pallas backend by ShardedDeviceSpace)
                 q_x = q.astype(jnp.float32) * jnp.float32(scale)
@@ -366,16 +378,18 @@ class ShardedDeviceSpace:
             dim=self.dim, metric=self.metric, scale=self.scale,
             zero_point=self.zero_point, dtype=self.dtype,
         )
-        if (
+        uint8_cosine = (
             self.dtype == DataType.UINT8
             and self.metric == DistanceMetric.COSINE
-        ):
-            raise NotImplementedError(
-                "sharded cosine search over affine-uint8 spaces is not "
-                "implemented; use a single-chip SearchEngine or store the "
-                "space as int8/f16"
-            )
-        if self.dtype == DataType.UINT8:
+        )
+        dequant_bias = None
+        if uint8_cosine:
+            # Cosine needs float dots (normalized queries can't quantize
+            # exactly): per-shard dequant-on-read, mirroring the
+            # single-chip engine's _search_uint8_dequant.
+            backend = "xla"
+            dequant_bias = 128.0 - self.zero_point
+        elif self.dtype == DataType.UINT8:
             backend = "pallas"  # the offset-bias path only exists in-kernel
         prep = helper.prepare_queries(queries)
         k_eff = min(k, max(self.num_valid, 1))
@@ -385,8 +399,10 @@ class ShardedDeviceSpace:
         s, i = sharded_topk(
             qrep, self.data, self.norms, self.num_valid, k_eff, self.metric,
             self.mesh, valid_mask=self.valid_mask, axis=self.axis,
-            scale=prep.dot_scale, backend=backend, interpret=interpret,
-            bias_row=self.rowsums, bias_scale=prep.bias_scale,
+            scale=self.scale if uint8_cosine else prep.dot_scale,
+            backend=backend, interpret=interpret,
+            bias_row=None if uint8_cosine else self.rowsums,
+            bias_scale=prep.bias_scale, dequant_bias=dequant_bias,
         )
         s = np.asarray(s)
         i = np.asarray(i)

@@ -108,11 +108,12 @@ class StreamingSearcher:
             self.dtype == DataType.UINT8
             and self.metric != DistanceMetric.COSINE
         )
-        if self.dtype == DataType.UINT8 and not uint8_offset:
-            raise NotImplementedError(
-                "streamed cosine search over affine-uint8 spaces is not "
-                "implemented; use a resident SearchEngine"
-            )
+        # uint8 + cosine: normalized float queries can't quantize exactly,
+        # so each chunk is dequantized host-side to f32 ((c − zp)·scale —
+        # memory-speed numpy) and served by the exact f32 HIGHEST kernel.
+        # Costs 4× the upload bytes of the code chunk; correctness first.
+        uint8_cosine = self.dtype == DataType.UINT8 and not uint8_offset
+        zp = q_meta.zero_point if q_meta else 0.0
         prep = helper.prepare_queries(queries)
         qdev, qnorms = prep.qdev, prep.sq_norms
         nq = qdev.shape[0]
@@ -151,6 +152,8 @@ class StreamingSearcher:
                 # host-side upcast: device-side f16 casts are ~3 MB/s on
                 # TPU (see fused_topk); numpy does this at memory speed
                 blk = blk.astype(np.float32)
+            if uint8_cosine:
+                blk = (blk.astype(np.float32) - zp) * self.scale
             nrm = self._norms[lo:hi]
             msk = self._mask[lo:hi] if self._mask is not None else None
             bias = None

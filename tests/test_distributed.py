@@ -45,7 +45,8 @@ def test_global_mesh_covers_all_devices():
 def test_load_space_sharded_layout(space):
     sp, data = space
     mesh = make_mesh(8)
-    dat, norms, mask, per = load_space_sharded(sp, mesh)
+    dat, norms, mask, rowsums, per = load_space_sharded(sp, mesh)
+    assert rowsums is None  # f32 space: no uint8 offset transform
     assert dat.shape[0] == per * 8
     assert norms.shape == (per * 8,)
     assert mask is not None  # tombstones present
