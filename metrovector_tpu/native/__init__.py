@@ -74,8 +74,16 @@ def load():
             ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_float, ctypes.c_float, f32p,
         ]
+        lib.mvt_lz4_bound.restype = ctypes.c_size_t
+        lib.mvt_lz4_bound.argtypes = [ctypes.c_size_t]
+        lib.mvt_lz4_compress.restype = ctypes.c_size_t
+        lib.mvt_lz4_compress.argtypes = [u8p, ctypes.c_size_t, u8p,
+                                         ctypes.c_size_t]
+        lib.mvt_lz4_decompress.restype = ctypes.c_size_t
+        lib.mvt_lz4_decompress.argtypes = [u8p, ctypes.c_size_t, u8p,
+                                           ctypes.c_size_t]
         lib.mvt_abi_version.restype = ctypes.c_int
-        if lib.mvt_abi_version() != 1:
+        if lib.mvt_abi_version() != 2:
             return None
         _lib = lib
         return _lib
@@ -99,6 +107,43 @@ def crc32(data: np.ndarray | bytes | memoryview, value: int = 0) -> int:
 
         return zlib.crc32(buf.tobytes(), value) & 0xFFFFFFFF
     return int(lib.mvt_crc32(value, _u8(buf), buf.nbytes))
+
+
+def lz4_compress(data) -> bytes | None:
+    """LZ4 block-format compression via the native codec, or None when it
+    is unavailable (caller falls back to the pure-Python encoder)."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
+        data, np.ndarray
+    ) else data.reshape(-1).view(np.uint8)
+    out = np.empty(int(lib.mvt_lz4_bound(buf.nbytes)), dtype=np.uint8)
+    wrote = lib.mvt_lz4_compress(_u8(buf), buf.nbytes, _u8(out), out.nbytes)
+    if wrote == 0 and buf.nbytes:
+        return None
+    return out[:wrote].tobytes()
+
+
+def lz4_decompress(data, uncompressed_size: int) -> bytes | None:
+    """LZ4 block-format decompression via the native codec; None when the
+    codec is unavailable. Raises ValueError on malformed input."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(
+        data, np.ndarray
+    ) else data.reshape(-1).view(np.uint8)
+    out = np.empty(max(uncompressed_size, 1), dtype=np.uint8)
+    wrote = lib.mvt_lz4_decompress(
+        _u8(buf), buf.nbytes, _u8(out), uncompressed_size
+    )
+    if wrote != uncompressed_size:
+        raise ValueError(
+            f"malformed LZ4 block: decoded {wrote} of "
+            f"{uncompressed_size} expected bytes"
+        )
+    return out[:uncompressed_size].tobytes()
 
 
 def pack_block_fused(
