@@ -336,22 +336,22 @@ def bench_sift1m_pq(interpret):
 
 
 def bench_sift1m_ivfpq(interpret):
-    """IVF-PQ: coarse probe + residual ADC + exact re-rank.
+    """IVF-PQ, both probing formulations.
 
-    NOTE (measured): XLA TPU gathers are scalar-slow, so the per-query
-    LUT lookups inside the probe make this path gather-bound on TPU —
-    the full-scan fused ADC kernel (sift1m-pq) wins for batch serving by
-    ~2 orders of magnitude. IVF-PQ's niche on TPU is small-batch /
-    latency-sensitive queries, which is the configuration measured here."""
+    Measured round 1: XLA TPU gathers are scalar-slow, so the per-query
+    LUT lookups inside bucket traversal make the classic probe
+    gather-bound (~250 QPS). Round 2 adds the gather-free **masked scan**
+    — dense ADC over the bucket-major corpus with a per-(query, bucket)
+    additive bias (q·centroid on probed buckets, −BIG elsewhere) — which
+    serves exact nprobe semantics at full-scan MXU throughput. Traversal
+    remains the small-batch/latency option (``mode="auto"`` routes)."""
     import jax
 
     from metrovector_tpu.format.constants import DistanceMetric
-    from metrovector_tpu.index.ivfpq import IVFPQIndex, _ivfpq_search
-    from metrovector_tpu.index.pq import _rerank
+    from metrovector_tpu.index.ivfpq import IVFPQIndex
 
     rng = np.random.default_rng(7)
     n, d, k, rr = (1_000_000 if not interpret else 10_000), 128, 10, 100
-    qb = 8 if not interpret else 64
     ncl, nprobe = (1024, 16) if not interpret else (32, 8)
     ksub = 256 if not interpret else 64
     db = _clustered_u8_corpus(rng, n, d)
@@ -360,35 +360,55 @@ def bench_sift1m_ivfpq(interpret):
         db, DistanceMetric.L2, num_clusters=ncl, m=16, ksub=ksub,
         iters=4 if not interpret else 2, keep_vectors=True,
     )
-    import jax.numpy as jnp
-
-    books = jnp.asarray(idx.codebooks)
-
-    def run(q):
-        _, cand = _ivfpq_search(
-            q, idx.probe_centroids, idx.buckets, idx.bucket_ids,
-            idx.bucket_norms, books,
-            k=rr, nprobe=nprobe, metric=DistanceMetric.L2,
-        )
-        return _rerank(q, idx.db, idx.db_norms, cand, k, DistanceMetric.L2)
 
     def mkq(nq):
         base = db[rng.integers(0, n, nq)]
         return np.clip(base + rng.normal(0, 8, base.shape), 0, 255).astype(np.float32)
 
     qc = mkq(8)
-    got = np.asarray(run(jax.device_put(qc))[1])
     d2 = (db.astype(np.float64) ** 2).sum(1)[None] - 2 * (
         qc.astype(np.float64) @ db.T.astype(np.float64)
     )
     oi = np.argsort(d2, 1, kind="stable")[:, :k]
-    recall = _recall(got, oi, k)
-    dt = _measure(run, lambda: mkq(qb), iters=5 if interpret else 20)
-    _report(
-        f"sift1m-ivfpq(n={n},C={ncl},nprobe={nprobe},rerank={rr},k=10,{qb}q)",
-        qb / dt, dt * 1e3, recall,
-        "coarse probe + residual LUT ADC + f32 exact re-rank",
-    )
+
+    from metrovector_tpu.index.ivfpq import _ivfpq_search
+    from metrovector_tpu.index.pq import _rerank
+    import jax.numpy as jnp
+
+    books = jnp.asarray(idx.codebooks)
+
+    for mode, qb in (("scan", 256 if not interpret else 64),
+                     ("probe", 8 if not interpret else 64)):
+        # Device-level calls so _measure's pipelined launches stay async
+        # (idx.search reads back per call — fine for serving, wrong for
+        # device-throughput measurement over the tunnel).
+        if mode == "scan":
+            def run(q):
+                _, cand = idx._masked_scan(q, rr, nprobe, interpret)
+                return _rerank(q, idx.db, idx.db_norms, cand, k,
+                               DistanceMetric.L2)
+        else:
+            def run(q):
+                _, cand = _ivfpq_search(
+                    q, idx.probe_centroids, idx.buckets, idx.bucket_ids,
+                    idx.bucket_norms, books,
+                    k=rr, nprobe=nprobe, metric=DistanceMetric.L2,
+                )
+                return _rerank(q, idx.db, idx.db_norms, cand, k,
+                               DistanceMetric.L2)
+
+        import jax as _jax
+
+        got = np.asarray(run(_jax.device_put(qc))[1])
+        recall = _recall(got, oi, k)
+        dt = _measure(run, lambda: mkq(qb), iters=5 if interpret else 15)
+        _report(
+            f"sift1m-ivfpq[{mode}](n={n},C={ncl},nprobe={nprobe},"
+            f"rerank={rr},k=10,{qb}q)",
+            qb / dt, dt * 1e3, recall,
+            "gather-free masked-scan ADC" if mode == "scan"
+            else "bucket-traversal probe (latency/small-batch path)",
+        )
 
 
 def bench_deep100m_pq(interpret):

@@ -66,7 +66,7 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
 
 def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
                      metric: DistanceMetric, has_valid: bool,
-                     exact_lut: bool):
+                     exact_lut: bool, group_rows: int = 0):
     metric = DistanceMetric(metric)
     oh_dtype = jnp.float32 if exact_lut else jnp.bfloat16
     prec = (
@@ -75,6 +75,7 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
 
     def kernel(nvalid_ref, lut_ref, codes_ref, norms_ref, *rest):
         rest = list(rest)
+        gbias_ref = rest.pop(0) if group_rows else None
         valid_ref = rest.pop(0) if has_valid else None
         out_s_ref, out_i_ref, best_s, best_i = rest
 
@@ -103,6 +104,18 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             lut_ref[:], onehot, dimension_numbers=dims,
             preferred_element_type=jnp.float32, precision=prec,
         )
+        if gbias_ref is not None:
+            # Per-(query, row-group) additive dot term, broadcast across
+            # each group's rows (group = one IVF bucket: the bias carries
+            # q·centroid for probed buckets and −BIG for unprobed ones, so
+            # probing is a dense epilogue instead of sparse gathers — the
+            # gather-free IVF formulation; XLA TPU gathers are scalar-slow).
+            qt_ = lut_ref.shape[0]
+            nb = block_rows // group_rows
+            gb = gbias_ref[:]  # [qt, nb]
+            dots = dots + jnp.broadcast_to(
+                gb[:, :, None], (qt_, nb, group_rows)
+            ).reshape(qt_, block_rows)
 
         norms = norms_ref[:]  # (1, BN) f32 — ‖x̂‖² of reconstructions
         if metric == DistanceMetric.L2:
@@ -145,6 +158,8 @@ def fused_adc_topk(
     block_rows: int | None = None,
     query_tile: int = 256,
     interpret: bool = False,
+    group_bias=None,
+    group_rows: int = 0,
 ):
     """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
     scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`)."""
@@ -156,6 +171,7 @@ def fused_adc_topk(
                 queries, codes, codebooks, recon_norms, num_valid, k, metric,
                 valid_mask=valid_mask, exact_lut=exact_lut, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
+                group_bias=group_bias, group_rows=group_rows,
             )
         except Exception as exc:
             msg = str(exc)
@@ -180,7 +196,7 @@ def fused_adc_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "exact_lut", "block_rows", "query_tile",
-                     "interpret"),
+                     "interpret", "group_rows"),
 )
 def _fused_adc_topk(
     queries: jax.Array,
@@ -195,6 +211,8 @@ def _fused_adc_topk(
     block_rows: int | None = None,
     query_tile: int = 256,
     interpret: bool = False,
+    group_bias: jax.Array | None = None,
+    group_rows: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ADC top-k over a PQ-coded corpus shard.
 
@@ -209,6 +227,13 @@ def _fused_adc_topk(
       exact_lut: f32-HIGHEST one-hot matmuls (ranking equals the f64 ADC
         oracle to f32 rounding) instead of single-pass bf16 (default,
         ~6× less MXU time; error ≪ PQ quantization error).
+      group_bias / group_rows: gather-free IVF probing. The corpus is laid
+        out bucket-major with every bucket padded to ``group_rows`` rows
+        (a multiple of 128); ``group_bias [Q, N/group_rows]`` f32 adds a
+        per-(query, bucket) dot term — ``q·centroid`` for probed buckets
+        (residual ADC: q·x̂ = q·c + q·r̂) and a large negative constant for
+        unprobed ones. Probing then costs a dense epilogue instead of the
+        scalar-slow per-query gathers of classic IVF traversal.
 
     Returns ``(scores [Q, k] f32, indices [Q, k] int32)`` best-first.
     """
@@ -222,6 +247,17 @@ def _fused_adc_topk(
     if block_rows is None:
         block_rows = default_adc_block_rows(m, ksub, qt, k_pad, exact_lut)
     block_rows = max(LANES, _round_up(block_rows, LANES))
+    if group_rows:
+        if group_rows % LANES:
+            raise ValueError(
+                f"group_rows must be a multiple of {LANES}, got {group_rows}"
+            )
+        if n % group_rows:
+            raise ValueError(
+                f"corpus rows {n} not a multiple of group_rows {group_rows}"
+            )
+        # Blocks must cover whole groups so the bias tile maps 1:1.
+        block_rows = max(group_rows, (block_rows // group_rows) * group_rows)
 
     # Per-query LUT [Q, m·ksub] — a tiny einsum (Q·ksub·D MACs), f32 for
     # exactness then cast to the kernel's matmul dtype.
@@ -256,6 +292,16 @@ def _fused_adc_topk(
         row_spec,
     ]
     args = [nvalid_arr, lut, codes_u8, norms_2d]
+    if group_rows:
+        nb_block = block_rows // group_rows
+        gb = group_bias.astype(jnp.float32)
+        if q_pad != q:
+            gb = jnp.pad(gb, ((0, q_pad - q), (0, 0)))
+        in_specs.append(
+            pl.BlockSpec((qt, nb_block), lambda qi, ni: (qi, ni),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(gb)
     if valid_mask is not None:
         in_specs.append(row_spec)
         args.append(valid_mask.reshape(1, n).astype(jnp.float32))
@@ -263,6 +309,7 @@ def _fused_adc_topk(
     kernel = _make_adc_kernel(
         k, k_pad, block_rows, m, ksub, metric,
         has_valid=valid_mask is not None, exact_lut=exact_lut,
+        group_rows=group_rows,
     )
     out_s, out_i = pl.pallas_call(
         kernel,

@@ -168,6 +168,8 @@ class DistributedSearcher:
         self.scale = q.scale if q else 1.0
         self.zero_point = q.zero_point if q else 0.0
         self.dtype = DataType(space.dtype)
+        host_ids = space.ids()
+        self.host_ids = None if host_ids is None else np.asarray(host_ids)
         (
             self.data, self.norms, self.valid_mask, self.rowsums,
             self.rows_per_shard,
@@ -225,5 +227,8 @@ class DistributedSearcher:
                 if self.metric == DistanceMetric.L2
                 else -np.inf,
             )
+        from .streaming import _ids_for
+
         return SearchResult(indices=i, scores=s, distances=dist,
-                            metric=self.metric)
+                            metric=self.metric,
+                            ids=_ids_for(self.host_ids, i))

@@ -349,6 +349,7 @@ class ShardedDeviceSpace:
             block = shifted.astype(np.int8)
             self.rowsums = shard_rows(rowsums, mesh, axis, sublane=sub)
         self.data = shard_rows(block, mesh, axis, sublane=sub)
+        self.host_ids = space.ids()
         self.norms = shard_rows(
             np.asarray(space.norms(), np.float32), mesh, axis, sublane=sub
         )
@@ -417,5 +418,8 @@ class ShardedDeviceSpace:
             s = np.pad(s, pad, constant_values=-np.inf)
             dist = np.pad(dist, pad, constant_values=np.inf
                           if self.metric == DistanceMetric.L2 else -np.inf)
+        from .streaming import _ids_for
+
         return SearchResult(indices=i, scores=s, distances=dist,
-                            metric=self.metric)
+                            metric=self.metric,
+                            ids=_ids_for(self.host_ids, i))

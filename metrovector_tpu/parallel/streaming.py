@@ -39,6 +39,21 @@ def _merge_topk(best_s, best_i, s, i, k: int):
     return top_s, top_i
 
 
+
+def _ids_for(host_ids, idx):
+    """Translate result row positions to stable external IDs (positions
+    themselves when the space has no ID column; u64-max sentinel for
+    unfilled slots)."""
+    import numpy as _np
+
+    if host_ids is not None:
+        ids = host_ids[_np.clip(idx, 0, None)].astype(_np.uint64)
+    else:
+        ids = idx.astype(_np.int64).astype(_np.uint64)
+    ids[idx < 0] = _np.uint64(2**64 - 1)
+    return ids
+
+
 class StreamingSearcher:
     """Exact top-k over a host-resident (mmap) space, streamed chunk-wise.
 
@@ -87,6 +102,7 @@ class StreamingSearcher:
             self._mask[: space.num_vectors] = (~host_mask).astype(np.float32)
         else:
             self._mask = None
+        self._host_ids = space.ids()
 
     def search(self, queries, k: int = 10):
         """Stream all chunks and return a
@@ -219,4 +235,6 @@ class StreamingSearcher:
                 if self.metric == DistanceMetric.L2
                 else -np.inf,
             )
-        return SearchResult(indices=i, scores=s, distances=dist, metric=self.metric)
+        return SearchResult(indices=i, scores=s, distances=dist,
+                            metric=self.metric,
+                            ids=_ids_for(self._host_ids, i))
