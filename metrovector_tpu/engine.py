@@ -307,6 +307,21 @@ class SearchEngine:
     ``backend='pallas'`` uses the fused distance+top-k kernel;
     ``backend='xla'`` uses the blocked ``lax.top_k`` path (oracle; also the
     serving path for affine-uint8 spaces). Both are exact.
+
+    >>> import numpy as np, tempfile, os
+    >>> from metrovector_tpu import Builder
+    >>> from metrovector_tpu.engine import SearchEngine
+    >>> b = Builder()
+    >>> _ = b.add_vector_space("e", dim=3)
+    >>> b.add_vectors("e", np.eye(3, dtype=np.float32))
+    >>> path = os.path.join(tempfile.mkdtemp(), "q.mvt")
+    >>> b.build().save(path)
+    >>> eng = SearchEngine.open(path, backend="xla")
+    >>> res = eng.search(np.array([[0.9, 0.1, 0.0]], np.float32), k=1)
+    >>> res.indices.tolist()
+    [[0]]
+    >>> int(res.ids[0, 0])  # no ID column: positions are the IDs
+    0
     """
 
     def __init__(self, space: VectorSpace | DeviceSpace, backend: str = "pallas",

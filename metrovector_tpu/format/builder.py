@@ -166,7 +166,22 @@ class VectorSpaceHandle:
 
 class Builder:
     """Accumulates vector spaces and metadata in memory, then lays out the
-    MVT file (reference ``MvfBuilder``, ``src/builder.rs:44-51,93-308``)."""
+    MVT file (reference ``MvfBuilder``, ``src/builder.rs:44-51,93-308``).
+
+    Example (executed as a doctest — the analog of the reference's
+    ``no_run`` examples on public items, ``src/builder.rs`` docs):
+
+    >>> import numpy as np, tempfile, os
+    >>> from metrovector_tpu import Builder, Reader
+    >>> b = Builder()
+    >>> _ = b.add_vector_space("embeddings", dim=4)
+    >>> b.add_vectors("embeddings", np.arange(12, dtype=np.float32).reshape(3, 4))
+    >>> path = os.path.join(tempfile.mkdtemp(), "demo.mvt")
+    >>> b.build().save(path)
+    >>> r = Reader.open(path)
+    >>> r.vector_space("embeddings").num_vectors
+    3
+    """
 
     def __init__(self):
         self._spaces: dict[str, _PendingSpace] = {}

@@ -41,7 +41,21 @@ from .packing import crc32, decompress
 
 
 class Reader:
-    """Open and interrogate an MVT file without copying block data."""
+    """Open and interrogate an MVT file without copying block data.
+
+    >>> import numpy as np, tempfile, os
+    >>> from metrovector_tpu import Builder, Reader
+    >>> b = Builder()
+    >>> _ = b.add_vector_space("e", dim=2)
+    >>> b.add_vectors("e", np.zeros((5, 2), np.float32))
+    >>> path = os.path.join(tempfile.mkdtemp(), "r.mvt")
+    >>> b.build().save(path)
+    >>> r = Reader.open(path)
+    >>> r.vector_space_names
+    ['e']
+    >>> r.validate() is None and r.validate_with_checksum() is None
+    True
+    """
 
     def __init__(self, path: str | os.PathLike, data: memoryview, manifest: Manifest,
                  mm: mmap.mmap | None = None, file_obj=None):

@@ -46,7 +46,21 @@ if TYPE_CHECKING:
 
 
 class VectorSpace:
-    """A borrowed, immutable view over one named space in an open Reader."""
+    """A borrowed, immutable view over one named space in an open Reader.
+
+    >>> import numpy as np, tempfile, os
+    >>> from metrovector_tpu import Builder, Reader
+    >>> b = Builder()
+    >>> _ = b.add_vector_space("e", dim=2)
+    >>> b.add_vectors("e", np.array([[1., 2.], [3., 4.]], np.float32))
+    >>> path = os.path.join(tempfile.mkdtemp(), "s.mvt")
+    >>> b.build().save(path)
+    >>> sp = Reader.open(path).vector_space("e")
+    >>> sp.get_vector(1).as_f32().tolist()
+    [3.0, 4.0]
+    >>> [float(v.as_f32()[0]) for chunk in sp.stream_vectors(0, 2) for v in chunk]
+    [1.0, 3.0]
+    """
 
     def __init__(self, reader: "Reader", info: SpaceInfo):
         self._reader = reader

@@ -193,32 +193,37 @@ def test_sorted_list_tombstones_emitted(tmp_path, rng):
 
 
 def test_both_tombstone_formats_search_identically(tmp_path, rng):
+    """Each persisted tombstone encoding must mask searches exactly like
+    the boolean oracle mask (sparse deletions → SORTED_LIST file, dense
+    deletions → BITMAP file; the format choice is size-driven)."""
     from metrovector_tpu.engine import DeviceSpace, SearchEngine
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.ops.distances import numpy_oracle
 
     data = rng.standard_normal((300, 8)).astype(np.float32)
-    deleted = [5, 17, 250]
-    results = []
-    for force_bitmap in (False, True):
+    cases = [
+        ([5, 17, 250], TombstoneFormat.SORTED_LIST),
+        (list(range(0, 300, 4)), TombstoneFormat.BITMAP),
+    ]
+    for deleted, expect_fmt in cases:
         b = Builder()
         b.add_vector_space("e", dim=8)
         b.add_vectors("e", data)
         for i in deleted:
             b.delete_vector("e", i)
-        built = b.build()
-        if force_bitmap:
-            # rewrite the tombstone block as a bitmap to pin the format
-            from metrovector_tpu.format.manifest import TombstoneInfo
-
-            info = built.manifest.spaces[0]
-            assert info.tombstones.format == TombstoneFormat.SORTED_LIST
-        p = tmp_path / f"t{force_bitmap}.mvt"
-        built.save(p)
+        p = tmp_path / f"t{int(expect_fmt)}.mvt"
+        b.build().save(p)
         sp = Reader.open(p).vector_space("e")
+        assert sp.info.tombstones.format == expect_fmt
         eng = SearchEngine(DeviceSpace.from_space(sp), backend="xla")
         res = eng.search(data[:4], k=5)
-        results.append(res.indices)
+        mask = np.ones(300, np.float32)
+        mask[deleted] = 0
+        _, oi = numpy_oracle(
+            data[:4], data, 5, DistanceMetric.L2, valid_mask=mask
+        )
+        assert np.array_equal(res.indices, oi)
         assert not np.isin(res.indices, deleted).any()
-    assert np.array_equal(results[0], results[1])
 
 
 def test_compat_floor(tmp_path, rng, small_file):
