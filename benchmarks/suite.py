@@ -200,6 +200,28 @@ def bench_gist1m(interpret):
     _report(f"gist1m(n={n},960d,cos,k=10,{qb}q)", qb / dt, dt * 1e3, recall,
             "3.9 GB f32 corpus, wide-dim tiling")
 
+    # Throughput config (r2 sweep winner: block_rows=1024 at batch 256;
+    # CAUTION — block_rows=1536 or query_tile=256 at D=1024 crosses the
+    # silent Mosaic VMEM-spill cliff, measured ~100× slower).
+    if not interpret:
+        qb2 = 256
+
+        def mk2():
+            q = np.zeros((qb2, pd), np.float32)
+            q[:, :d] = rng.standard_normal((qb2, d)).astype(np.float32)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            return q
+
+        def run2(q):
+            return fused_topk(q, db_d, norms_d, np.int32(n), k,
+                              DistanceMetric.COSINE, block_rows=1024)
+
+        dt2 = _measure(run2, mk2, iters=15)
+        _report(
+            f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=1024)",
+            qb2 / dt2, dt2 * 1e3, recall, "throughput config",
+        )
+
 
 def bench_deep10m(interpret):
     import jax

@@ -63,3 +63,24 @@ def replicate(arr, mesh: Mesh) -> jax.Array:
     return jax.device_put(
         arr, NamedSharding(mesh, P(*([None] * np.asarray(arr).ndim)))
     )
+
+
+QUERY_AXIS = "query"
+
+
+def make_mesh_2d(
+    n_query: int,
+    n_shard: int,
+    query_axis: str = QUERY_AXIS,
+    shard_axis: str = SHARD_AXIS,
+) -> Mesh:
+    """A 2-D ``(query, shard)`` mesh: corpus rows shard over ``shard_axis``
+    (each row group replicated across the query axis), query batches shard
+    over ``query_axis`` — the full DP×"corpus-parallel" product mapping
+    (SURVEY.md §5). ``n_query · n_shard`` devices are used."""
+    devs = jax.devices()
+    need = n_query * n_shard
+    if need > len(devs):
+        raise ValueError(f"requested {need} devices, only {len(devs)} available")
+    grid = np.asarray(devs[:need]).reshape(n_query, n_shard)
+    return Mesh(grid, (query_axis, shard_axis))

@@ -310,6 +310,133 @@ def dim_sharded_topk(
     return fn(*args)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "mesh", "axis", "backend", "interpret",
+                     "block_rows"),
+)
+def query_sharded_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    db_norms: jax.Array,
+    num_valid,
+    k: int,
+    metric: DistanceMetric,
+    mesh: Mesh,
+    valid_mask: jax.Array | None = None,
+    axis: str = "query",
+    backend: str = "pallas",
+    interpret: bool = False,
+    block_rows: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k with the QUERY batch sharded and the corpus replicated —
+    the throughput-scaling mapping for huge query streams against a corpus
+    that fits one chip's HBM (SURVEY.md §5 "query-batch sharding"). No
+    collective at all: each chip answers its own queries independently;
+    results come back sharded ``P(axis, None)``.
+
+    ``queries`` ``[Q_total, D]`` sharded ``P(axis, None)`` (``Q_total``
+    divisible by the axis size); ``db``/``db_norms``/``valid_mask``
+    replicated.
+    """
+    metric = DistanceMetric(metric)
+    num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
+
+    def local(q, db_r, norms_r, nvalid, *maybe_mask):
+        mask = maybe_mask[0] if maybe_mask else None
+        if backend == "pallas":
+            return fused_topk(
+                q, db_r, norms_r, nvalid[0], k, metric, valid_mask=mask,
+                interpret=interpret, block_rows=block_rows,
+            )
+        return exact_topk_xla(q, db_r, norms_r, nvalid[0], k, metric,
+                              valid_mask=mask)
+
+    in_specs = [P(axis, None), P(), P(), P()]
+    args = [queries, db, db_norms, num_valid.reshape(1)]
+    if valid_mask is not None:
+        in_specs.append(P())
+        args.append(valid_mask)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=(P(axis, None), P(axis, None)), check_vma=False,
+    )
+    return fn(*args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "mesh", "query_axis", "shard_axis",
+                     "backend", "interpret", "block_rows"),
+)
+def grid_sharded_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    db_norms: jax.Array,
+    num_valid,
+    k: int,
+    metric: DistanceMetric,
+    mesh: Mesh,
+    valid_mask: jax.Array | None = None,
+    query_axis: str = "query",
+    shard_axis: str = SHARD_AXIS,
+    backend: str = "pallas",
+    interpret: bool = False,
+    block_rows: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k on a 2-D ``(query, shard)`` mesh: the corpus rows shard
+    over ``shard_axis`` (replicated across ``query_axis``), the query batch
+    shards over ``query_axis`` — the composed DP×corpus-parallel mapping
+    (``mesh.make_mesh_2d``). Each query sub-batch merges candidates with an
+    ``all_gather`` over its row ring only; nothing crosses the query axis.
+    Results return sharded ``P(query_axis, None)`` with global row ids.
+
+    ``queries`` ``[Q_total, D]`` sharded ``P(query_axis, None)``; ``db``
+    ``[total_rows, D]`` sharded ``P(shard_axis, None)``; ``db_norms`` /
+    ``valid_mask`` sharded ``P(shard_axis)``; ``num_valid`` global scalar.
+    """
+    total_rows = db.shape[0]
+    n_shards = mesh.shape[shard_axis]
+    local_rows = total_rows // n_shards
+    metric = DistanceMetric(metric)
+    num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
+
+    def local(q, db_l, norms_l, nvalid, *maybe_mask):
+        sid = jax.lax.axis_index(shard_axis)
+        offset = sid * local_rows
+        nvalid_local = jnp.clip(nvalid[0] - offset, 0, local_rows)
+        mask = maybe_mask[0] if maybe_mask else None
+        if backend == "pallas":
+            s, i = fused_topk(
+                q, db_l, norms_l, nvalid_local, k, metric, valid_mask=mask,
+                interpret=interpret, block_rows=block_rows,
+            )
+        else:
+            s, i = exact_topk_xla(q, db_l, norms_l, nvalid_local, k, metric,
+                                  valid_mask=mask)
+        i = jnp.where(i >= 0, i + offset, i)
+        all_s = jax.lax.all_gather(s, shard_axis)
+        all_i = jax.lax.all_gather(i, shard_axis)
+        q_n = s.shape[0]
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(q_n, n_shards * k)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(q_n, n_shards * k)
+        best_s, pos = jax.lax.top_k(cand_s, k)
+        best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return best_s, best_i
+
+    in_specs = [P(query_axis, None), P(shard_axis, None), P(shard_axis), P()]
+    args = [queries, db, db_norms, num_valid.reshape(1)]
+    if valid_mask is not None:
+        in_specs.append(P(shard_axis))
+        args.append(valid_mask)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=(P(query_axis, None), P(query_axis, None)),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
 class ShardedDeviceSpace:
     """A vector space sharded row-wise across a device mesh.
 

@@ -145,3 +145,81 @@ def test_dim_sharded_tombstones(rng):
         valid_mask=replicate(mask, mesh),
     )
     assert not np.intersect1d(np.asarray(i2), np.asarray(base)).size
+
+
+# ------------------------------------------------------------------------
+# Round 2: the remaining SURVEY §5 parallelism mappings — query-batch
+# sharding (no collective) and the composed 2-D (query × shard) grid.
+
+
+def test_query_sharded_matches_oracle(rng):
+    from metrovector_tpu.parallel import make_mesh, query_sharded_topk, replicate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax
+
+    mesh = make_mesh(8, axis="query")
+    n, d, k = 600, 24, 7
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    q = rng.standard_normal((32, d)).astype(np.float32)  # 4 per device
+    q_sharded = jax.device_put(q, NamedSharding(mesh, P("query", None)))
+    s, i = query_sharded_topk(
+        q_sharded, replicate(db, mesh), replicate(norms, mesh),
+        n, k, DistanceMetric.L2, mesh, backend="xla",
+    )
+    _, oi = numpy_oracle(q, db, k, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_grid_sharded_matches_oracle(rng):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metrovector_tpu.parallel import (
+        grid_sharded_topk,
+        make_mesh_2d,
+        shard_rows,
+    )
+
+    mesh = make_mesh_2d(2, 4)  # 2-way query × 4-way rows on 8 CPU devices
+    n, d, k = 512, 16, 5
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    mask = (rng.random(n) > 0.05).astype(np.float32)
+    db_s = shard_rows(db, mesh, axis="shard")
+    norms_s = shard_rows(norms, mesh, axis="shard")
+    mask_s = shard_rows(mask, mesh, axis="shard", pad_value=0)
+    q_s = jax.device_put(q, NamedSharding(mesh, P("query", None)))
+    s, i = grid_sharded_topk(
+        q_s, db_s, norms_s, n, k, DistanceMetric.L2, mesh,
+        valid_mask=mask_s, backend="xla",
+    )
+    _, oi = numpy_oracle(q, db, k, DistanceMetric.L2, valid_mask=mask)
+    assert np.array_equal(np.asarray(i), oi)
+
+
+def test_grid_sharded_pallas_interpret(rng):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metrovector_tpu.parallel import (
+        grid_sharded_topk,
+        make_mesh_2d,
+        shard_rows,
+    )
+
+    mesh = make_mesh_2d(4, 2)
+    n, d, k = 256, 8, 3
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    q_s = jax.device_put(q, NamedSharding(mesh, P("query", None)))
+    s, i = grid_sharded_topk(
+        q_s, shard_rows(db, mesh, axis="shard"),
+        shard_rows(norms, mesh, axis="shard"),
+        n, k, DistanceMetric.L2, mesh,
+        backend="pallas", interpret=True, block_rows=128,
+    )
+    _, oi = numpy_oracle(q, db, k, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
