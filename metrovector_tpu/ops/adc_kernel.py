@@ -66,7 +66,8 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
 
 def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
                      metric: DistanceMetric, has_valid: bool,
-                     exact_lut: bool, group_rows: int = 0):
+                     exact_lut: bool, group_rows: int = 0,
+                     n_groups: int = 0):
     metric = DistanceMetric(metric)
     oh_dtype = jnp.float32 if exact_lut else jnp.bfloat16
     prec = (
@@ -75,7 +76,6 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
 
     def kernel(nvalid_ref, lut_ref, codes_ref, norms_ref, *rest):
         rest = list(rest)
-        gbias_ref = rest.pop(0) if group_rows else None
         valid_ref = rest.pop(0) if has_valid else None
         out_s_ref, out_i_ref, best_s, best_i = rest
 
@@ -87,35 +87,40 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             best_s[:] = jnp.full_like(best_s, _NEG_INF)
             best_i[:] = jnp.full_like(best_i, -1)
 
+        ni0 = pl.program_id(1)
         codes = codes_ref[:].astype(jnp.int32)  # [BN, m]
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, ksub), 1)
         dims = (((1,), (1,)), ((), ()))
         # Concatenate the m per-subspace one-hots along lanes and contract
         # in ONE K = m·ksub matmul — deep contractions keep the MXU
         # pipeline full where m separate K=ksub matmuls each pay spin-up.
-        onehot = jnp.concatenate(
-            [
-                (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
-                for j in range(m)
-            ],
-            axis=1,
-        )  # [BN, m·ksub]
+        oh_parts = [
+            (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
+            for j in range(m)
+        ]
+        if group_rows:
+            # Gather-free IVF probing: the LUT carries n_groups extra
+            # columns of per-(query, bucket) bias (q·centroid on probed
+            # buckets, −BIG elsewhere), and each row's one-hot gains a 1 at
+            # its bucket's column — the SAME deep-K matmul then yields
+            # rdots + bias in one f32 accumulation. Costs n_groups/(m·ksub)
+            # extra MACs; no per-element gathers anywhere (XLA TPU gathers
+            # are scalar-slow) and no extra kernel input.
+            row_bucket = (
+                ni0 * block_rows
+                + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_rows, n_groups), 0
+                )
+            ) // group_rows
+            g_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (block_rows, n_groups), 1
+            )
+            oh_parts.append((row_bucket == g_iota).astype(oh_dtype))
+        onehot = jnp.concatenate(oh_parts, axis=1)  # [BN, m·ksub (+ G)]
         dots = jax.lax.dot_general(
             lut_ref[:], onehot, dimension_numbers=dims,
             preferred_element_type=jnp.float32, precision=prec,
         )
-        if gbias_ref is not None:
-            # Per-(query, row-group) additive dot term, broadcast across
-            # each group's rows (group = one IVF bucket: the bias carries
-            # q·centroid for probed buckets and −BIG for unprobed ones, so
-            # probing is a dense epilogue instead of sparse gathers — the
-            # gather-free IVF formulation; XLA TPU gathers are scalar-slow).
-            qt_ = lut_ref.shape[0]
-            nb = block_rows // group_rows
-            gb = gbias_ref[:]  # [qt, nb]
-            dots = dots + jnp.broadcast_to(
-                gb[:, :, None], (qt_, nb, group_rows)
-            ).reshape(qt_, block_rows)
 
         norms = norms_ref[:]  # (1, BN) f32 — ‖x̂‖² of reconstructions
         if metric == DistanceMetric.L2:
@@ -256,8 +261,6 @@ def _fused_adc_topk(
             raise ValueError(
                 f"corpus rows {n} not a multiple of group_rows {group_rows}"
             )
-        # Blocks must cover whole groups so the bias tile maps 1:1.
-        block_rows = max(group_rows, (block_rows // group_rows) * group_rows)
 
     # Per-query LUT [Q, m·ksub] — a tiny einsum (Q·ksub·D MACs), f32 for
     # exactness then cast to the kernel's matmul dtype.
@@ -268,6 +271,14 @@ def _fused_adc_topk(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     ).reshape(q, m * ksub)
+    n_groups = 0
+    if group_rows:
+        # Bias columns ride the LUT (see kernel comment); the kernel pairs
+        # them with per-row bucket one-hot columns in the same matmul.
+        n_groups = int(group_bias.shape[1])
+        lut = jnp.concatenate(
+            [lut, group_bias.astype(jnp.float32)], axis=1
+        )
     lut = lut.astype(jnp.float32 if exact_lut else jnp.bfloat16)
 
     q_pad = _round_up(q, qt)
@@ -285,23 +296,13 @@ def _fused_adc_topk(
                             memory_space=pltpu.VMEM)
     in_specs = [
         smem_spec,
-        pl.BlockSpec((qt, m * ksub), lambda qi, ni: (qi, 0),
+        pl.BlockSpec((qt, m * ksub + n_groups), lambda qi, ni: (qi, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((block_rows, m), lambda qi, ni: (ni, 0),
                      memory_space=pltpu.VMEM),
         row_spec,
     ]
     args = [nvalid_arr, lut, codes_u8, norms_2d]
-    if group_rows:
-        nb_block = block_rows // group_rows
-        gb = group_bias.astype(jnp.float32)
-        if q_pad != q:
-            gb = jnp.pad(gb, ((0, q_pad - q), (0, 0)))
-        in_specs.append(
-            pl.BlockSpec((qt, nb_block), lambda qi, ni: (qi, ni),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(gb)
     if valid_mask is not None:
         in_specs.append(row_spec)
         args.append(valid_mask.reshape(1, n).astype(jnp.float32))
@@ -309,7 +310,7 @@ def _fused_adc_topk(
     kernel = _make_adc_kernel(
         k, k_pad, block_rows, m, ksub, metric,
         has_valid=valid_mask is not None, exact_lut=exact_lut,
-        group_rows=group_rows,
+        group_rows=group_rows, n_groups=n_groups,
     )
     out_s, out_i = pl.pallas_call(
         kernel,

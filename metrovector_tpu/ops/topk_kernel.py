@@ -265,6 +265,57 @@ def _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k: int, k_pad: int):
     _select_k_into(cand_s, cand_i, out_s_ref, out_i_ref, slice(None), k)
 
 
+
+def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
+                        block_rows: int):
+    """k-round unrolled merge keeping the candidate list SORTED descending
+    (the round-1 strategy). Per merged block it always pays k selection
+    rounds over [qt, 128 + k_pad] — more selection work than the pool
+    merge, but straight-line unrolled code with no serialized loop-carried
+    bookkeeping, which wins on cheap-matmul paths (single-pass int8 MXU at
+    small k) where the pool loop's serialization is visible. Exactness
+    discipline (skip test, lane fold, collision fallback) is identical."""
+    lanes = LANES
+    n_chunks = block_rows // lanes
+    qt = scores.shape[0]
+    full = slice(None)
+
+    worst = jnp.min(best_s[:, :k])
+    blockmax = jnp.max(scores)
+
+    @pl.when(blockmax > worst)
+    def _merge():
+        theta = best_s[:, k - 1 : k]  # current kth best per query (sorted)
+        fm = scores[:, 0:lanes]
+        am = jnp.zeros((qt, lanes), jnp.int32)
+        imp = (fm >= theta).astype(jnp.int32)
+        for c in range(1, n_chunks):
+            sc = scores[:, c * lanes : (c + 1) * lanes]
+            gt = sc > fm
+            fm = jnp.where(gt, sc, fm)
+            am = jnp.where(gt, c, am)
+            imp += (sc >= theta).astype(jnp.int32)
+        collision = jnp.max(imp) >= 2
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
+        fold_idx = row0 + am * lanes + lane_iota
+
+        @pl.when(jnp.logical_not(collision))
+        def _fast():
+            cand_s = jnp.concatenate([best_s[:], fm], axis=1)
+            cand_i = jnp.concatenate([best_i[:], fold_idx], axis=1)
+            _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
+
+        @pl.when(collision)
+        def _slow():
+            gidx = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (qt, block_rows), 1
+            )
+            cand_s = jnp.concatenate([best_s[:], scores], axis=1)
+            cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
+            _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
+
+
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     # Mosaic only lowers DEFAULT and HIGHEST; 'high' maps to a manual
@@ -278,7 +329,7 @@ _PRECISIONS = {
 def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                  scale: float, has_valid: bool, int_path: bool,
                  precision: str, has_bias: bool = False,
-                 split_planes: bool = False):
+                 split_planes: bool = False, merge: str = "pool"):
     metric = DistanceMetric(metric)
     prec = _PRECISIONS[precision]
     bf16x3 = precision == "high" and not int_path and not split_planes
@@ -390,11 +441,22 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
         if valid_ref is not None:
             scores = jnp.where(valid_ref[:] != 0, scores, _NEG_INF)
 
-        _pool_merge_block(scores, best_s, best_i, row0, k, k_pad, block_rows)
+        if merge == "pool":
+            _pool_merge_block(
+                scores, best_s, best_i, row0, k, k_pad, block_rows
+            )
+        else:
+            _rounds_merge_block(
+                scores, best_s, best_i, row0, k, k_pad, block_rows
+            )
 
         @pl.when(ni == nblocks - 1)
         def _flush():
-            _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k, k_pad)
+            if merge == "pool":
+                _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k, k_pad)
+            else:  # rounds merge keeps the list sorted: plain copy-out
+                out_s_ref[:] = best_s[:]
+                out_i_ref[:] = best_i[:]
 
     return kernel
 
@@ -415,6 +477,7 @@ def fused_topk(
     bias_row=None,
     bias_scale=1.0,
     db_lo=None,
+    merge: str | None = None,
 ):
     """VMEM-robust front end for :func:`_fused_topk`: if Mosaic's scoped
     VMEM allocator rejects the auto-sized block (its live-set model is not
@@ -453,7 +516,7 @@ def fused_topk(
                 valid_mask=valid_mask, scale=scale, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
                 precision=precision, bias_row=bias_row,
-                bias_scale=bias_scale, db_lo=db_lo,
+                bias_scale=bias_scale, db_lo=db_lo, merge=merge,
             )
         except Exception as exc:  # jaxlib runtime error types vary
             msg = str(exc)
@@ -490,7 +553,7 @@ def fused_topk(
     jax.jit,
     static_argnames=(
         "k", "metric", "scale", "block_rows", "query_tile", "interpret",
-        "precision",
+        "precision", "merge",
     ),
 )
 def _fused_topk(
@@ -509,6 +572,7 @@ def _fused_topk(
     bias_row: jax.Array | None = None,
     bias_scale: jax.Array | float = 1.0,
     db_lo: jax.Array | None = None,
+    merge: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k search over one resident DB shard.
 
@@ -534,6 +598,14 @@ def _fused_topk(
         the exactness default), 'high' (bf16x3, f32-faithful for
         low-significand data like integer-valued corpora, ~2x faster),
         'default' (single bf16 pass, fastest, visibly reorders near-ties).
+      merge: on-chip selection strategy — 'pool' (streaming replace-min:
+        per-block work scales with actual top-k improvements; wins
+        wherever the matmul dominates, and at large k) or 'rounds'
+        (k unrolled selection rounds per merged block, straight-line
+        code with no serialized loop; wins on the single-pass int8 MXU
+        path at small k, where the pool loop's serialization is visible
+        next to a very cheap matmul). Default None = auto: 'rounds' for
+        int8/uint8 at k ≤ 32, else 'pool'. Both are exact.
       bias_row: optional ``[N]`` f32 per-row additive dot correction
         (affine-offset uint8 path: the per-row code sum); applied as
         ``dots += bias_scale · bias_row`` before the metric epilogue.
@@ -583,6 +655,8 @@ def _fused_topk(
 
     metric = DistanceMetric(metric)
     int_path = db.dtype in (jnp.int8.dtype, jnp.uint8.dtype)
+    if merge is None:
+        merge = "rounds" if int_path and k <= _UNROLL_K_MAX else "pool"
     nvalid_arr = jnp.asarray(num_valid, dtype=jnp.int32).reshape(1, 1)
     norms_2d = db_norms.reshape(1, n).astype(jnp.float32)
 
@@ -626,7 +700,7 @@ def _fused_topk(
         k, k_pad, block_rows, metric, float(scale),
         has_valid=valid_mask is not None, int_path=int_path,
         precision=precision, has_bias=bias_row is not None,
-        split_planes=split_planes,
+        split_planes=split_planes, merge=merge,
     )
 
     flops_dot = 2 * q_pad * n * d
