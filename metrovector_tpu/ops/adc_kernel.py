@@ -106,15 +106,13 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             # rdots + bias in one f32 accumulation. Costs n_groups/(m·ksub)
             # extra MACs; no per-element gathers anywhere (XLA TPU gathers
             # are scalar-slow) and no extra kernel input.
+            # [BN, 1] and [1, G] operands keep the int32 intermediates tiny;
+            # only the bf16 one-hot itself materializes at [BN, G].
             row_bucket = (
                 ni0 * block_rows
-                + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_rows, n_groups), 0
-                )
+                + jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0)
             ) // group_rows
-            g_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (block_rows, n_groups), 1
-            )
+            g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
             oh_parts.append((row_bucket == g_iota).astype(oh_dtype))
         onehot = jnp.concatenate(oh_parts, axis=1)  # [BN, m·ksub (+ G)]
         dots = jax.lax.dot_general(
@@ -275,10 +273,18 @@ def _fused_adc_topk(
     if group_rows:
         # Bias columns ride the LUT (see kernel comment); the kernel pairs
         # them with per-row bucket one-hot columns in the same matmul.
-        n_groups = int(group_bias.shape[1])
-        lut = jnp.concatenate(
-            [lut, group_bias.astype(jnp.float32)], axis=1
-        )
+        # Padded to a 128-lane multiple — a non-aligned K width forces
+        # Mosaic relayouts of every matmul operand (measured ~10× slower);
+        # padding columns carry −BIG bias and match no row's bucket.
+        g_real = int(group_bias.shape[1])
+        n_groups = _round_up(g_real, LANES)
+        gb = group_bias.astype(jnp.float32)
+        if n_groups != g_real:
+            gb = jnp.pad(
+                gb, ((0, 0), (0, n_groups - g_real)),
+                constant_values=-1e30,
+            )
+        lut = jnp.concatenate([lut, gb], axis=1)
     lut = lut.astype(jnp.float32 if exact_lut else jnp.bfloat16)
 
     q_pad = _round_up(q, qt)
