@@ -355,30 +355,54 @@ class IVFPQIndex:
     # batches probing's O(nprobe·B) work beats scanning all N codes).
     SCAN_CROSSOVER_BATCH = 32
 
-    def _flat_layout(self):
-        """Bucket-major flat arrays with every bucket padded to a 128-row
-        multiple — the layout :func:`..ops.adc_kernel.fused_adc_topk`'s
-        ``group_bias`` probing consumes. Derived once and cached."""
-        if self._flat is None:
-            from ..format.constants import LANES
+    # Row-group size of the masked-scan flat layout. Each bucket's rows
+    # split into ceil(fill / GROUP_ROWS) groups of exactly GROUP_ROWS rows
+    # (last group zero-padded), so padding waste adapts to per-bucket fill
+    # instead of paying the MAX fill for every bucket (the uniform
+    # [C', B_max] layout measured 2.4× the corpus rows at C=1024/1M).
+    # Smaller groups waste less padding but add bias one-hot columns
+    # (n_groups/(m·ksub) extra MACs); 1024 balances both at m=16/ksub=256.
+    SCAN_GROUP_ROWS = 1024
 
-            ids = np.asarray(self.bucket_ids)
-            norms = np.asarray(self.bucket_norms)
-            codes = np.asarray(self.buckets)
-            g, b, m = codes.shape
-            r = -(-b // LANES) * LANES
-            pad = ((0, 0), (0, r - b))
-            codes_f = np.pad(codes, pad + ((0, 0),)).reshape(g * r, m)
-            norms_f = np.pad(norms, pad).reshape(g * r)
-            ids_f = np.pad(ids, pad, constant_values=-1).reshape(g * r)
+    def _flat_layout(self):
+        """Group-major flat arrays for the gather-free masked scan
+        (:func:`..ops.adc_kernel.fused_adc_topk` ``group_bias`` probing):
+        ``(codes [G·R, m], norms, ids, valid, group→bucket map [G], R)``.
+        Derived once and cached."""
+        if self._flat is None:
+            r = self.SCAN_GROUP_ROWS
+            ids_b = np.asarray(self.bucket_ids)
+            norms_b = np.asarray(self.bucket_norms)
+            codes_b = np.asarray(self.buckets)
+            nb, b, m = codes_b.shape
+            fills = np.asarray(self.fill)
+            groups_per = np.maximum(1, -(-fills // r))
+            g_total = int(groups_per.sum())
+            codes_f = np.zeros((g_total * r, m), np.uint8)
+            norms_f = np.zeros(g_total * r, np.float32)
+            ids_f = np.full(g_total * r, -1, np.int32)
+            g2b = np.empty(g_total, np.int32)
+            g = 0
+            for bkt in range(nb):
+                fill = int(fills[bkt])
+                for lo in range(0, max(fill, 1), r):
+                    hi = min(lo + r, fill)
+                    dst = g * r
+                    codes_f[dst : dst + hi - lo] = codes_b[bkt, lo:hi]
+                    norms_f[dst : dst + hi - lo] = norms_b[bkt, lo:hi]
+                    ids_f[dst : dst + hi - lo] = ids_b[bkt, lo:hi]
+                    g2b[g] = bkt
+                    g += 1
+            assert g == g_total
             object.__setattr__(
                 self,
                 "_flat",
                 (
                     jax.device_put(codes_f),
                     jax.device_put(norms_f),
-                    jax.device_put(ids_f.astype(np.int32)),
+                    jax.device_put(ids_f),
                     jax.device_put((ids_f >= 0).astype(np.float32)),
+                    jax.device_put(g2b),
                     r,
                 ),
             )
@@ -395,7 +419,7 @@ class IVFPQIndex:
         probe, at full-scan MXU throughput."""
         from ..ops.adc_kernel import fused_adc_topk
 
-        codes_f, norms_f, ids_f, valid_f, r = self._flat_layout()
+        codes_f, norms_f, ids_f, valid_f, g2b, r = self._flat_layout()
         cdots = jax.lax.dot_general(
             qdev, self.probe_centroids,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -416,7 +440,10 @@ class IVFPQIndex:
             cscores = cdots
         cth, _ = jax.lax.top_k(cscores, nprobe)
         sel = cscores >= cth[:, -1:]
-        bias = jnp.where(sel, cdots, jnp.float32(-1e30))
+        bucket_bias = jnp.where(sel, cdots, jnp.float32(-1e30))
+        # bucket bias → per-GROUP bias via the static group→bucket map (a
+        # [Q, G] static-index take — a permutation, not a dynamic gather).
+        bias = jnp.take(bucket_bias, g2b, axis=1)
         s, i_flat = fused_adc_topk(
             qdev, codes_f, jnp.asarray(self.codebooks), norms_f,
             jnp.int32(codes_f.shape[0]), fetch, self.metric,

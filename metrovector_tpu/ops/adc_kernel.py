@@ -43,7 +43,8 @@ _log = get_logger("ops.adc")
 
 
 def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
-                           k_pad: int = 128, exact_lut: bool = False) -> int:
+                           k_pad: int = 128, exact_lut: bool = False,
+                           extra_cols: int = 0) -> int:
     """Code-block rows per grid step. Live VMEM per step ≈ double-buffered
     codes (``2·BN·m``), the full-width one-hot (``BN·m·ksub·esz`` — the
     m per-subspace one-hots concatenate into one ``[BN, m·ksub]`` operand
@@ -53,12 +54,16 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
     # ~20 MB live-set target (measured sweet spot on v5e: block_rows=2048
     # at m=16/ksub=256/bf16 — larger blocks lose to score-tile pressure,
     # smaller ones to per-step overhead; the VMEM-OOM retry in
-    # fused_adc_topk guards tighter parts).
-    budget = 20 * 1024 * 1024 - query_tile * m * ksub * esz
+    # fused_adc_topk guards tighter parts). ``extra_cols`` charges the
+    # group-bias one-hot columns of the gather-free IVF path — omitting
+    # them over-sizes the block into the silent VMEM-spill regime
+    # (measured ~10× slower at n_groups≈1280).
+    k_cols = m * ksub + extra_cols
+    budget = 20 * 1024 * 1024 - query_tile * k_cols * esz
     budget -= 24 * query_tile * max(k_pad - 128, 0)
     # 12·qt per code row: the f32 score tile (4·qt) plus the pool merge's
     # collision-path full-width (scores, ids) loop carries (8·qt).
-    denom = 2 * m + m * ksub * esz + 12 * query_tile + 32
+    denom = 2 * m + k_cols * esz + 12 * query_tile + 32
     bn = budget // max(denom, 1)
     bn = max(256, min(8192, bn))
     return (bn // 256) * 256
@@ -247,9 +252,7 @@ def _fused_adc_topk(
     metric = DistanceMetric(metric)
     qt = min(query_tile, _round_up(q, 8))
     k_pad = _round_up(k, LANES)
-    if block_rows is None:
-        block_rows = default_adc_block_rows(m, ksub, qt, k_pad, exact_lut)
-    block_rows = max(LANES, _round_up(block_rows, LANES))
+    n_groups_pad = 0
     if group_rows:
         if group_rows % LANES:
             raise ValueError(
@@ -259,6 +262,12 @@ def _fused_adc_topk(
             raise ValueError(
                 f"corpus rows {n} not a multiple of group_rows {group_rows}"
             )
+        n_groups_pad = _round_up(int(group_bias.shape[1]), LANES)
+    if block_rows is None:
+        block_rows = default_adc_block_rows(
+            m, ksub, qt, k_pad, exact_lut, extra_cols=n_groups_pad
+        )
+    block_rows = max(LANES, _round_up(block_rows, LANES))
 
     # Per-query LUT [Q, m·ksub] — a tiny einsum (Q·ksub·D MACs), f32 for
     # exactness then cast to the kernel's matmul dtype.
@@ -273,11 +282,10 @@ def _fused_adc_topk(
     if group_rows:
         # Bias columns ride the LUT (see kernel comment); the kernel pairs
         # them with per-row bucket one-hot columns in the same matmul.
-        # Padded to a 128-lane multiple — a non-aligned K width forces
-        # Mosaic relayouts of every matmul operand (measured ~10× slower);
-        # padding columns carry −BIG bias and match no row's bucket.
+        # Padded to a 128-lane multiple; padding columns carry −BIG bias
+        # and match no row's bucket.
         g_real = int(group_bias.shape[1])
-        n_groups = _round_up(g_real, LANES)
+        n_groups = n_groups_pad
         gb = group_bias.astype(jnp.float32)
         if n_groups != g_real:
             gb = jnp.pad(

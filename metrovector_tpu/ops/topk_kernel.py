@@ -67,7 +67,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def default_block_rows(padded_dim: int, itemsize: int, query_tile: int = 128,
-                       bf16x3: bool = False, k_pad: int = 128) -> int:
+                       bf16x3: bool = False, k_pad: int = 128,
+                       pool_merge: bool = True) -> int:
     """DB rows per grid step, sized to fill the VMEM budget: double-buffered
     DB blocks (``2·BN·D·esz``) plus the f32 score tile (``qt·BN·4``) within
     ~9 MB of the ~16 MB core VMEM (rest: queries, candidates, fold arrays,
@@ -76,9 +77,13 @@ def default_block_rows(padded_dim: int, itemsize: int, query_tile: int = 128,
     hi/lo split temporaries (~3·BN·D·esz/2 extra) per block; large ``k``
     charges the candidate/scratch lists (``~24·qt·k_pad`` bytes)."""
     budget = 9 * 1024 * 1024 - 24 * query_tile * max(k_pad - 128, 0)
-    # 12·qt per DB row: the f32 score tile (4·qt) plus the collision-path
-    # insert loop's full-width (scores, ids) carries (8·qt).
-    denom = 2 * padded_dim * itemsize + 12 * query_tile + 32
+    # 12·qt per DB row for the pool merge: the f32 score tile (4·qt) plus
+    # the collision-path insert loop's full-width (scores, ids) carries
+    # (8·qt, persistent across the loop). The rounds merge's concat
+    # intermediates are transient and fit the 4·qt model (measured: int8
+    # block_rows=8192 runs clean under rounds, spills under pool).
+    per_qt = 12 if pool_merge else 4
+    denom = 2 * padded_dim * itemsize + per_qt * query_tile + 32
     if bf16x3:
         denom += 3 * padded_dim * itemsize // 2
     bn = budget // max(denom, 1)
@@ -630,6 +635,9 @@ def _fused_topk(
     qt = min(query_tile, _round_up(q, 8))
     k_pad = _round_up(k, LANES)
     split_planes = db_lo is not None
+    int_path_early = db.dtype in (jnp.int8.dtype, jnp.uint8.dtype)
+    if merge is None:
+        merge = "rounds" if int_path_early and k <= _UNROLL_K_MAX else "pool"
     if block_rows is None:
         # split planes stream two bf16 blocks = f32-equivalent bytes
         eff_itemsize = 4 if split_planes else db.dtype.itemsize
@@ -637,7 +645,7 @@ def _fused_topk(
             d, eff_itemsize, qt,
             bf16x3=precision == "high" and db.dtype.itemsize == 4
             and not split_planes,
-            k_pad=k_pad,
+            k_pad=k_pad, pool_merge=merge == "pool",
         )
     # The lane-fold merge requires whole 128-lane chunks per block.
     block_rows = max(LANES, _round_up(block_rows, LANES))
@@ -654,9 +662,7 @@ def _fused_topk(
         queries = q_hi
 
     metric = DistanceMetric(metric)
-    int_path = db.dtype in (jnp.int8.dtype, jnp.uint8.dtype)
-    if merge is None:
-        merge = "rounds" if int_path and k <= _UNROLL_K_MAX else "pool"
+    int_path = int_path_early
     nvalid_arr = jnp.asarray(num_valid, dtype=jnp.int32).reshape(1, 1)
     norms_2d = db_norms.reshape(1, n).astype(jnp.float32)
 
