@@ -440,7 +440,19 @@ class IVFPQIndex:
             cscores = cdots
         cth, _ = jax.lax.top_k(cscores, nprobe)
         sel = cscores >= cth[:, -1:]
-        bucket_bias = jnp.where(sel, cdots, jnp.float32(-1e30))
+        # Shift probed biases by the per-query maximum so the values the
+        # bf16 LUT carries are small (q·centroid magnitudes on u8-scale
+        # data run ~10⁶; bf16's 0.4% relative error on that dwarfs
+        # residual-scale score differences and collapses recall). The
+        # shift is a per-query additive constant on the dots — rank-neutral
+        # for L2/IP and restored below; cosine multiplies per-row rsqrt,
+        # so it keeps raw biases (normalized-query dot magnitudes are
+        # ‖c‖-bounded) — use exact_lut for cosine scan when centroid norms
+        # are large.
+        shift_ok = self.metric != DistanceMetric.COSINE
+        b0 = jnp.max(jnp.where(sel, cdots, -jnp.inf), axis=1, keepdims=True)
+        shifted = cdots - b0 if shift_ok else cdots
+        bucket_bias = jnp.where(sel, shifted, jnp.float32(-1e30))
         # bucket bias → per-GROUP bias via the static group→bucket map (a
         # [Q, G] static-index take — a permutation, not a dynamic gather).
         bias = jnp.take(bucket_bias, g2b, axis=1)
@@ -450,6 +462,9 @@ class IVFPQIndex:
             valid_mask=valid_f, group_bias=bias, group_rows=r,
             interpret=interpret, exact_lut=exact_lut,
         )
+        if shift_ok:
+            mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
+            s = s + mult * b0  # −inf slots stay −inf
         i = jnp.where(
             i_flat >= 0, jnp.take(ids_f, jnp.maximum(i_flat, 0)), -1
         )

@@ -133,6 +133,14 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             scores = dots * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))
         else:
             scores = dots
+        if group_rows:
+            # Rows whose bucket is unprobed carry a −10³⁰-scale bias; clamp
+            # them to EXACTLY −inf. Left at finite ~−2·10³⁰ values that
+            # vary per row, they churn the candidate pool (≈half of them
+            # sit above a −2·10³⁰ theta at any time), firing the collision
+            # fallback on every block — measured 10× slower. −inf rows can
+            # never enter the pool, so theta rises to real scores at once.
+            scores = jnp.where(dots > jnp.float32(-1e28), scores, _NEG_INF)
 
         row0 = ni * block_rows
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
