@@ -48,6 +48,34 @@ def main():
     assert np.array_equal(res.indices, res2.indices)
     print("streamed result identical to sharded result")
 
+    # ---- 2-D (query × shard) grid: DP over query batches composed with
+    # row sharding — throughput scaling for large query streams ----------
+    if ndev >= 4 and ndev % 2 == 0:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from metrovector_tpu.parallel import (
+            grid_sharded_topk,
+            make_mesh_2d,
+            shard_rows as shard_rows_fn,
+        )
+
+        mesh2 = make_mesh_2d(2, ndev // 2)
+        norms = np.einsum("ij,ij->i", data, data, dtype=np.float64).astype(
+            np.float32
+        )
+        big_batch = np.repeat(queries, 4, axis=0)  # 16 queries, 8/DP group
+        s2, i2 = grid_sharded_topk(
+            jax.device_put(
+                big_batch, NamedSharding(mesh2, P("query", None))
+            ),
+            shard_rows_fn(data, mesh2, axis="shard"),
+            shard_rows_fn(norms, mesh2, axis="shard"),
+            data.shape[0], 5, mvt.DistanceMetric.L2, mesh2, backend="xla",
+        )
+        assert np.array_equal(np.asarray(i2)[::4], res.indices)
+        print("2-D query×shard grid matches the 1-D result")
+
 
 if __name__ == "__main__":
     main()
