@@ -174,10 +174,20 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
         remaining incoming candidate into its pool slot holding the worst
         retained entry, if it beats it. ``n_rounds`` bounds the trip count
         (theta only rises, so the pre-insert beat count is an upper bound
-        on inserts)."""
+        on inserts); the loop also exits as soon as a round inserts
+        nothing — candidates are consumed in descending key order per
+        query, so once every query's best remaining fails to beat, the
+        rest never can. Without the early exit, a loose bound (e.g. while
+        the pool still has −inf holes and few candidates qualify) burns
+        the full k rounds as no-ops — measured 5× end-to-end on the
+        sparse-candidate masked-scan workload."""
 
-        def body(_, carry):
-            cs, ci = carry
+        def cond(state):
+            j, go, _, _ = state
+            return jnp.logical_and(j < n_rounds, go)
+
+        def body(state):
+            j, _, cs, ci = state
             m = jnp.max(cs, axis=1)
             eqc = cs == m[:, None]
             sel_i = jnp.min(jnp.where(eqc, ci, big), axis=1)
@@ -206,9 +216,11 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
             consumed = jnp.logical_and(eqc, ci == sel_i[:, None])
             cs = jnp.where(consumed, _NEG_INF, cs)
             ci = jnp.where(consumed, big, ci)
-            return cs, ci
+            return j + 1, jnp.any(beats), cs, ci
 
-        jax.lax.fori_loop(0, n_rounds, body, (inc_s, inc_i))
+        jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.bool_(True), inc_s, inc_i)
+        )
 
     # Conservative whole-tile skip: nothing in this block can beat the
     # worst retained candidate of any query in the tile.
