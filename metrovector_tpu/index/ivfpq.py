@@ -183,11 +183,18 @@ class IVFPQIndex:
     num_vectors: int
     db: jax.Array | None = None
     db_norms: jax.Array | None = None
-    # Lazily-derived bucket-major flat layout for the gather-free masked
-    # scan: (codes [G·R, m], norms [G·R], ids [G·R], valid [G·R], R).
-    _flat: tuple | None = dataclasses.field(
-        default=None, repr=False, compare=False
-    )
+    # Batch size at which the gather-free masked scan overtakes
+    # gather-bound bucket traversal on TPU (measured crossover; traversal
+    # stays the latency option).
+    SCAN_CROSSOVER_BATCH = 32
+    # Row-order arrays for the gather-free masked scan: residual codes /
+    # recon norms in ORIGINAL row order, per-row bucket ids (−1 =
+    # tombstoned/unbucketed) and the validity mask. Built at construction;
+    # memory is m+9 bytes/row.
+    codes_row: jax.Array | None = None
+    rnorms_row: jax.Array | None = None
+    row_bucket: jax.Array | None = None
+    row_valid: jax.Array | None = None
 
     @classmethod
     def build(
@@ -254,10 +261,12 @@ class IVFPQIndex:
         bcodes = np.zeros((nb, bucket_rows, m), np.uint8)
         ids = np.full((nb, bucket_rows), -1, np.int32)
         bnorms = np.zeros((nb, bucket_rows), np.float32)
+        b_of_row = np.full(n, -1, np.int32)
         for b, rows in enumerate(row_lists):
             bcodes[b, : len(rows)] = codes[rows]
             ids[b, : len(rows)] = rows
             bnorms[b, : len(rows)] = recon_norms[rows]
+            b_of_row[rows] = b
 
         db = db_norms = None
         if keep_vectors:
@@ -283,6 +292,10 @@ class IVFPQIndex:
             num_vectors=n,
             db=db,
             db_norms=db_norms,
+            codes_row=jax.device_put(np.asarray(codes, np.uint8)),
+            rnorms_row=jax.device_put(recon_norms),
+            row_bucket=jax.device_put(b_of_row),
+            row_valid=jax.device_put((b_of_row >= 0).astype(np.float32)),
         )
 
     @classmethod
@@ -349,77 +362,21 @@ class IVFPQIndex:
     def bucket_rows(self) -> int:
         return int(self.buckets.shape[1])
 
-    # Batch size at which the gather-free masked scan overtakes scan-based
-    # probing (measured on v5e: probing is gather-bound at ~250 QPS while
-    # the dense ADC kernel sustains >10k QPS at large batches; at tiny
-    # batches probing's O(nprobe·B) work beats scanning all N codes).
-    SCAN_CROSSOVER_BATCH = 32
-
-    # Row-group size of the masked-scan flat layout. Each bucket's rows
-    # split into ceil(fill / GROUP_ROWS) groups of exactly GROUP_ROWS rows
-    # (last group zero-padded), so padding waste adapts to per-bucket fill
-    # instead of paying the MAX fill for every bucket (the uniform
-    # [C', B_max] layout measured 2.4× the corpus rows at C=1024/1M).
-    # Smaller groups waste less padding but add bias one-hot columns
-    # (n_groups/(m·ksub) extra MACs); 1024 balances both at m=16/ksub=256.
-    SCAN_GROUP_ROWS = 1024
-
-    def _flat_layout(self):
-        """Group-major flat arrays for the gather-free masked scan
-        (:func:`..ops.adc_kernel.fused_adc_topk` ``group_bias`` probing):
-        ``(codes [G·R, m], norms, ids, valid, group→bucket map [G], R)``.
-        Derived once and cached."""
-        if self._flat is None:
-            r = self.SCAN_GROUP_ROWS
-            ids_b = np.asarray(self.bucket_ids)
-            norms_b = np.asarray(self.bucket_norms)
-            codes_b = np.asarray(self.buckets)
-            nb, b, m = codes_b.shape
-            fills = np.asarray(self.fill)
-            groups_per = np.maximum(1, -(-fills // r))
-            g_total = int(groups_per.sum())
-            codes_f = np.zeros((g_total * r, m), np.uint8)
-            norms_f = np.zeros(g_total * r, np.float32)
-            ids_f = np.full(g_total * r, -1, np.int32)
-            g2b = np.empty(g_total, np.int32)
-            g = 0
-            for bkt in range(nb):
-                fill = int(fills[bkt])
-                for lo in range(0, max(fill, 1), r):
-                    hi = min(lo + r, fill)
-                    dst = g * r
-                    codes_f[dst : dst + hi - lo] = codes_b[bkt, lo:hi]
-                    norms_f[dst : dst + hi - lo] = norms_b[bkt, lo:hi]
-                    ids_f[dst : dst + hi - lo] = ids_b[bkt, lo:hi]
-                    g2b[g] = bkt
-                    g += 1
-            assert g == g_total
-            object.__setattr__(
-                self,
-                "_flat",
-                (
-                    jax.device_put(codes_f),
-                    jax.device_put(norms_f),
-                    jax.device_put(ids_f),
-                    jax.device_put((ids_f >= 0).astype(np.float32)),
-                    jax.device_put(g2b),
-                    r,
-                ),
-            )
-        return self._flat
-
     def _masked_scan(self, qdev, fetch: int, nprobe: int, interpret: bool,
                      exact_lut: bool = False):
-        """Gather-free probing: dense ADC over the whole coded corpus with
-        a per-(query, bucket) additive bias — ``q·centroid`` on the
+        """Gather-free probing: dense ADC over the corpus in ORIGINAL row
+        order with a per-(query, bucket) bias — ``q·centroid`` on the
         ``nprobe`` best coarse buckets (residual ADC: q·x̂ = q·c + q·r̂),
-        −1e30 elsewhere. Buckets whose coarse score ties the nprobe-th are
-        all probed (rank-boundary ties are kept rather than broken
-        arbitrarily). Exact same candidate semantics as the traversal
-        probe, at full-scan MXU throughput."""
+        −10³⁰ elsewhere (clamped to −inf in-kernel). The per-row bucket id
+        rides a [N, 1] int32 input that drives bias one-hot columns inside
+        the kernel's deep-K matmul, so probing costs extra matmul columns
+        instead of gathers and the corpus needs no bucket-padded copy.
+        Buckets whose coarse score ties the nprobe-th are all probed
+        (rank-boundary ties are kept rather than broken arbitrarily).
+        Exact same candidate semantics as the traversal probe, at
+        full-scan MXU throughput."""
         from ..ops.adc_kernel import fused_adc_topk
 
-        codes_f, norms_f, ids_f, valid_f, g2b, r = self._flat_layout()
         cdots = jax.lax.dot_general(
             qdev, self.probe_centroids,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -452,22 +409,17 @@ class IVFPQIndex:
         shift_ok = self.metric != DistanceMetric.COSINE
         b0 = jnp.max(jnp.where(sel, cdots, -jnp.inf), axis=1, keepdims=True)
         shifted = cdots - b0 if shift_ok else cdots
-        bucket_bias = jnp.where(sel, shifted, jnp.float32(-1e30))
-        # bucket bias → per-GROUP bias via the static group→bucket map (a
-        # [Q, G] static-index take — a permutation, not a dynamic gather).
-        bias = jnp.take(bucket_bias, g2b, axis=1)
-        s, i_flat = fused_adc_topk(
-            qdev, codes_f, jnp.asarray(self.codebooks), norms_f,
-            jnp.int32(codes_f.shape[0]), fetch, self.metric,
-            valid_mask=valid_f, group_bias=bias, group_rows=r,
-            interpret=interpret, exact_lut=exact_lut,
+        bias = jnp.where(sel, shifted, jnp.float32(-1e30))
+        s, i = fused_adc_topk(
+            qdev, self.codes_row, jnp.asarray(self.codebooks),
+            self.rnorms_row, jnp.int32(self.num_vectors), fetch,
+            self.metric, valid_mask=self.row_valid, group_bias=bias,
+            group_ids=self.row_bucket, interpret=interpret,
+            exact_lut=exact_lut,
         )
         if shift_ok:
             mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
             s = s + mult * b0  # −inf slots stay −inf
-        i = jnp.where(
-            i_flat >= 0, jnp.take(ids_f, jnp.maximum(i_flat, 0)), -1
-        )
         return s, i
 
     def search(

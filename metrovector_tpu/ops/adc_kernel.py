@@ -72,7 +72,7 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
 def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
                      metric: DistanceMetric, has_valid: bool,
                      exact_lut: bool, group_rows: int = 0,
-                     n_groups: int = 0):
+                     n_groups: int = 0, has_group_ids: bool = False):
     metric = DistanceMetric(metric)
     oh_dtype = jnp.float32 if exact_lut else jnp.bfloat16
     prec = (
@@ -81,6 +81,7 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
 
     def kernel(nvalid_ref, lut_ref, codes_ref, norms_ref, *rest):
         rest = list(rest)
+        gid_ref = rest.pop(0) if has_group_ids else None
         valid_ref = rest.pop(0) if has_valid else None
         out_s_ref, out_i_ref, best_s, best_i = rest
 
@@ -103,20 +104,28 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
             for j in range(m)
         ]
-        if group_rows:
+        if n_groups:
             # Gather-free IVF probing: the LUT carries n_groups extra
             # columns of per-(query, bucket) bias (q·centroid on probed
             # buckets, −BIG elsewhere), and each row's one-hot gains a 1 at
             # its bucket's column — the SAME deep-K matmul then yields
             # rdots + bias in one f32 accumulation. Costs n_groups/(m·ksub)
             # extra MACs; no per-element gathers anywhere (XLA TPU gathers
-            # are scalar-slow) and no extra kernel input.
-            # [BN, 1] and [1, G] operands keep the int32 intermediates tiny;
-            # only the bf16 one-hot itself materializes at [BN, G].
-            row_bucket = (
-                ni0 * block_rows
-                + jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0)
-            ) // group_rows
+            # are scalar-slow). The row→bucket map comes either from a
+            # fixed group width (group_rows: bucket-major padded layout) or
+            # from an explicit per-row id input (group_ids: corpus stays in
+            # ORIGINAL row order — no bucket-padding row overhead).
+            # [BN, 1] and [1, G] operands keep the int32 intermediates
+            # tiny; only the one-hot itself materializes at [BN, G].
+            if gid_ref is not None:
+                row_bucket = gid_ref[:].reshape(block_rows, 1)
+            else:
+                row_bucket = (
+                    ni0 * block_rows
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_rows, 1), 0
+                    )
+                ) // group_rows
             g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
             oh_parts.append((row_bucket == g_iota).astype(oh_dtype))
         onehot = jnp.concatenate(oh_parts, axis=1)  # [BN, m·ksub (+ G)]
@@ -133,7 +142,7 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             scores = dots * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))
         else:
             scores = dots
-        if group_rows:
+        if n_groups:
             # Rows whose bucket is unprobed carry a −10³⁰-scale bias; clamp
             # them to EXACTLY −inf. Left at finite ~−2·10³⁰ values that
             # vary per row, they churn the candidate pool (≈half of them
@@ -176,6 +185,7 @@ def fused_adc_topk(
     interpret: bool = False,
     group_bias=None,
     group_rows: int = 0,
+    group_ids=None,
 ):
     """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
     scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`)."""
@@ -188,6 +198,7 @@ def fused_adc_topk(
                 valid_mask=valid_mask, exact_lut=exact_lut, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
                 group_bias=group_bias, group_rows=group_rows,
+                group_ids=group_ids,
             )
         except Exception as exc:
             msg = str(exc)
@@ -229,6 +240,7 @@ def _fused_adc_topk(
     interpret: bool = False,
     group_bias: jax.Array | None = None,
     group_rows: int = 0,
+    group_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ADC top-k over a PQ-coded corpus shard.
 
@@ -243,12 +255,15 @@ def _fused_adc_topk(
       exact_lut: f32-HIGHEST one-hot matmuls (ranking equals the f64 ADC
         oracle to f32 rounding) instead of single-pass bf16 (default,
         ~6× less MXU time; error ≪ PQ quantization error).
-      group_bias / group_rows: gather-free IVF probing. The corpus is laid
-        out bucket-major with every bucket padded to ``group_rows`` rows
-        (a multiple of 128); ``group_bias [Q, N/group_rows]`` f32 adds a
-        per-(query, bucket) dot term — ``q·centroid`` for probed buckets
-        (residual ADC: q·x̂ = q·c + q·r̂) and a large negative constant for
-        unprobed ones. Probing then costs a dense epilogue instead of the
+      group_bias / group_rows / group_ids: gather-free IVF probing.
+        ``group_bias [Q, G]`` f32 adds a per-(query, bucket) dot term —
+        ``q·centroid`` for probed buckets (residual ADC: q·x̂ = q·c + q·r̂)
+        and a large negative constant for unprobed ones (clamped to −inf
+        in-kernel). The row→bucket map is either implicit — ``group_rows``:
+        bucket-major layout, bucket = row // group_rows — or explicit —
+        ``group_ids [N]`` int32 per-row bucket ids, letting the corpus
+        stay in ORIGINAL row order with no bucket-padding overhead.
+        Probing then costs extra matmul columns instead of the
         scalar-slow per-query gathers of classic IVF traversal.
 
     Returns ``(scores [Q, k] f32, indices [Q, k] int32)`` best-first.
@@ -261,6 +276,8 @@ def _fused_adc_topk(
     qt = min(query_tile, _round_up(q, 8))
     k_pad = _round_up(k, LANES)
     n_groups_pad = 0
+    if group_rows and group_ids is not None:
+        raise ValueError("group_rows and group_ids are mutually exclusive")
     if group_rows:
         if group_rows % LANES:
             raise ValueError(
@@ -270,6 +287,7 @@ def _fused_adc_topk(
             raise ValueError(
                 f"corpus rows {n} not a multiple of group_rows {group_rows}"
             )
+    if group_rows or group_ids is not None:
         n_groups_pad = _round_up(int(group_bias.shape[1]), LANES)
     if block_rows is None:
         block_rows = default_adc_block_rows(
@@ -287,7 +305,7 @@ def _fused_adc_topk(
         preferred_element_type=jnp.float32,
     ).reshape(q, m * ksub)
     n_groups = 0
-    if group_rows:
+    if n_groups_pad:
         # Bias columns ride the LUT (see kernel comment); the kernel pairs
         # them with per-row bucket one-hot columns in the same matmul.
         # Padded to a 128-lane multiple; padding columns carry −BIG bias
@@ -325,6 +343,14 @@ def _fused_adc_topk(
         row_spec,
     ]
     args = [nvalid_arr, lut, codes_u8, norms_2d]
+    if group_ids is not None:
+        # [N, 1] sublane-major so each block reads [BN, 1] directly (a
+        # [1, BN] lane-major block would need an in-kernel transpose).
+        in_specs.append(
+            pl.BlockSpec((block_rows, 1), lambda qi, ni: (ni, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(group_ids.reshape(n, 1).astype(jnp.int32))
     if valid_mask is not None:
         in_specs.append(row_spec)
         args.append(valid_mask.reshape(1, n).astype(jnp.float32))
@@ -333,6 +359,7 @@ def _fused_adc_topk(
         k, k_pad, block_rows, m, ksub, metric,
         has_valid=valid_mask is not None, exact_lut=exact_lut,
         group_rows=group_rows, n_groups=n_groups,
+        has_group_ids=group_ids is not None,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
