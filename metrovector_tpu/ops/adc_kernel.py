@@ -15,10 +15,13 @@ re-read by the MXU). Here the one-hot never leaves VMEM:
   ``dots[QT, BN] = Σ_j q_j · C[j, code_j]`` — the classic per-lane ADC
   gather recast as one dense matmul per block.
 * Metric epilogue on precomputed reconstruction norms, padding/tombstone
-  masking, lane-fold candidate compression and k-round selection are
-  shared with :mod:`.topk_kernel` (same exactness discipline: exact with
-  respect to the *reconstructed* corpus; PQ's only approximation is the
-  quantization itself).
+  masking, lane-fold candidate compression and the streaming replace-min
+  pool selection are shared with :mod:`.topk_kernel` (same exactness
+  discipline: exact with respect to the *reconstructed* corpus; PQ's only
+  approximation is the quantization itself).
+* Optional gather-free IVF probing: per-(query, bucket) bias columns ride
+  the LUT, matched by bucket one-hot columns built from a per-row id
+  input — see ``group_bias``/``group_ids`` in :func:`fused_adc_topk`.
 
 MAC cost is ``m·ksub / D`` × an exact matmul (e.g. 32× for m=16, ksub=256,
 D=128) — PQ on TPU is a **memory** optimization (HBM capacity + streaming
