@@ -72,11 +72,20 @@ def main():
           f"working set {pq.codes.nbytes / 1e6 + pq.recon_norms.nbytes / 1e6:6.1f} MB (codes)")
 
     # 3. IVF-PQ: probe a few coarse cells, residual ADC inside them.
+    #    mode="auto" picks the formulation by batch size — bucket traversal
+    #    for latency batches, the gather-free masked dense scan for batch
+    #    serving (same nprobe semantics, full-scan MXU throughput).
     ivfpq = IVFPQIndex.from_space(sp, num_clusters=64, m=4, ksub=64, iters=6)
     for nprobe in (2, 8, 32):
         res = ivfpq.search(queries, k=k, nprobe=nprobe, rerank=8 * k)
+        res_scan = ivfpq.search(
+            queries, k=k, nprobe=nprobe, rerank=8 * k,
+            mode="scan", exact_lut=True,
+        )
+        agree = (res.indices == res_scan.indices).mean()
         print(f"ivfpq nprobe={nprobe:<3} recall@{k}: "
-              f"{recall(res.indices, oracle, k):.3f}")
+              f"{recall(res.indices, oracle, k):.3f}  "
+              f"(scan mode agrees: {agree:.0%})")
 
 
 if __name__ == "__main__":

@@ -429,7 +429,7 @@ class IVFPQIndex:
         nprobe: int = 8,
         rerank: int = 0,
         mode: str = "auto",
-        interpret: bool = False,
+        interpret: bool | None = None,
         exact_lut: bool = False,
     ):
         """Approximate top-k: ADC over the ``nprobe`` best-scoring buckets'
@@ -457,6 +457,8 @@ class IVFPQIndex:
         nprobe = min(nprobe, self.num_buckets)
         fetch = max(k, rerank) if rerank else k
         fetch = min(fetch, self.bucket_rows * nprobe) or 1
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
         if mode == "auto":
             mode = (
                 "scan" if q.shape[0] >= self.SCAN_CROSSOVER_BATCH else "probe"
