@@ -102,3 +102,37 @@ def test_lz4_file_round_trip(tmp_path, rng):
     sp = r.vector_space("e")
     np.testing.assert_array_equal(sp.to_numpy(), data)
     r.validate_with_checksum()
+
+
+def test_corrupted_lz4_block_detected(tmp_path, rng):
+    """Bit flips inside a stored LZ4 block must fail CRC validation, and
+    decoding a truncated block must raise cleanly, not crash or return
+    garbage silently."""
+    data = np.round(rng.standard_normal((300, 8)).astype(np.float32), 1)
+    b = Builder()
+    b.add_vector_space("e", dim=8)
+    b.add_vectors("e", data)
+    path = tmp_path / "c.mvt"
+    b.build(compression=CompressionAlgorithm.LZ4).save(path)
+
+    img = bytearray(path.read_bytes())
+    r = Reader.open(path)
+    blk = next(
+        bi for bi in r.manifest.blocks
+        if bi.compression == CompressionAlgorithm.LZ4
+    )
+    img[blk.offset + blk.size // 2] ^= 0xFF
+    bad = tmp_path / "bad.mvt"
+    bad.write_bytes(bytes(img))
+    r2 = Reader.open(bad)
+    with pytest.raises(Exception) as ei:
+        r2.validate_with_checksum()
+    assert "crc" in str(ei.value).lower() or "checksum" in str(ei.value).lower()
+
+    # truncated compressed payload: decode must raise, not under-fill
+    comp = compress(b"payload " * 200, CompressionAlgorithm.LZ4)
+    with pytest.raises(ExtensionError):
+        lz4_block_decompress(comp[: len(comp) // 2], 1600)
+    if available():
+        with pytest.raises(ValueError):
+            lz4_decompress(comp[: len(comp) // 2], 1600)
