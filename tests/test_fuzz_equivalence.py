@@ -1,0 +1,90 @@
+"""Randomized cross-backend equivalence: for seeded random configurations
+(shape, k, metric, dtype, tombstones, duplicate density, tile sizes, merge
+strategy), the Pallas kernel (interpreter), the XLA path and the NumPy
+oracle must agree bit-for-rank. This is the property-based face of the
+exactness contract (`ops/distances.py`); the reference's analog is its
+per-module unit matrix, which never crosses implementations.
+"""
+
+import numpy as np
+import pytest
+
+from metrovector_tpu.format.constants import DistanceMetric
+from metrovector_tpu.ops.distances import exact_topk_xla, numpy_oracle
+from metrovector_tpu.ops.topk_kernel import fused_topk
+
+
+def _random_config(rng):
+    n = int(rng.integers(64, 700))
+    d = int(rng.choice([4, 8, 16, 24, 32]))
+    k = int(rng.integers(1, min(n, 140)))
+    metric = DistanceMetric(int(rng.choice([0, 1, 2])))
+    dup = float(rng.choice([0.0, 0.0, 0.5, 0.9]))
+    tomb = float(rng.choice([0.0, 0.1]))
+    block_rows = int(rng.choice([128, 256, 384]))
+    merge = str(rng.choice(["pool", "rounds"]))
+    return n, d, k, metric, dup, tomb, block_rows, merge
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_backend_equivalence(trial):
+    rng = np.random.default_rng(1000 + trial)
+    n, d, k, metric, dup, tomb, block_rows, merge = _random_config(rng)
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    if dup:
+        src = rng.integers(0, max(1, int(n * (1 - dup))), n)
+        db = db[np.sort(src)]
+    q = rng.standard_normal((int(rng.integers(1, 20)), d)).astype(np.float32)
+    if metric == DistanceMetric.COSINE:
+        q = q / np.maximum(
+            np.linalg.norm(q, axis=1, keepdims=True), 1e-30
+        )
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    mask = None
+    if tomb:
+        mask = (rng.random(n) > tomb).astype(np.float32)
+
+    os_, oi = numpy_oracle(q, db, k, metric, valid_mask=mask)
+    oi_norm = np.where(np.isneginf(os_), -1, oi)
+
+    ps, pi = fused_topk(
+        q, db, norms, np.int32(n), k, metric, valid_mask=mask,
+        block_rows=block_rows, interpret=True, merge=merge,
+    )
+    cfg = (n, d, k, int(metric), dup, tomb, block_rows, merge)
+    assert np.array_equal(np.asarray(pi), oi_norm), f"pallas != oracle {cfg}"
+
+    xs, xi = exact_topk_xla(
+        q, db, norms, n, k, metric, valid_mask=mask
+    )
+    xi_norm = np.where(np.isneginf(np.asarray(xs)), -1, np.asarray(xi))
+    assert np.array_equal(xi_norm, oi_norm), f"xla != oracle {cfg}"
+
+    # scores agree where slots are filled
+    filled = oi_norm >= 0
+    np.testing.assert_allclose(
+        np.asarray(ps)[filled], os_[filled], rtol=1e-5, atol=1e-5,
+        err_msg=f"pallas scores diverged {cfg}",
+    )
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_int8_paths(trial):
+    """Integer MXU path (symmetric int8) vs a dequantized oracle."""
+    rng = np.random.default_rng(2000 + trial)
+    n = int(rng.integers(100, 500))
+    d = int(rng.choice([8, 16, 32]))
+    k = int(rng.integers(1, 40))
+    merge = str(rng.choice(["pool", "rounds"]))
+    codes = rng.integers(-128, 128, (n, d)).astype(np.int8)
+    scale = 0.05
+    deq = codes.astype(np.float32) * scale
+    norms = (deq.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    q = rng.integers(-128, 128, (5, d)).astype(np.int8)
+    qf = q.astype(np.float32) * scale
+    _, oi = numpy_oracle(qf, deq, k, DistanceMetric.INNER_PRODUCT)
+    s, i = fused_topk(
+        q, codes, norms, np.int32(n), k, DistanceMetric.INNER_PRODUCT,
+        scale=scale * scale, block_rows=128, interpret=True, merge=merge,
+    )
+    assert np.array_equal(np.asarray(i), oi), (trial, merge)
