@@ -33,6 +33,7 @@ from .format import (
     TombstoneFormat,
     VectorType,
     Writer,
+    builder_from_reader,
     compact,
 )
 from .vectors import (
@@ -107,6 +108,7 @@ __all__ = [
     "VectorSpace",
     "VectorType",
     "Writer",
+    "builder_from_reader",
     "compact",
     "encode_pq",
     "errors",

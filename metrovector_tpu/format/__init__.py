@@ -1,7 +1,7 @@
 """MVT file format: tile-aligned columnar storage for vector collections."""
 
 from .builder import Builder, BuiltFile, VectorSpaceHandle, Writer
-from .compact import compact
+from .compact import builder_from_reader, compact
 from .constants import (
     BLOCK_ALIGN,
     FORMAT_VERSION,
@@ -48,5 +48,6 @@ __all__ = [
     "VectorSpaceHandle",
     "VectorType",
     "Writer",
+    "builder_from_reader",
     "compact",
 ]

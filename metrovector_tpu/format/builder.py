@@ -371,6 +371,23 @@ class Builder:
         col.values = vals
         sp.columns[column_name] = col
 
+    def extend_metadata_column(
+        self,
+        space_name: str,
+        column_name: str,
+        values: Iterable[Any],
+    ) -> None:
+        """Append values to an existing metadata column — the column-side
+        half of the append workflow (:func:`..format.compact.builder_from_reader`);
+        dtype stays as declared."""
+        sp = self._get_space(space_name)
+        if column_name not in sp.columns:
+            raise BuildError(
+                f"metadata column {column_name!r} does not exist in "
+                f"{space_name!r}; use add_metadata_column first"
+            )
+        sp.columns[column_name].values.extend(list(values))
+
     def set_ivf_index(
         self,
         space_name: str,

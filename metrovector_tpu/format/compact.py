@@ -1,4 +1,14 @@
-"""Compaction: rebuild an MVT file without its tombstoned rows.
+"""Rebuilds: load an existing MVT file back into a Builder.
+
+Two user-facing workflows share the machinery:
+
+* :func:`compact` — rebuild without tombstoned rows (renumbering; stable
+  IDs survive).
+* :func:`builder_from_reader` — the append/update path the reference has
+  no story for (its builds are one-shot, ``src/builder.rs``): load every
+  space verbatim (rows, IDs, tombstones, metadata, index configs,
+  extensions) into a fresh :class:`Builder` so callers can
+  ``add_vectors(...)`` / ``delete_vector(...)`` and re-emit the file.
 
 The reference has no deletion story beyond schema-level tombstones it never
 writes (``src/builder.rs:485`` in thegenem0/metrovector); MVT writes them
@@ -22,18 +32,22 @@ from .builder import Builder, BuiltFile
 from .reader import Reader
 
 
-def compact(
-    reader: Reader, path=None, materialize_ids: bool = False
-) -> BuiltFile:
-    """Rebuild every space without deleted rows. Returns the new
-    :class:`BuiltFile`; also saves to ``path`` when given.
+def builder_from_reader(
+    reader: Reader,
+    drop_deleted: bool = False,
+    materialize_ids: bool = False,
+) -> Builder:
+    """Load an open file's full contents into a fresh :class:`Builder`.
 
-    Stable ID columns are carried through (filtered to surviving rows), so
-    external references by ID stay valid even though compaction renumbers
-    row positions. ``materialize_ids=True`` additionally writes the
-    *pre-compaction row positions* as the ID column of spaces that had
-    none, so position-based references taken before the compaction can
-    still be resolved afterwards."""
+    With ``drop_deleted=False`` (the append workflow) rows, stable IDs
+    AND tombstones carry over verbatim — append more vectors, delete
+    more rows, then ``build().save(...)``. With ``drop_deleted=True``
+    (the compaction workflow) tombstoned rows are physically removed and
+    the survivors renumbered; stable ID columns are filtered so external
+    references by ID stay valid. ``materialize_ids=True`` additionally
+    writes the *pre-rebuild row positions* as the ID column of spaces
+    that had none, so position-based references taken before a
+    compaction can still be resolved afterwards."""
     b = Builder()
     for k, v in reader.manifest.hints.items():
         b.set_hint(k, v)
@@ -47,7 +61,10 @@ def compact(
         sp = reader.vector_space(name)
         info = sp.info
         mask = sp.tombstone_mask()
-        keep = np.ones(sp.num_vectors, bool) if mask is None else ~mask
+        if drop_deleted and mask is not None:
+            keep = ~mask
+        else:
+            keep = np.ones(sp.num_vectors, bool)
 
         handle = b.add_vector_space(
             name,
@@ -93,6 +110,11 @@ def compact(
         elif materialize_ids and keep.any():
             b.set_vector_ids(name, np.flatnonzero(keep).astype(np.uint64))
 
+        if not drop_deleted and mask is not None:
+            # append workflow: tombstones carry over as-is
+            for i in np.flatnonzero(mask):
+                b.delete_vector(name, int(i))
+
         for col_name in sp.metadata_column_names():
             vals = sp.metadata_column(col_name)
             if isinstance(vals, list):  # string column
@@ -102,7 +124,18 @@ def compact(
             col_info = sp._column_info(col_name)
             b.add_metadata_column(name, col_name, kept, dtype=col_info.dtype)
 
-    built = b.build()
+    return b
+
+
+def compact(
+    reader: Reader, path=None, materialize_ids: bool = False
+) -> BuiltFile:
+    """Rebuild every space without deleted rows. Returns the new
+    :class:`BuiltFile`; also saves to ``path`` when given. See
+    :func:`builder_from_reader` for the carrying rules."""
+    built = builder_from_reader(
+        reader, drop_deleted=True, materialize_ids=materialize_ids
+    ).build()
     if path is not None:
         built.save(path)
     return built
