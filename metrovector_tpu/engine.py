@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .errors import DimensionMismatchError, InvalidVectorTypeError
+from .errors import (
+    DimensionMismatchError,
+    IndexOutOfBoundsError,
+    InvalidVectorTypeError,
+)
 from .format.constants import DataType, DistanceMetric, numpy_dtype
 from .format.reader import Reader
 from .ops.distances import distances_np, exact_topk_xla
@@ -196,6 +200,165 @@ class DeviceSpace:
             precision=precision,
             host_ids=space.ids(),
         )
+
+    # -- online mutation ------------------------------------------------------
+
+    def add_rows(self, rows, ids=None, reserve: float = 1.5) -> None:
+        """Append rows to the live device corpus without touching disk.
+
+        Static-shape discipline: jitted kernels cache per corpus shape, so
+        the block grows in **capacity steps** — when the tile-padded rows
+        no longer fit, capacity is multiplied by ``reserve`` (amortized
+        O(1) recompiles; the padding rows are masked by ``num_valid`` until
+        used, so appends that fit existing capacity trigger NO recompile).
+        Float input to a quantized space is quantized with the stored
+        calibration. Persist via the file-side append workflow
+        (``builder_from_reader``) when durability is needed.
+        """
+        from .format.constants import (
+            padded_rows_for,
+            sublane_multiple,
+        )
+
+        rows = np.asarray(rows)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        if rows.shape[1] != self.dim:
+            raise DimensionMismatchError(
+                expected=self.dim, actual=int(rows.shape[1])
+            )
+        n_new = rows.shape[0]
+        if ids is not None:
+            ids = np.ascontiguousarray(ids, dtype=np.uint64).reshape(-1)
+            if ids.shape[0] != n_new:
+                raise DimensionMismatchError(
+                    expected=n_new, actual=int(ids.shape[0])
+                )
+            if self.host_ids is None and self.num_valid > 0:
+                raise InvalidVectorTypeError(
+                    "space has no ID column; appended rows cannot carry ids"
+                )
+        elif self.host_ids is not None:
+            raise InvalidVectorTypeError(
+                "space has an ID column; appended rows must carry ids"
+            )
+
+        rows_f = rows.astype(np.float32)
+        new_norms = np.einsum(
+            "ij,ij->i", rows_f, rows_f, dtype=np.float64
+        ).astype(np.float32)
+        pad_d = self.padded_dim - self.dim
+        if self.dtype == DataType.UINT8:
+            if np.issubdtype(rows.dtype, np.floating):
+                codes = np.clip(
+                    np.rint(rows_f / self.scale + self.zero_point), 0, 255
+                )
+            else:
+                codes = rows_f
+            deq = (codes - self.zero_point) * self.scale
+            new_norms = np.einsum(
+                "ij,ij->i", deq, deq, dtype=np.float64
+            ).astype(np.float32)
+            shifted = codes.astype(np.int16) - 128
+            new_bias = shifted.sum(axis=1, dtype=np.int32).astype(np.float32)
+            block_new = np.pad(
+                shifted.astype(np.int8), ((0, 0), (0, pad_d))
+            )
+        elif self.dtype == DataType.INT8:
+            if np.issubdtype(rows.dtype, np.floating):
+                codes = np.clip(np.rint(rows_f / self.scale), -128, 127)
+            else:
+                codes = rows_f
+            deq = codes * self.scale
+            new_norms = np.einsum(
+                "ij,ij->i", deq, deq, dtype=np.float64
+            ).astype(np.float32)
+            block_new = np.pad(
+                codes.astype(np.int8), ((0, 0), (0, pad_d))
+            )
+            new_bias = None
+        else:
+            block_f32 = np.pad(rows_f, ((0, 0), (0, pad_d)))
+            block_new = block_f32.astype(np.asarray(self.data).dtype)
+            new_bias = None
+
+        total = self.num_valid + n_new
+        cap = self.padded_rows
+        sub = sublane_multiple(self.dtype)
+        if total > cap:
+            cap = max(
+                padded_rows_for(total, self.dtype),
+                -(-int(cap * reserve) // sub) * sub,
+            )
+
+        def grown(old_dev, new_host, fill=0.0, dtype=None):
+            old = np.asarray(old_dev)
+            dtype = dtype or old.dtype
+            shape = (cap,) + old.shape[1:]
+            out = np.full(shape, fill, dtype=dtype)
+            out[: self.num_valid] = old[: self.num_valid]
+            out[self.num_valid : total] = new_host
+            return jax.device_put(out)
+
+        self.data = grown(self.data, block_new)
+        self.norms = grown(self.norms, new_norms)
+        if self.rowsums is not None:
+            self.rowsums = grown(self.rowsums, new_bias)
+        if self.valid_mask is not None:
+            self.valid_mask = grown(
+                self.valid_mask, np.ones(n_new, np.float32), fill=1.0
+            )
+        if self.data_lo is not None:
+            import ml_dtypes
+
+            # data holds the hi plane (block_new, already bf16); the lo
+            # plane is the f32 residual of that cast.
+            lo = (
+                block_f32 - block_new.astype(np.float32)
+            ).astype(ml_dtypes.bfloat16)
+            self.data_lo = grown(self.data_lo, lo)
+        if ids is not None:
+            old_ids = (
+                self.host_ids
+                if self.host_ids is not None
+                else np.zeros(0, np.uint64)
+            )
+            merged = np.concatenate([old_ids[: self.num_valid], ids])
+            if np.unique(merged).shape[0] != merged.shape[0]:
+                raise InvalidVectorTypeError("appended ids collide")
+            self.host_ids = merged
+        self.num_valid = total
+
+    def delete_rows(self, rows=None, ids=None) -> None:
+        """Tombstone rows on the live device corpus (by position or by
+        stable ID). Deleted rows can never surface in results; physical
+        removal happens at the next file compaction."""
+        idx = []
+        if rows is not None:
+            for r in np.atleast_1d(rows):
+                r = int(r)
+                if r < 0 or r >= self.num_valid:
+                    raise IndexOutOfBoundsError(r, self.num_valid)
+                idx.append(r)
+        if ids is not None:
+            if self.host_ids is None:
+                idx.extend(int(i) for i in np.atleast_1d(ids))
+                for r in idx:
+                    if r < 0 or r >= self.num_valid:
+                        raise IndexOutOfBoundsError(r, self.num_valid)
+            else:
+                lut = {int(v): i for i, v in enumerate(self.host_ids)}
+                idx.extend(lut[int(i)] for i in np.atleast_1d(ids))
+        if not idx:
+            return
+        mask = (
+            np.asarray(self.valid_mask)
+            if self.valid_mask is not None
+            else np.ones(self.padded_rows, np.float32)
+        )
+        mask = mask.copy()
+        mask[np.asarray(idx, np.int64)] = 0.0
+        self.valid_mask = jax.device_put(mask)
 
     def _latch_split_fallback(self) -> None:
         """One-time recovery when the split-plane kernel cannot compile on

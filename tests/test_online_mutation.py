@@ -1,0 +1,134 @@
+"""Online mutability: add/delete rows on a live DeviceSpace without
+touching disk. Capacity-doubling keeps kernel shapes stable (appends
+within capacity trigger no recompile); deletions are tombstones that can
+never surface in results."""
+
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, Reader
+from metrovector_tpu.engine import DeviceSpace, SearchEngine
+from metrovector_tpu.errors import (
+    IndexOutOfBoundsError,
+    InvalidVectorTypeError,
+)
+from metrovector_tpu.format.constants import DataType, DistanceMetric
+from metrovector_tpu.ops.distances import numpy_oracle
+
+
+def _space(tmp_path, rng, n=40, d=8, ids=False, dtype=DataType.FLOAT32,
+           metric=DistanceMetric.L2):
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    if dtype == DataType.UINT8:
+        data = rng.integers(0, 256, (n, d)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("e", dim=d, dtype=dtype, metric=metric)
+    if dtype == DataType.UINT8:
+        b._get_space("e").quantization = None  # auto-calibrate? use explicit
+        b = Builder()
+        b.add_vector_space(
+            "e", dim=d, dtype=dtype, metric=metric
+        ).with_quantization(scale=1.0, zero_point=0.0)
+    if ids:
+        b.add_vectors("e", data, ids=np.arange(n, dtype=np.uint64) * 2)
+    else:
+        b.add_vectors("e", data)
+    p = tmp_path / "m.mvt"
+    b.build().save(p)
+    return Reader.open(p).vector_space("e"), data
+
+
+def test_add_rows_then_search(tmp_path, rng):
+    sp, data = _space(tmp_path, rng)
+    dev = DeviceSpace.from_space(sp)
+    new = rng.standard_normal((7, 8)).astype(np.float32)
+    dev.add_rows(new)
+    assert dev.num_valid == 47
+    eng = SearchEngine(dev, backend="xla")
+    allrows = np.concatenate([data, new])
+    q = rng.standard_normal((5, 8)).astype(np.float32)
+    res = eng.search(q, k=6)
+    _, oi = numpy_oracle(q, allrows, 6, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+    # appended rows are findable by their own vector
+    res2 = eng.search(new[:1], k=1)
+    assert res2.indices[0, 0] == 40
+
+
+def test_add_rows_within_capacity_no_shape_change(tmp_path, rng):
+    sp, data = _space(tmp_path, rng, n=40)
+    dev = DeviceSpace.from_space(sp)
+    cap0 = dev.padded_rows  # tile padding leaves headroom
+    headroom = cap0 - dev.num_valid
+    if headroom == 0:
+        pytest.skip("no tile headroom at this shape")
+    dev.add_rows(rng.standard_normal((headroom, 8)).astype(np.float32))
+    assert dev.padded_rows == cap0  # no growth, no recompile
+    dev.add_rows(rng.standard_normal((1, 8)).astype(np.float32))
+    assert dev.padded_rows > cap0  # grew by the reserve factor
+
+
+def test_add_rows_ids_discipline(tmp_path, rng):
+    sp, data = _space(tmp_path, rng, ids=True)
+    dev = DeviceSpace.from_space(sp)
+    with pytest.raises(InvalidVectorTypeError):
+        dev.add_rows(rng.standard_normal((2, 8)).astype(np.float32))
+    with pytest.raises(InvalidVectorTypeError):  # colliding id
+        dev.add_rows(
+            rng.standard_normal((1, 8)).astype(np.float32),
+            ids=np.asarray([0], np.uint64),
+        )
+    dev.add_rows(
+        rng.standard_normal((2, 8)).astype(np.float32),
+        ids=np.asarray([1001, 1003], np.uint64),
+    )
+    eng = SearchEngine(dev, backend="xla")
+    res = eng.search(np.asarray(dev.data)[40:41, :8].astype(np.float32), k=1)
+    assert res.ids[0, 0] == 1001
+
+    sp2, _ = _space(tmp_path, rng)  # id-less space rejects ids
+    dev2 = DeviceSpace.from_space(sp2)
+    with pytest.raises(InvalidVectorTypeError):
+        dev2.add_rows(
+            rng.standard_normal((1, 8)).astype(np.float32),
+            ids=np.asarray([5], np.uint64),
+        )
+
+
+def test_delete_rows_by_position_and_id(tmp_path, rng):
+    sp, data = _space(tmp_path, rng, ids=True)
+    dev = DeviceSpace.from_space(sp)
+    dev.delete_rows(rows=[3])
+    dev.delete_rows(ids=[10])  # id 10 == row 5 (ids are 2*i)
+    eng = SearchEngine(dev, backend="xla")
+    res = eng.search(data, k=2)
+    assert not np.isin(res.indices, [3, 5]).any()
+    mask = np.ones(40, np.float32)
+    mask[[3, 5]] = 0
+    _, oi = numpy_oracle(data, data, 2, DistanceMetric.L2, valid_mask=mask)
+    assert np.array_equal(res.indices, oi)
+    with pytest.raises(IndexOutOfBoundsError):
+        dev.delete_rows(rows=[99])
+
+
+def test_add_rows_uint8_quantized(tmp_path, rng):
+    sp, data = _space(tmp_path, rng, dtype=DataType.UINT8)
+    dev = DeviceSpace.from_space(sp)
+    new = rng.integers(0, 256, (5, 8)).astype(np.float32)
+    dev.add_rows(new)
+    eng = SearchEngine(dev, backend="pallas", interpret=True)
+    allrows = np.concatenate([data, new])
+    q = rng.integers(0, 256, (4, 8)).astype(np.float32)
+    res = eng.search(q, k=5)
+    _, oi = numpy_oracle(q, allrows, 5, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+
+
+def test_add_rows_bf16_default_precision(tmp_path, rng):
+    sp, data = _space(tmp_path, rng)
+    dev = DeviceSpace.from_space(sp, precision="default")
+    new = rng.standard_normal((3, 8)).astype(np.float32)
+    dev.add_rows(new)
+    eng = SearchEngine(dev, backend="pallas", interpret=True)
+    res = eng.search(new[:1], k=1)
+    assert res.indices[0, 0] == 40
