@@ -436,6 +436,80 @@ class PQIndex:
     def code_bytes_per_vector(self) -> int:
         return self.m
 
+    # -- online mutation ------------------------------------------------------
+
+    def add_rows(self, vectors: np.ndarray, reserve: float = 1.5) -> None:
+        """Encode new rows with the EXISTING codebooks and append to the
+        live coded corpus (no retraining — quantization error for data far
+        outside the trained distribution grows accordingly; retrain via
+        ``build`` when drift matters). Device arrays grow in capacity
+        steps (``reserve`` factor) so kernel shapes stay stable and
+        recompiles amortize, mirroring ``DeviceSpace.add_rows``."""
+        from ..errors import DimensionMismatchError
+
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None]
+        if vectors.shape[1] != self.dim:
+            raise DimensionMismatchError(
+                expected=self.dim, actual=int(vectors.shape[1])
+            )
+        n_new = vectors.shape[0]
+        codes_new = encode_pq(vectors, self.codebooks)
+        recon = reconstruct_pq(codes_new, self.codebooks)
+        rn_new = np.einsum(
+            "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
+        ).astype(np.float32)
+
+        total = self.num_vectors + n_new
+        cap = int(self.codes.shape[0])
+        if total > cap:
+            cap = max(
+                -(-total // 128) * 128,
+                -(-int(cap * reserve) // 128) * 128,
+            )
+
+        def grown(old_dev, new_host, fill=0.0, dtype=None):
+            old = np.asarray(old_dev)
+            dtype = dtype or old.dtype
+            out = np.full((cap,) + old.shape[1:], fill, dtype=dtype)
+            out[: self.num_vectors] = old[: self.num_vectors]
+            out[self.num_vectors : total] = new_host
+            return jax.device_put(out)
+
+        self.codes = grown(self.codes, codes_new)
+        self.recon_norms = grown(self.recon_norms, rn_new)
+        if self.db is not None:
+            vn = np.einsum(
+                "ij,ij->i",
+                vectors.astype(np.float64),
+                vectors.astype(np.float64),
+            ).astype(np.float32)
+            self.db = grown(self.db, vectors)
+            self.db_norms = grown(self.db_norms, vn)
+        if self.valid is not None:
+            self.valid = grown(
+                self.valid, np.ones(n_new, np.int32), fill=1
+            )
+        self.num_vectors = total
+
+    def delete_rows(self, rows) -> None:
+        """Tombstone coded rows by position; they can never surface in
+        results afterwards."""
+        from ..errors import IndexOutOfBoundsError
+
+        idx = [int(r) for r in np.atleast_1d(rows)]
+        for r in idx:
+            if r < 0 or r >= self.num_vectors:
+                raise IndexOutOfBoundsError(r, self.num_vectors)
+        valid = (
+            np.asarray(self.valid)
+            if self.valid is not None
+            else np.ones(int(self.codes.shape[0]), np.int32)
+        ).copy()
+        valid[np.asarray(idx, np.int64)] = 0
+        self.valid = jax.device_put(valid.astype(np.int32))
+
     def search(
         self,
         queries: np.ndarray,

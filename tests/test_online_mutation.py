@@ -132,3 +132,49 @@ def test_add_rows_bf16_default_precision(tmp_path, rng):
     eng = SearchEngine(dev, backend="pallas", interpret=True)
     res = eng.search(new[:1], k=1)
     assert res.indices[0, 0] == 40
+
+
+def test_pq_add_and_delete_rows(tmp_path, rng):
+    from metrovector_tpu.index.pq import PQIndex
+
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    idx = PQIndex.build(
+        data, DistanceMetric.L2, m=4, ksub=32, iters=4, keep_vectors=True
+    )
+    new = data[:20] + 0.01 * rng.standard_normal((20, 16)).astype(np.float32)
+    idx.add_rows(new)
+    assert idx.num_vectors == 320
+    allrows = np.concatenate([data, new])
+    q = new[:5]
+    res = idx.search(q, k=3, rerank=60, backend="xla")
+    _, oi = numpy_oracle(q, allrows, 3, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+    # appended rows surface at the top for their own queries
+    assert set(res.indices[:, 0]) <= set(range(300, 320)) | set(range(300))
+
+    idx.delete_rows(range(300, 320))
+    res2 = idx.search(q, k=3, rerank=60, backend="xla")
+    assert not (np.asarray(res2.indices) >= 300).any()
+    mask = np.ones(320, np.float32)
+    mask[300:] = 0
+    _, oi2 = numpy_oracle(q, allrows, 3, DistanceMetric.L2, valid_mask=mask)
+    assert np.array_equal(res2.indices, oi2)
+    with pytest.raises(Exception):
+        idx.delete_rows([999])
+
+
+def test_pq_add_rows_capacity_growth(tmp_path, rng):
+    from metrovector_tpu.index.pq import PQIndex
+
+    data = rng.standard_normal((256, 8)).astype(np.float32)
+    idx = PQIndex.build(
+        data, DistanceMetric.L2, m=4, ksub=16, iters=3, keep_vectors=False
+    )
+    cap0 = int(idx.codes.shape[0])
+    idx.add_rows(rng.standard_normal((1, 8)).astype(np.float32))
+    cap1 = int(idx.codes.shape[0])
+    assert cap1 >= cap0 and idx.num_vectors == 257
+    # second small append fits the grown capacity: shape unchanged
+    idx.add_rows(rng.standard_normal((4, 8)).astype(np.float32))
+    assert int(idx.codes.shape[0]) == cap1
+    assert idx.num_vectors == 261
