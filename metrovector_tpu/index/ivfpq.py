@@ -362,6 +362,124 @@ class IVFPQIndex:
     def bucket_rows(self) -> int:
         return int(self.buckets.shape[1])
 
+    # -- online mutation ------------------------------------------------------
+
+    def _rebuild_layouts(self, codes_all, rnorms_all, cluster_of_row, keep):
+        """Re-derive BOTH serving layouts (bucket-traversal tensors and the
+        row-order scan arrays) from per-row state. Row ids are positions in
+        the row-order arrays and are NEVER renumbered — deleted rows keep
+        their slot with ``row_valid = 0`` and simply drop out of buckets."""
+        from .ivf import bucket_layout
+
+        n = codes_all.shape[0]
+        m = codes_all.shape[1]
+        cells, row_lists, bucket_rows = bucket_layout(
+            np.where(cluster_of_row >= 0, cluster_of_row, 0),
+            keep & (cluster_of_row >= 0),
+            self.num_clusters,
+        )
+        nb = len(cells)
+        bcodes = np.zeros((nb, bucket_rows, m), np.uint8)
+        ids = np.full((nb, bucket_rows), -1, np.int32)
+        bnorms = np.zeros((nb, bucket_rows), np.float32)
+        b_of_row = np.full(n, -1, np.int32)
+        for b, rows in enumerate(row_lists):
+            bcodes[b, : len(rows)] = codes_all[rows]
+            ids[b, : len(rows)] = rows
+            bnorms[b, : len(rows)] = rnorms_all[rows]
+            b_of_row[rows] = b
+        self.cells = cells
+        self.fill = np.asarray([len(r) for r in row_lists])
+        self.probe_centroids = jax.device_put(self.centroids[cells])
+        self.buckets = jax.device_put(bcodes)
+        self.bucket_ids = jax.device_put(ids)
+        self.bucket_norms = jax.device_put(bnorms)
+        self.codes_row = jax.device_put(codes_all)
+        self.rnorms_row = jax.device_put(rnorms_all)
+        self.row_bucket = jax.device_put(b_of_row)
+        self.row_valid = jax.device_put(
+            (b_of_row >= 0).astype(np.float32)
+        )
+        self.num_vectors = n
+
+    def _host_row_state(self):
+        codes_all = np.asarray(self.codes_row)[: self.num_vectors]
+        rnorms_all = np.asarray(self.rnorms_row)[: self.num_vectors]
+        rb = np.asarray(self.row_bucket)[: self.num_vectors]
+        cluster_of_row = np.where(rb >= 0, self.cells[np.maximum(rb, 0)], -1)
+        keep = rb >= 0
+        return codes_all, rnorms_all, cluster_of_row.astype(np.int32), keep
+
+    def add_rows(self, vectors: np.ndarray) -> None:
+        """Append rows to the live index: coarse-assign to the nearest
+        trained centroid (L2, as at build), encode the residual with the
+        EXISTING codebooks, and rebuild both serving layouts. No
+        retraining — centroids and codebooks are fixed, so quantization
+        error grows with distribution drift; rebuild via ``build`` when it
+        matters. Each call re-derives the bucket tensors (O(N) host work):
+        batch appends rather than looping row-by-row."""
+        from ..errors import DimensionMismatchError
+
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None]
+        if vectors.shape[1] != self.dim:
+            raise DimensionMismatchError(
+                expected=self.dim, actual=int(vectors.shape[1])
+            )
+        cn = np.einsum(
+            "ij,ij->i", self.centroids, self.centroids, dtype=np.float64
+        )
+        d2 = cn[None, :] - 2.0 * (
+            vectors.astype(np.float64) @ self.centroids.T.astype(np.float64)
+        )
+        assign_new = np.argmin(d2, axis=1).astype(np.int32)
+        residuals = vectors - self.centroids[assign_new]
+        codes_new = encode_pq(residuals, self.codebooks)
+        recon = (
+            reconstruct_pq(codes_new, self.codebooks)
+            + self.centroids[assign_new]
+        )
+        rn_new = np.einsum(
+            "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
+        ).astype(np.float32)
+
+        codes_all, rnorms_all, cluster_of_row, keep = self._host_row_state()
+        self._rebuild_layouts(
+            np.concatenate([codes_all, codes_new]),
+            np.concatenate([rnorms_all, rn_new]),
+            np.concatenate([cluster_of_row, assign_new]),
+            np.concatenate([keep, np.ones(len(vectors), bool)]),
+        )
+        if self.db is not None:
+            vn = np.einsum(
+                "ij,ij->i",
+                vectors.astype(np.float64),
+                vectors.astype(np.float64),
+            ).astype(np.float32)
+            self.db = jax.device_put(
+                np.concatenate([np.asarray(self.db), vectors])
+            )
+            self.db_norms = jax.device_put(
+                np.concatenate([np.asarray(self.db_norms), vn])
+            )
+
+    def delete_rows(self, rows) -> None:
+        """Tombstone rows by position: dropped from the probe buckets and
+        masked out of the scan; row positions are never renumbered."""
+        from ..errors import IndexOutOfBoundsError
+
+        idx = [int(r) for r in np.atleast_1d(rows)]
+        for r in idx:
+            if r < 0 or r >= self.num_vectors:
+                raise IndexOutOfBoundsError(r, self.num_vectors)
+        codes_all, rnorms_all, cluster_of_row, keep = self._host_row_state()
+        keep = keep.copy()
+        keep[np.asarray(idx, np.int64)] = False
+        cluster_of_row = cluster_of_row.copy()
+        cluster_of_row[np.asarray(idx, np.int64)] = -1
+        self._rebuild_layouts(codes_all, rnorms_all, cluster_of_row, keep)
+
     def _masked_scan(self, qdev, fetch: int, nprobe: int, interpret: bool,
                      exact_lut: bool = False):
         """Gather-free probing: dense ADC over the corpus in ORIGINAL row

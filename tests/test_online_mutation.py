@@ -178,3 +178,50 @@ def test_pq_add_rows_capacity_growth(tmp_path, rng):
     idx.add_rows(rng.standard_normal((4, 8)).astype(np.float32))
     assert int(idx.codes.shape[0]) == cap1
     assert idx.num_vectors == 261
+
+
+def test_ivfpq_add_and_delete_rows(tmp_path, rng):
+    from metrovector_tpu.index.ivfpq import IVFPQIndex
+
+    centers = rng.standard_normal((12, 16)).astype(np.float32) * 4
+    data = centers[rng.integers(0, 12, 400)] + 0.3 * rng.standard_normal(
+        (400, 16)
+    ).astype(np.float32)
+    idx = IVFPQIndex.build(
+        data, DistanceMetric.L2, num_clusters=8, m=4, ksub=32, iters=4,
+        keep_vectors=True,
+    )
+    new = centers[rng.integers(0, 12, 30)] + 0.3 * rng.standard_normal(
+        (30, 16)
+    ).astype(np.float32)
+    idx.add_rows(new)
+    assert idx.num_vectors == 430
+    allrows = np.concatenate([data, new])
+    q = new[:6] + 0.01 * rng.standard_normal((6, 16)).astype(np.float32)
+
+    # probe and scan modes both see the appended rows and agree exactly
+    # (the invariant; vs the float oracle IVF-PQ stays approximate at
+    # finite rerank, so that comparison is a recall floor, not equality)
+    npall = idx.num_buckets
+    rp = idx.search(q, k=5, nprobe=npall, rerank=60, mode="probe",
+                    interpret=True)
+    rs = idx.search(q, k=5, nprobe=npall, rerank=60, mode="scan",
+                    interpret=True, exact_lut=True)
+    np.testing.assert_array_equal(rp.indices, rs.indices)
+    _, oi = numpy_oracle(q, allrows, 5, DistanceMetric.L2)
+    overlap = np.mean([
+        len(set(a) & set(b)) / 5 for a, b in zip(rp.indices, oi)
+    ])
+    assert overlap >= 0.9, overlap
+    assert (rp.indices[:, 0] == oi[:, 0]).all()  # top hit exact
+
+    # delete a mix of original and appended rows from both paths
+    idx.delete_rows([10, 405])
+    rp2 = idx.search(q, k=5, nprobe=npall, rerank=60, mode="probe",
+                     interpret=True)
+    rs2 = idx.search(q, k=5, nprobe=npall, rerank=60, mode="scan",
+                     interpret=True, exact_lut=True)
+    assert not np.isin(rp2.indices, [10, 405]).any()
+    np.testing.assert_array_equal(rp2.indices, rs2.indices)
+    with pytest.raises(Exception):
+        idx.delete_rows([430])
