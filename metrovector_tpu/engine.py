@@ -24,6 +24,7 @@ from .errors import (
     DimensionMismatchError,
     IndexOutOfBoundsError,
     InvalidVectorTypeError,
+    VectorIdNotFoundError,
 )
 from .format.constants import DataType, DistanceMetric, numpy_dtype
 from .format.reader import Reader
@@ -71,6 +72,20 @@ class SearchResult:
             for i, d in zip(self.indices[query], self.distances[query])
             if i >= 0
         ]
+
+
+
+def ids_for_rows(host_ids, idx):
+    """Translate result row positions to stable external IDs (positions
+    themselves when the space has no ID column; the u64-max sentinel for
+    unfilled slots). Shared by the single-chip engine and every parallel
+    searcher."""
+    if host_ids is not None:
+        ids = host_ids[np.clip(idx, 0, None)].astype(np.uint64)
+    else:
+        ids = idx.astype(np.int64).astype(np.uint64)
+    ids[idx < 0] = SearchResult.ID_SENTINEL
+    return ids
 
 
 @dataclasses.dataclass
@@ -126,6 +141,7 @@ class DeviceSpace:
         # Host-side stable ID column (u64), used only to translate result
         # row positions back to external IDs — never shipped to the device.
         self.host_ids = host_ids
+        self._id_lut: dict | None = None  # lazy id→row map (delete_rows)
 
     # -- construction ---------------------------------------------------------
 
@@ -327,6 +343,7 @@ class DeviceSpace:
             if np.unique(merged).shape[0] != merged.shape[0]:
                 raise InvalidVectorTypeError("appended ids collide")
             self.host_ids = merged
+            self._id_lut = None  # invalidate the lazy id→row map
         self.num_valid = total
 
     def delete_rows(self, rows=None, ids=None) -> None:
@@ -347,8 +364,18 @@ class DeviceSpace:
                     if r < 0 or r >= self.num_valid:
                         raise IndexOutOfBoundsError(r, self.num_valid)
             else:
-                lut = {int(v): i for i, v in enumerate(self.host_ids)}
-                idx.extend(lut[int(i)] for i in np.atleast_1d(ids))
+                if self._id_lut is None:
+                    # cached: rebuilding a multi-million-entry dict per
+                    # delete call would put O(N) host work on the online
+                    # mutation path (invalidated by add_rows)
+                    self._id_lut = {
+                        int(v): i for i, v in enumerate(self.host_ids)
+                    }
+                for i in np.atleast_1d(ids):
+                    try:
+                        idx.append(self._id_lut[int(i)])
+                    except KeyError:
+                        raise VectorIdNotFoundError(int(i)) from None
         if not idx:
             return
         mask = (
@@ -563,6 +590,25 @@ class SearchEngine:
             sp.dtype == DataType.UINT8 and sp.metric == DistanceMetric.COSINE
         )
         if uint8_cosine or (self.backend == "xla" and sp.dtype == DataType.UINT8):
+            if not uint8_cosine:
+                # The dequantizing path scores FLOAT queries against the
+                # dequantized corpus; prepare_queries produced quantized
+                # offset-algebra queries (q' = q − o_q) for the pallas
+                # kernel, which would drop the row-dependent 2·o_q·Σx term
+                # here and corrupt rankings. Re-prepare as plain floats
+                # (prep.const becomes None, so _finalize restores nothing —
+                # this path's scores are already absolute).
+                q = np.asarray(queries, dtype=np.float32)
+                if q.ndim == 1:
+                    q = q[None, :]
+                qnorms = np.einsum(
+                    "ij,ij->i", q, q, dtype=np.float64
+                ).astype(np.float32)
+                if sp.padded_dim != sp.dim:
+                    q = np.pad(q, ((0, 0), (0, sp.padded_dim - sp.dim)))
+                prep = PreparedQueries(
+                    qdev=jax.device_put(q), sq_norms=qnorms
+                )
             scores, idx = self._search_uint8_dequant(prep.qdev, k_eff, eff_mask)
         elif self.backend == "pallas":
             qdev = prep.qdev
@@ -630,11 +676,7 @@ class SearchEngine:
             scores = np.pad(scores, pad, constant_values=-np.inf)
             dist = np.pad(dist, pad, constant_values=np.inf
                           if sp.metric == DistanceMetric.L2 else -np.inf)
-        if sp.host_ids is not None:
-            ids = sp.host_ids[np.clip(idx, 0, None)].astype(np.uint64)
-        else:
-            ids = idx.astype(np.int64).astype(np.uint64)
-        ids[idx < 0] = SearchResult.ID_SENTINEL
+        ids = ids_for_rows(sp.host_ids, idx)
         return SearchResult(indices=idx, scores=scores, distances=dist,
                             metric=sp.metric, ids=ids)
 

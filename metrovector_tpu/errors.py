@@ -54,6 +54,16 @@ class IndexOutOfBoundsError(MvtError, IndexError):
         MvtError.__init__(self, f"index {index} out of bounds (len {length})")
 
 
+class VectorIdNotFoundError(MvtError, KeyError):
+    """A stable external vector ID was not found in the space's ID column
+    (no reference analog — the reference never writes IDs). Subclasses
+    KeyError so dict-style callers keep working."""
+
+    def __init__(self, vector_id):
+        self.vector_id = vector_id
+        MvtError.__init__(self, f"vector id {vector_id} not found")
+
+
 class DimensionMismatchError(MvtError, ValueError):
     """Vector data does not match the space's declared dimension
     (reference: ``MvfError::DimensionMismatch{expected,actual}``)."""

@@ -757,6 +757,15 @@ class Builder:
             )
 
         for col in sp.columns.values():
+            if len(col.values) != sp.num_vectors:
+                # A short column silently corrupts later rebuilds (vals[keep]
+                # index errors in compaction; string columns truncate) — the
+                # append workflow makes this mistake easy, so fail at build.
+                raise BuildError(
+                    f"metadata column {col.name!r} in space {sp.name!r} has "
+                    f"{len(col.values)} values for {sp.num_vectors} rows; "
+                    "append with extend_metadata_column to keep them aligned"
+                )
             data = _encode_column(col, sp.heap)
             cb = push_block(data)
             info.columns.append(

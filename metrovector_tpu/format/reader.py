@@ -239,11 +239,25 @@ class Reader:
                     f"block {i} [{b.offset}, {b.offset + b.size}) out of bounds"
                 )
         for s in self._manifest.spaces:
-            for bid in (s.vectors_block, s.norms_block, s.string_heap_block,
-                        s.tombstones.block, *(c.block for c in s.columns)):
+            for bid in (s.vectors_block, s.norms_block, s.ids_block,
+                        s.string_heap_block, s.tombstones.block,
+                        *(c.block for c in s.columns)):
                 if bid >= len(self._manifest.blocks):
                     raise CorruptedDataError(
                         f"space {s.name!r} references missing block {bid}"
+                    )
+            if s.ids_block >= 0:
+                blk = self._manifest.blocks[s.ids_block]
+                need = s.num_vectors * 8  # u64 per logical row
+                have = (
+                    blk.uncompressed_size
+                    if blk.compression != CompressionAlgorithm.NONE
+                    else blk.size
+                )
+                if have < need:
+                    raise CorruptedDataError(
+                        f"space {s.name!r} id block holds {have} bytes; "
+                        f"{need} required for {s.num_vectors} rows"
                     )
 
     def validate_with_checksum(self) -> None:

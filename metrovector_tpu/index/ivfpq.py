@@ -577,6 +577,11 @@ class IVFPQIndex:
         fetch = min(fetch, self.bucket_rows * nprobe) or 1
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        if mode not in ("auto", "scan", "probe"):
+            raise ValueError(
+                f"unknown search mode {mode!r}; expected 'auto', 'scan' or "
+                "'probe'"
+            )
         if mode == "auto":
             mode = (
                 "scan" if q.shape[0] >= self.SCAN_CROSSOVER_BATCH else "probe"

@@ -41,17 +41,11 @@ def _merge_topk(best_s, best_i, s, i, k: int):
 
 
 def _ids_for(host_ids, idx):
-    """Translate result row positions to stable external IDs (positions
-    themselves when the space has no ID column; u64-max sentinel for
-    unfilled slots)."""
-    import numpy as _np
+    """Alias of :func:`..engine.ids_for_rows` (kept for the parallel
+    modules' imports)."""
+    from ..engine import ids_for_rows
 
-    if host_ids is not None:
-        ids = host_ids[_np.clip(idx, 0, None)].astype(_np.uint64)
-    else:
-        ids = idx.astype(_np.int64).astype(_np.uint64)
-    ids[idx < 0] = _np.uint64(2**64 - 1)
-    return ids
+    return ids_for_rows(host_ids, idx)
 
 
 class StreamingSearcher:

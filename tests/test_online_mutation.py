@@ -225,3 +225,26 @@ def test_ivfpq_add_and_delete_rows(tmp_path, rng):
     np.testing.assert_array_equal(rp2.indices, rs2.indices)
     with pytest.raises(Exception):
         idx.delete_rows([430])
+
+
+def test_delete_rows_unknown_id_typed_error(tmp_path, rng):
+    from metrovector_tpu.errors import VectorIdNotFoundError
+
+    sp, data = _space(tmp_path, rng, ids=True)
+    dev = DeviceSpace.from_space(sp)
+    with pytest.raises(VectorIdNotFoundError):
+        dev.delete_rows(ids=[99999])
+    # the error doubles as a KeyError for dict-style callers
+    with pytest.raises(KeyError):
+        dev.delete_rows(ids=[99999])
+
+
+def test_ivfpq_mode_typo_rejected(rng):
+    from metrovector_tpu.index.ivfpq import IVFPQIndex
+
+    db = rng.standard_normal((200, 8)).astype(np.float32)
+    idx = IVFPQIndex.build(
+        db, DistanceMetric.L2, num_clusters=4, m=4, ksub=16, iters=2
+    )
+    with pytest.raises(ValueError):
+        idx.search(db[:2], k=3, mode="Scan", interpret=True)

@@ -194,3 +194,19 @@ def test_distributed_uint8_offset_and_cosine(sift_like, u8_cosine, rng):
     res_c = searcher_c.search(qf, k=5, interpret=True)
     _, oic = numpy_oracle(qf, deq, 5, DistanceMetric.COSINE)
     assert np.array_equal(res_c.indices, oic)
+
+
+def test_uint8_xla_backend_matches_oracle(sift_like, rng):
+    """The dequantizing XLA backend must rank identically to the oracle
+    (review finding r2: it used to receive offset-quantized queries and
+    drop the row-dependent 2·o_q·Σx term)."""
+    sp, data = sift_like
+    queries = rng.integers(0, 256, (6, 32)).astype(np.float32)
+    res_x = SearchEngine(sp, backend="xla").search(queries, k=10)
+    res_p = SearchEngine(sp, backend="pallas").search(queries, k=10)
+    _, oi = numpy_oracle(queries, data, 10, DistanceMetric.L2)
+    assert np.array_equal(res_x.indices, oi)
+    assert np.array_equal(res_p.indices, oi)
+    np.testing.assert_allclose(
+        res_x.distances, res_p.distances, rtol=1e-4, atol=1e-3
+    )

@@ -257,3 +257,37 @@ def test_compat_floor(tmp_path, rng, small_file):
     p3 = tmp_path / "future_compat.mvt"
     bf.save(p3)
     assert Reader.open(p3).version == FORMAT_VERSION + 5
+
+
+def test_short_metadata_column_rejected(rng):
+    """Columns must cover every row at build (review finding r2: a short
+    column built fine and corrupted later rebuilds)."""
+    data = rng.standard_normal((5, 4)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("e", dim=4)
+    b.add_vectors("e", data)
+    b.add_metadata_column("e", "t", ["x", "y"])  # 2 values, 5 rows
+    with pytest.raises(BuildError):
+        b.build()
+
+
+def test_ids_block_validated(tmp_path, rng):
+    """validate() must cover the v2 ids_block (review finding r2)."""
+    path, data, ids = _build_with_ids(tmp_path, rng, n=8, d=4)
+    r = Reader.open(path)
+    from metrovector_tpu.errors import CorruptedDataError
+
+    # out-of-range block id
+    r.manifest.spaces[0].ids_block = 999
+    with pytest.raises(CorruptedDataError):
+        r.validate()
+    # truncated id block (points at a block smaller than 8 rows × 8 bytes)
+    r2 = Reader.open(path)
+    small = min(
+        range(len(r2.manifest.blocks)),
+        key=lambda i: r2.manifest.blocks[i].size,
+    )
+    if r2.manifest.blocks[small].size < 8 * 8:
+        r2.manifest.spaces[0].ids_block = small
+        with pytest.raises(CorruptedDataError):
+            r2.validate()
