@@ -56,6 +56,119 @@ def _scores(q: np.ndarray, rows: np.ndarray, norms: np.ndarray, ids,
     return dots  # IP, and cosine (pre-normalized rows and query)
 
 
+
+
+def _beam_build(q, ep, ef, layer_adj, rows, norms, metric):
+    """Best-first beam search over one build-time adjacency dict. Returns
+    (ids, scores) of up to ``ef`` best, sorted best-first."""
+    import bisect
+
+    ep = np.unique(np.asarray(ep, np.int64))
+    visited = set(ep.tolist())
+    sc = _scores(q, rows, norms, ep, metric)
+    order = np.argsort(-sc, kind="stable")
+    cand_ids = list(ep[order])
+    cand_sc = list(sc[order])
+    best_ids = list(cand_ids[:ef])
+    best_sc = list(cand_sc[:ef])
+    while cand_ids:
+        c = cand_ids.pop(0)
+        c_s = cand_sc.pop(0)
+        if best_sc and c_s < best_sc[-1] and len(best_sc) >= ef:
+            break
+        nbrs = layer_adj.get(int(c))
+        if nbrs is None or len(nbrs) == 0:
+            continue
+        new = [v for v in nbrs.tolist() if v >= 0 and v not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        new = np.asarray(new, np.int64)
+        ns = _scores(q, rows, norms, new, metric)
+        worst = best_sc[-1] if len(best_sc) >= ef else -np.inf
+        keep = ns > worst if len(best_sc) >= ef else np.ones(len(ns), bool)
+        for v, s_v in zip(new[keep], ns[keep]):
+            pos = bisect.bisect_left([-x for x in best_sc], -s_v)
+            best_sc.insert(pos, float(s_v))
+            best_ids.insert(pos, int(v))
+            pos = bisect.bisect_left([-x for x in cand_sc], -s_v)
+            cand_sc.insert(pos, float(s_v))
+            cand_ids.insert(pos, int(v))
+        if len(best_sc) > ef:
+            best_sc = best_sc[:ef]
+            best_ids = best_ids[:ef]
+    return np.asarray(best_ids, np.int64), np.asarray(best_sc)
+
+
+def _connect_build(node, neighbors, layer_adj, cap, rows, norms, metric):
+    """Link ``node``↔``neighbors`` in a build-time adjacency dict, pruning
+    over-full neighbor lists back to the best ``cap`` by score."""
+    layer_adj[int(node)] = np.asarray(neighbors[:cap], np.int32)
+    for v in neighbors[:cap]:
+        cur = layer_adj.get(int(v))
+        merged = (
+            np.asarray([node], np.int32)
+            if cur is None
+            else np.append(cur, np.int32(node))
+        )
+        if len(merged) > cap:
+            sc = _scores(rows[int(v)], rows, norms,
+                         merged.astype(np.int64), metric)
+            merged = merged[np.argsort(-sc, kind="stable")[:cap]]
+        layer_adj[int(v)] = merged
+
+
+def _insert_nodes(adj, rows, norms, metric, nodes, levels, entry,
+                  entry_level, m, ef_construction):
+    """Run HNSW insertion for ``nodes`` (id order) against existing
+    adjacency dicts, extending ``adj`` with new top layers as needed.
+    Returns the (possibly new) entry node."""
+    width0, width = 2 * m, m
+    for node in nodes:
+        node = int(node)
+        lvl = int(levels[node])
+        while lvl >= len(adj):
+            adj.append(dict())
+        q = rows[node]
+        max_level = len(adj) - 1
+        ep = entry
+        for layer in range(max_level, lvl, -1):
+            ids, _ = _beam_build(q, [ep], 1, adj[layer], rows, norms, metric)
+            if len(ids):
+                ep = int(ids[0])
+        eps = [ep]
+        for layer in range(min(lvl, max_level), -1, -1):
+            ids, _ = _beam_build(
+                q, eps, ef_construction, adj[layer], rows, norms, metric
+            )
+            cap = width0 if layer == 0 else width
+            chosen = [int(v) for v in ids[:cap] if int(v) != node]
+            _connect_build(node, chosen, adj[layer], cap, rows, norms, metric)
+            eps = list(ids[: max(1, len(ids))])
+        if lvl > entry_level:
+            entry = node
+            entry_level = lvl
+    return entry, entry_level
+
+
+def _freeze_adj(adj, entry, m):
+    """Compact build-time adjacency dicts to per-layer (ids, adj) arrays."""
+    width0, width = 2 * m, m
+    layers_out = []
+    for layer, lad in enumerate(adj):
+        ids = np.asarray(sorted(lad), np.int32)
+        cap = width0 if layer == 0 else width
+        mat = np.full((len(ids), cap), _SENTINEL, np.int32)
+        for r, nid in enumerate(ids):
+            nb = lad[int(nid)][:cap]
+            mat[r, : len(nb)] = nb
+        layers_out.append((ids, mat))
+    if not layers_out:
+        layers_out = [(np.asarray([entry], np.int32),
+                       np.full((1, width0), _SENTINEL, np.int32))]
+    return layers_out
+
+
 @dataclasses.dataclass
 class HNSWIndex:
     """Host-side navigable small-world graph over one space.
@@ -112,110 +225,102 @@ class HNSWIndex:
         levels = np.minimum(
             (-np.log(rng.uniform(1e-12, 1.0, n)) * ml).astype(np.int32), 32
         )
-        max_level = int(levels[live].max(initial=0))
-        width0, width = 2 * m, m
-        # adjacency as python dicts during build (node → int32 array)
-        adj: list[dict[int, np.ndarray]] = [dict() for _ in range(max_level + 1)]
         entry = int(live[0])
-
-        def beam(q, ep, ef, layer):
-            """Best-first beam search on one layer from entry points ``ep``.
-            Returns (ids, scores) of up to ``ef`` best, sorted best-first."""
-            lad = adj[layer]
-            ep = np.unique(np.asarray(ep, np.int64))
-            visited = set(ep.tolist())
-            sc = _scores(q, rows, norms, ep, metric)
-            order = np.argsort(-sc, kind="stable")
-            cand_ids = list(ep[order])
-            cand_sc = list(sc[order])
-            best_ids = list(cand_ids[:ef])
-            best_sc = list(cand_sc[:ef])
-            while cand_ids:
-                c = cand_ids.pop(0)
-                c_s = cand_sc.pop(0)
-                if best_sc and c_s < best_sc[-1] and len(best_sc) >= ef:
-                    break
-                nbrs = lad.get(int(c))
-                if nbrs is None or len(nbrs) == 0:
-                    continue
-                new = [v for v in nbrs.tolist() if v >= 0 and v not in visited]
-                if not new:
-                    continue
-                visited.update(new)
-                new = np.asarray(new, np.int64)
-                ns = _scores(q, rows, norms, new, metric)
-                worst = best_sc[-1] if len(best_sc) >= ef else -np.inf
-                keep = ns > worst if len(best_sc) >= ef else np.ones(len(ns), bool)
-                for v, s_v in zip(new[keep], ns[keep]):
-                    # insert into both beams (sorted descending)
-                    import bisect
-
-                    pos = bisect.bisect_left([-x for x in best_sc], -s_v)
-                    best_sc.insert(pos, float(s_v))
-                    best_ids.insert(pos, int(v))
-                    pos = bisect.bisect_left([-x for x in cand_sc], -s_v)
-                    cand_sc.insert(pos, float(s_v))
-                    cand_ids.insert(pos, int(v))
-                if len(best_sc) > ef:
-                    best_sc = best_sc[:ef]
-                    best_ids = best_ids[:ef]
-            return np.asarray(best_ids, np.int64), np.asarray(best_sc)
-
-        def connect(node, neighbors, layer, cap):
-            lad = adj[layer]
-            lad[int(node)] = np.asarray(neighbors[:cap], np.int32)
-            for v in neighbors[:cap]:
-                cur = lad.get(int(v))
-                merged = (
-                    np.asarray([node], np.int32)
-                    if cur is None
-                    else np.append(cur, np.int32(node))
-                )
-                if len(merged) > cap:
-                    sc = _scores(rows[int(v)], rows, norms, merged.astype(np.int64),
-                                 metric)
-                    merged = merged[np.argsort(-sc, kind="stable")[:cap]]
-                lad[int(v)] = merged
-
-        for node in live[1:]:
-            node = int(node)
-            lvl = int(levels[node])
-            q = rows[node]
-            ep = entry
-            for layer in range(max_level, lvl, -1):
-                ids, _ = beam(q, [ep], 1, layer)
-                if len(ids):
-                    ep = int(ids[0])
-            eps = [ep]
-            for layer in range(min(lvl, max_level), -1, -1):
-                ids, _ = beam(q, eps, ef_construction, layer)
-                cap = width0 if layer == 0 else width
-                chosen = [int(v) for v in ids[:cap] if int(v) != node]
-                connect(node, chosen, layer, cap)
-                eps = list(ids[: max(1, len(ids))])
-            if lvl > int(levels[entry]):
-                entry = node
-
-        # freeze to compact per-layer arrays
-        layers_out: list[tuple[np.ndarray, np.ndarray]] = []
-        for layer in range(max_level + 1):
-            lad = adj[layer]
-            ids = np.asarray(sorted(lad), np.int32)
-            cap = width0 if layer == 0 else width
-            mat = np.full((len(ids), cap), _SENTINEL, np.int32)
-            for r, nid in enumerate(ids):
-                nb = lad[int(nid)][:cap]
-                mat[r, : len(nb)] = nb
-            layers_out.append((ids, mat))
-        # entry may be isolated if live has 1 node and loop never ran
-        if not layers_out:
-            layers_out = [(np.asarray([entry], np.int32),
-                           np.full((1, width0), _SENTINEL, np.int32))]
+        adj: list[dict[int, np.ndarray]] = [
+            dict() for _ in range(int(levels[live].max(initial=0)) + 1)
+        ]
+        entry, _ = _insert_nodes(
+            adj, rows, norms, metric, live[1:], levels, entry,
+            int(levels[entry]), m, ef_construction,
+        )
+        layers_out = _freeze_adj(adj, entry, m)
         valid = None
         if valid_mask is not None:
             valid = ~np.asarray(valid_mask, dtype=bool)
         return cls(rows, norms, layers_out, entry, metric, m,
                    ef_construction, valid=valid)
+
+    # -- online mutation ------------------------------------------------------
+
+    def add_rows(self, vectors: np.ndarray, seed: int | None = None) -> None:
+        """TRUE incremental insertion (the whole point of HNSW): thaw the
+        frozen per-layer arrays back to adjacency dicts, run the standard
+        insert for each new node against the existing graph, refreeze.
+        Cost is O(n_new · ef_construction · log N) — independent of the
+        existing corpus size, unlike the index families that re-derive
+        bucket layouts."""
+        rows_new, norms_new = _prep(np.atleast_2d(vectors), self.metric)
+        n_old = self.rows.shape[0]
+        n_new = rows_new.shape[0]
+        rows = np.concatenate([self.rows, rows_new])
+        norms = np.concatenate([self.norms, norms_new])
+
+        adj: list[dict[int, np.ndarray]] = []
+        for ids, mat in self.layers:
+            lad: dict[int, np.ndarray] = {}
+            for r, nid in enumerate(ids):
+                nb = mat[r]
+                lad[int(nid)] = nb[nb >= 0].astype(np.int32)
+            adj.append(lad)
+
+        rng = np.random.default_rng(n_old if seed is None else seed)
+        ml = 1.0 / np.log(max(self.m, 2))
+        levels = np.zeros(n_old + n_new, np.int32)
+        levels[n_old:] = np.minimum(
+            (-np.log(rng.uniform(1e-12, 1.0, n_new)) * ml).astype(np.int32),
+            32,
+        )
+        new_nodes = list(range(n_old, n_old + n_new))
+
+        entry = self.entry
+        if entry == _SENTINEL or not adj or all(
+            len(lad) == 0 for lad in adj
+        ):
+            # empty graph: seed it with the first new node, insert the rest
+            entry = new_nodes[0]
+            adj = [dict() for _ in range(int(levels[entry]) + 1)]
+            adj[0][entry] = np.zeros(0, np.int32)
+            new_nodes = new_nodes[1:]
+        entry_level = 0
+        for layer in range(len(self.slot_of) - 1, -1, -1):
+            if (
+                entry < len(self.slot_of[layer])
+                and self.slot_of[layer][entry] != _SENTINEL
+            ):
+                entry_level = layer
+                break
+        entry_level = max(entry_level, int(levels[entry]))
+
+        entry, _ = _insert_nodes(
+            adj, rows, norms, self.metric, new_nodes, levels, entry,
+            entry_level, self.m, self.ef_construction,
+        )
+        self.rows = rows
+        self.norms = norms
+        self.entry = entry
+        self.layers = _freeze_adj(adj, entry, self.m)
+        if self.valid is not None:
+            self.valid = np.concatenate(
+                [self.valid, np.ones(n_new, bool)]
+            )
+        self.__post_init__()  # rebuild the per-layer slot lookups
+
+    def delete_rows(self, rows) -> None:
+        """Tombstone nodes: they stay in the graph as routing waypoints
+        (standard HNSW deletion practice — removing edges would sever
+        paths) but can never appear in results."""
+        from ..errors import IndexOutOfBoundsError
+
+        n = self.rows.shape[0]
+        idx = [int(r) for r in np.atleast_1d(rows)]
+        for r in idx:
+            if r < 0 or r >= n:
+                raise IndexOutOfBoundsError(r, n)
+        if self.valid is None:
+            self.valid = np.ones(n, bool)
+        else:
+            self.valid = self.valid.copy()
+        self.valid[np.asarray(idx, np.int64)] = False
 
     @classmethod
     def from_space(

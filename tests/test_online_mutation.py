@@ -248,3 +248,59 @@ def test_ivfpq_mode_typo_rejected(rng):
     )
     with pytest.raises(ValueError):
         idx.search(db[:2], k=3, mode="Scan", interpret=True)
+
+
+def test_hnsw_add_and_delete_rows(rng):
+    from metrovector_tpu.index.hnsw import HNSWIndex
+
+    centers = rng.standard_normal((8, 12)).astype(np.float32) * 5
+    data = centers[rng.integers(0, 8, 300)] + 0.3 * rng.standard_normal(
+        (300, 12)
+    ).astype(np.float32)
+    idx = HNSWIndex.build(data, DistanceMetric.L2, m=8, ef_construction=60)
+    new = centers[rng.integers(0, 8, 40)] + 0.3 * rng.standard_normal(
+        (40, 12)
+    ).astype(np.float32)
+    idx.add_rows(new)
+    allrows = np.concatenate([data, new])
+    assert idx.rows.shape[0] == 340
+
+    # appended rows are reachable: querying an appended row finds itself
+    i = idx.search(new[:10], k=1, ef=80).indices
+    self_hits = (i[:, 0] >= 300).mean()
+    assert self_hits >= 0.9, self_hits
+
+    # recall after incremental insertion must match a from-scratch build
+    # of the same corpus (the absolute number is data-dependent — tight
+    # near-duplicate clusters are HNSW's known weak spot)
+    q = allrows[rng.integers(0, 340, 20)]
+    i = idx.search(q, k=5, ef=100).indices
+    _, oi = numpy_oracle(q, allrows, 5, DistanceMetric.L2)
+    recall = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i, oi)])
+    full = HNSWIndex.build(
+        allrows, DistanceMetric.L2, m=8, ef_construction=60
+    )
+    i_f = full.search(q, k=5, ef=100).indices
+    recall_full = np.mean(
+        [len(set(a) & set(b)) / 5 for a, b in zip(i_f, oi)]
+    )
+    assert recall >= recall_full - 0.05, (recall, recall_full)
+    assert recall >= 0.6, recall
+
+    idx.delete_rows([0, 320])
+    i2 = idx.search(q, k=5, ef=100).indices
+    assert not np.isin(i2, [0, 320]).any()
+    with pytest.raises(Exception):
+        idx.delete_rows([999])
+
+
+def test_hnsw_add_to_empty_graph(rng):
+    from metrovector_tpu.index.hnsw import HNSWIndex
+
+    idx = HNSWIndex.build(
+        np.zeros((0, 4), np.float32), DistanceMetric.L2, m=4
+    )
+    data = rng.standard_normal((30, 4)).astype(np.float32)
+    idx.add_rows(data)
+    i = idx.search(data[:5], k=1, ef=40).indices
+    assert (i[:, 0] == np.arange(5)).all()
