@@ -433,18 +433,21 @@ def bench_sift1m_ivfpq(interpret):
 
     books = jnp.asarray(idx.codebooks)
 
-    for mode, qb in (("scan", 256 if not interpret else 64),
-                     ("probe", 8 if not interpret else 64)):
+    for mode, qb, rr in (
+        ("scan", 256 if not interpret else 64, rr),
+        ("scan-recall1", 256 if not interpret else 64, 400),
+        ("probe", 8 if not interpret else 64, rr),
+    ):
         # Device-level calls so _measure's pipelined launches stay async
         # (idx.search reads back per call — fine for serving, wrong for
         # device-throughput measurement over the tunnel).
-        if mode == "scan":
-            def run(q):
+        if mode.startswith("scan"):
+            def run(q, rr=rr):
                 _, cand = idx._masked_scan(q, rr, nprobe, interpret)
                 return _rerank(q, idx.db, idx.db_norms, cand, k,
                                DistanceMetric.L2)
         else:
-            def run(q):
+            def run(q, rr=rr):
                 _, cand = _ivfpq_search(
                     q, idx.probe_centroids, idx.buckets, idx.bucket_ids,
                     idx.bucket_norms, books,
