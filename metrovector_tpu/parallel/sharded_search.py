@@ -313,7 +313,7 @@ def dim_sharded_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "mesh", "axis", "backend", "interpret",
-                     "block_rows"),
+                     "block_rows", "scale"),
 )
 def query_sharded_topk(
     queries: jax.Array,
@@ -328,6 +328,9 @@ def query_sharded_topk(
     backend: str = "pallas",
     interpret: bool = False,
     block_rows: int | None = None,
+    scale: float = 1.0,
+    bias_row: jax.Array | None = None,
+    bias_scale: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k with the QUERY batch sharded and the corpus replicated —
     the throughput-scaling mapping for huge query streams against a corpus
@@ -342,18 +345,30 @@ def query_sharded_topk(
     metric = DistanceMetric(metric)
     num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
 
-    def local(q, db_r, norms_r, nvalid, *maybe_mask):
-        mask = maybe_mask[0] if maybe_mask else None
+    def local(q, db_r, norms_r, nvalid, *extras):
+        extras = list(extras)
+        bias_r = extras.pop(0) if bias_row is not None else None
+        mask = extras.pop(0) if valid_mask is not None else None
         if backend == "pallas":
             return fused_topk(
                 q, db_r, norms_r, nvalid[0], k, metric, valid_mask=mask,
-                interpret=interpret, block_rows=block_rows,
+                interpret=interpret, block_rows=block_rows, scale=scale,
+                bias_row=bias_r, bias_scale=bias_scale,
             )
-        return exact_topk_xla(q, db_r, norms_r, nvalid[0], k, metric,
+        q_x, db_x = q, db_r
+        if db_r.dtype == jnp.int8.dtype:
+            # symmetric int8 dequant-on-read (the offset-uint8 bias path
+            # needs the in-kernel correction: use backend='pallas')
+            q_x = q.astype(jnp.float32) * jnp.float32(scale)
+            db_x = db_r.astype(jnp.float32)
+        return exact_topk_xla(q_x, db_x, norms_r, nvalid[0], k, metric,
                               valid_mask=mask)
 
     in_specs = [P(axis, None), P(), P(), P()]
     args = [queries, db, db_norms, num_valid.reshape(1)]
+    if bias_row is not None:
+        in_specs.append(P())
+        args.append(bias_row)
     if valid_mask is not None:
         in_specs.append(P())
         args.append(valid_mask)
@@ -367,7 +382,7 @@ def query_sharded_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "mesh", "query_axis", "shard_axis",
-                     "backend", "interpret", "block_rows"),
+                     "backend", "interpret", "block_rows", "scale"),
 )
 def grid_sharded_topk(
     queries: jax.Array,
@@ -383,6 +398,9 @@ def grid_sharded_topk(
     backend: str = "pallas",
     interpret: bool = False,
     block_rows: int | None = None,
+    scale: float = 1.0,
+    bias_row: jax.Array | None = None,
+    bias_scale: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k on a 2-D ``(query, shard)`` mesh: the corpus rows shard
     over ``shard_axis`` (replicated across ``query_axis``), the query batch
@@ -401,19 +419,26 @@ def grid_sharded_topk(
     metric = DistanceMetric(metric)
     num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
 
-    def local(q, db_l, norms_l, nvalid, *maybe_mask):
+    def local(q, db_l, norms_l, nvalid, *extras):
         sid = jax.lax.axis_index(shard_axis)
         offset = sid * local_rows
         nvalid_local = jnp.clip(nvalid[0] - offset, 0, local_rows)
-        mask = maybe_mask[0] if maybe_mask else None
+        extras = list(extras)
+        bias_l = extras.pop(0) if bias_row is not None else None
+        mask = extras.pop(0) if valid_mask is not None else None
         if backend == "pallas":
             s, i = fused_topk(
                 q, db_l, norms_l, nvalid_local, k, metric, valid_mask=mask,
-                interpret=interpret, block_rows=block_rows,
+                interpret=interpret, block_rows=block_rows, scale=scale,
+                bias_row=bias_l, bias_scale=bias_scale,
             )
         else:
-            s, i = exact_topk_xla(q, db_l, norms_l, nvalid_local, k, metric,
-                                  valid_mask=mask)
+            q_x, db_x = q, db_l
+            if db_l.dtype == jnp.int8.dtype:
+                q_x = q.astype(jnp.float32) * jnp.float32(scale)
+                db_x = db_l.astype(jnp.float32)
+            s, i = exact_topk_xla(q_x, db_x, norms_l, nvalid_local, k,
+                                  metric, valid_mask=mask)
         i = jnp.where(i >= 0, i + offset, i)
         all_s = jax.lax.all_gather(s, shard_axis)
         all_i = jax.lax.all_gather(i, shard_axis)
@@ -426,6 +451,9 @@ def grid_sharded_topk(
 
     in_specs = [P(query_axis, None), P(shard_axis, None), P(shard_axis), P()]
     args = [queries, db, db_norms, num_valid.reshape(1)]
+    if bias_row is not None:
+        in_specs.append(P(shard_axis))
+        args.append(bias_row)
     if valid_mask is not None:
         in_specs.append(P(shard_axis))
         args.append(valid_mask)

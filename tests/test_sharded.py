@@ -223,3 +223,58 @@ def test_grid_sharded_pallas_interpret(rng):
     )
     _, oi = numpy_oracle(q, db, k, DistanceMetric.L2)
     assert np.array_equal(np.asarray(i), oi)
+
+
+def test_query_and_grid_sharded_int8_uint8(rng):
+    """The new mappings must carry the quantized paths too: symmetric int8
+    via dequant-on-read (xla) and the affine-uint8 offset bias (pallas)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metrovector_tpu.parallel import (
+        grid_sharded_topk,
+        make_mesh,
+        make_mesh_2d,
+        query_sharded_topk,
+        replicate,
+        shard_rows,
+    )
+
+    # symmetric int8, xla backend, query-sharded
+    n, d, k = 384, 16, 5
+    codes = rng.integers(-128, 128, (n, d)).astype(np.int8)
+    scale = 0.05
+    deq = codes.astype(np.float32) * scale
+    norms = (deq.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    q = rng.integers(-128, 128, (16, d)).astype(np.int8)
+    qf = q.astype(np.float32) * scale
+    _, oi = numpy_oracle(qf, deq, k, DistanceMetric.INNER_PRODUCT)
+    mesh = make_mesh(8, axis="query")
+    qs = jax.device_put(q, NamedSharding(mesh, P("query", None)))
+    s, i = query_sharded_topk(
+        qs, replicate(codes, mesh), replicate(norms, mesh), n, k,
+        DistanceMetric.INNER_PRODUCT, mesh, backend="xla", scale=scale,
+    )
+    assert np.array_equal(np.asarray(i), oi)
+
+    # affine uint8 offset bias, pallas backend, 2-D grid
+    u8 = rng.integers(0, 256, (n, d)).astype(np.float32)
+    un = np.einsum("ij,ij->i", u8, u8, dtype=np.float64).astype(np.float32)
+    shifted = (u8.astype(np.int16) - 128).astype(np.int8)
+    rowsums = shifted.sum(1, dtype=np.int32).astype(np.float32)
+    qi = rng.integers(0, 256, (8, d)).astype(np.float32)
+    _, oi2 = numpy_oracle(qi, u8, k, DistanceMetric.L2)
+    mesh2 = make_mesh_2d(2, 4)
+    s2, i2 = grid_sharded_topk(
+        jax.device_put(
+            (qi - 128).astype(np.int8),
+            NamedSharding(mesh2, P("query", None)),
+        ),
+        shard_rows(shifted, mesh2, axis="shard"),
+        shard_rows(un, mesh2, axis="shard"),
+        n, k, DistanceMetric.L2, mesh2,
+        backend="pallas", interpret=True, block_rows=64,
+        scale=1.0, bias_row=shard_rows(rowsums, mesh2, axis="shard"),
+        bias_scale=128.0,
+    )
+    assert np.array_equal(np.asarray(i2), oi2)
