@@ -357,8 +357,10 @@ def query_sharded_topk(
             )
         q_x, db_x = q, db_r
         if db_r.dtype == jnp.int8.dtype:
-            # symmetric int8 dequant-on-read (the offset-uint8 bias path
-            # needs the in-kernel correction: use backend='pallas')
+            # symmetric int8 dequant-on-read; `scale` is the COMBINED
+            # dequant factor on raw integer dots (sq·sx — the fused_topk
+            # contract), folded on the query side. The offset-uint8 bias
+            # path needs the in-kernel correction: use backend='pallas'.
             q_x = q.astype(jnp.float32) * jnp.float32(scale)
             db_x = db_r.astype(jnp.float32)
         return exact_topk_xla(q_x, db_x, norms_r, nvalid[0], k, metric,

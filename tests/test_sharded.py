@@ -251,9 +251,12 @@ def test_query_and_grid_sharded_int8_uint8(rng):
     _, oi = numpy_oracle(qf, deq, k, DistanceMetric.INNER_PRODUCT)
     mesh = make_mesh(8, axis="query")
     qs = jax.device_put(q, NamedSharding(mesh, P("query", None)))
+    # scale is the COMBINED dequant factor on raw integer dots (sq·sx,
+    # the fused_topk contract) — here queries and corpus share one scale
     s, i = query_sharded_topk(
         qs, replicate(codes, mesh), replicate(norms, mesh), n, k,
-        DistanceMetric.INNER_PRODUCT, mesh, backend="xla", scale=scale,
+        DistanceMetric.INNER_PRODUCT, mesh, backend="xla",
+        scale=scale * scale,
     )
     assert np.array_equal(np.asarray(i), oi)
 
