@@ -465,7 +465,7 @@ def bench_sift1m_ivfpq(interpret):
             f"sift1m-ivfpq[{mode}](n={n},C={ncl},nprobe={nprobe},"
             f"rerank={rr},k=10,{qb}q)",
             qb / dt, dt * 1e3, recall,
-            "gather-free masked-scan ADC" if mode == "scan"
+            "gather-free masked-scan ADC" if mode.startswith("scan")
             else "bucket-traversal probe (latency/small-batch path)",
         )
 
