@@ -291,3 +291,61 @@ def test_ids_block_validated(tmp_path, rng):
         r2.manifest.spaces[0].ids_block = small
         with pytest.raises(CorruptedDataError):
             r2.validate()
+
+
+def test_ids_with_tombstones_and_streaming(tmp_path, rng):
+    """Combination: ID column + tombstones + streamed search — results
+    must carry IDs, exclude deletions, and match the resident engine."""
+    from metrovector_tpu.engine import DeviceSpace, SearchEngine
+    from metrovector_tpu.parallel import StreamingSearcher
+
+    data = rng.standard_normal((200, 16)).astype(np.float32)
+    ids = np.arange(200, dtype=np.uint64) + 77
+    b = Builder()
+    b.add_vector_space("e", dim=16)
+    b.add_vectors("e", data, ids=ids)
+    for r in (3, 50):
+        b.delete_vector("e", r)
+    p = tmp_path / "c.mvt"
+    b.build().save(p)
+    sp = Reader.open(p).vector_space("e")
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    res_s = StreamingSearcher(sp, chunk_rows=64, interpret=True).search(q, k=5)
+    res_r = SearchEngine(DeviceSpace.from_space(sp), backend="xla").search(q, k=5)
+    assert np.array_equal(res_s.indices, res_r.indices)
+    assert np.array_equal(res_s.ids, res_r.ids)
+    assert np.array_equal(res_s.ids, ids[res_s.indices])
+    assert not np.isin(res_s.indices, [3, 50]).any()
+
+
+def test_ids_survive_append_then_compact_cycle(tmp_path, rng):
+    """Lifecycle chain: ids -> append -> delete -> compact -> search by id."""
+    from metrovector_tpu import builder_from_reader
+    from metrovector_tpu.engine import SearchEngine
+
+    data = rng.standard_normal((30, 8)).astype(np.float32)
+    ids = np.arange(30, dtype=np.uint64) * 10
+    b = Builder()
+    b.add_vector_space("e", dim=8)
+    b.add_vectors("e", data, ids=ids)
+    p1 = tmp_path / "1.mvt"
+    b.build().save(p1)
+
+    b2 = builder_from_reader(Reader.open(p1))
+    extra = rng.standard_normal((5, 8)).astype(np.float32)
+    b2.add_vectors("e", extra, ids=np.arange(5, dtype=np.uint64) + 7001)
+    b2.delete_vector("e", 4)
+    p2 = tmp_path / "2.mvt"
+    b2.build().save(p2)
+
+    p3 = tmp_path / "3.mvt"
+    compact(Reader.open(p2), p3)
+    sp = Reader.open(p3).vector_space("e")
+    assert sp.num_vectors == 34
+    eng = SearchEngine.open(p3, backend="xla")
+    res = eng.search(extra[:1], k=1)
+    assert res.ids[0, 0] == 7001
+    # deleted row's id is gone; its neighbors renumbered but resolvable
+    with pytest.raises(KeyError):
+        sp.row_for_id(40)  # id of deleted row 4
+    assert sp.row_for_id(50) == 4  # old row 5 slid down
