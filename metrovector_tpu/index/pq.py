@@ -518,6 +518,7 @@ class PQIndex:
         exact_lut: bool = True,
         block_rows: int | None = None,
         backend: str = "auto",
+        int8_lut: bool = False,
     ):
         """Approximate top-k by ADC over the codes. ``rerank=R`` (R ≥ k)
         rescores the top-R ADC candidates against the original vectors
@@ -559,9 +560,10 @@ class PQIndex:
                 fetch,
                 self.metric,
                 valid_mask=self.valid,
-                exact_lut=exact_lut,
+                exact_lut=exact_lut and not int8_lut,
                 block_rows=block_rows,
                 interpret=not on_tpu,
+                int8_lut=int8_lut,
             )
         else:
             flat_books = jnp.asarray(

@@ -75,15 +75,21 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
 def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
                      metric: DistanceMetric, has_valid: bool,
                      exact_lut: bool, group_rows: int = 0,
-                     n_groups: int = 0, has_group_ids: bool = False):
+                     n_groups: int = 0, has_group_ids: bool = False,
+                     int8_lut: bool = False):
     metric = DistanceMetric(metric)
-    oh_dtype = jnp.float32 if exact_lut else jnp.bfloat16
+    oh_dtype = (
+        jnp.int8 if int8_lut
+        else jnp.float32 if exact_lut
+        else jnp.bfloat16
+    )
     prec = (
         jax.lax.Precision.HIGHEST if exact_lut else jax.lax.Precision.DEFAULT
     )
 
     def kernel(nvalid_ref, lut_ref, codes_ref, norms_ref, *rest):
         rest = list(rest)
+        sq_ref = rest.pop(0) if int8_lut else None
         gid_ref = rest.pop(0) if has_group_ids else None
         valid_ref = rest.pop(0) if has_valid else None
         out_s_ref, out_i_ref, best_s, best_i = rest
@@ -132,10 +138,21 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_groups), 1)
             oh_parts.append((row_bucket == g_iota).astype(oh_dtype))
         onehot = jnp.concatenate(oh_parts, axis=1)  # [BN, m·ksub (+ G)]
-        dots = jax.lax.dot_general(
-            lut_ref[:], onehot, dimension_numbers=dims,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        if int8_lut:
+            # Integer MXU path (2× the bf16 MAC rate on v5e): the LUT is
+            # symmetric-quantized per query outside the kernel; the int32
+            # accumulation is exact (|dot| ≤ m·127), and the per-query
+            # scale is restored here before the metric epilogue.
+            dots_i = jax.lax.dot_general(
+                lut_ref[:], onehot, dimension_numbers=dims,
+                preferred_element_type=jnp.int32,
+            )
+            dots = dots_i.astype(jnp.float32) * sq_ref[:]
+        else:
+            dots = jax.lax.dot_general(
+                lut_ref[:], onehot, dimension_numbers=dims,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
 
         norms = norms_ref[:]  # (1, BN) f32 — ‖x̂‖² of reconstructions
         if metric == DistanceMetric.L2:
@@ -189,6 +206,7 @@ def fused_adc_topk(
     group_bias=None,
     group_rows: int = 0,
     group_ids=None,
+    int8_lut: bool = False,
 ):
     """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
     scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`)."""
@@ -201,7 +219,7 @@ def fused_adc_topk(
                 valid_mask=valid_mask, exact_lut=exact_lut, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
                 group_bias=group_bias, group_rows=group_rows,
-                group_ids=group_ids,
+                group_ids=group_ids, int8_lut=int8_lut,
             )
         except Exception as exc:
             msg = str(exc)
@@ -226,7 +244,7 @@ def fused_adc_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "exact_lut", "block_rows", "query_tile",
-                     "interpret", "group_rows"),
+                     "interpret", "group_rows", "int8_lut"),
 )
 def _fused_adc_topk(
     queries: jax.Array,
@@ -244,6 +262,7 @@ def _fused_adc_topk(
     group_bias: jax.Array | None = None,
     group_rows: int = 0,
     group_ids: jax.Array | None = None,
+    int8_lut: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ADC top-k over a PQ-coded corpus shard.
 
@@ -258,6 +277,13 @@ def _fused_adc_topk(
       exact_lut: f32-HIGHEST one-hot matmuls (ranking equals the f64 ADC
         oracle to f32 rounding) instead of single-pass bf16 (default,
         ~6× less MXU time; error ≪ PQ quantization error).
+      int8_lut: symmetric per-query int8 LUT quantization on the INTEGER
+        MXU (2× the bf16 MAC rate on v5e). Accumulation is exact int32;
+        the only extra error is the ±0.5-step LUT rounding (relative to
+        the per-query max |entry| — comparable to bf16's mantissa at
+        typical LUT dynamic ranges; gate with a measured recall check and
+        keep a re-rank stage). Mutually exclusive with exact_lut and with
+        the group_bias probing path (−10³⁰ bias is not representable).
       group_bias / group_rows / group_ids: gather-free IVF probing.
         ``group_bias [Q, G]`` f32 adds a per-(query, bucket) dot term —
         ``q·centroid`` for probed buckets (residual ADC: q·x̂ = q·c + q·r̂)
@@ -275,6 +301,10 @@ def _fused_adc_topk(
     n, m = codes.shape
     mb, ksub, dsub = codebooks.shape
     assert mb == m and m * dsub == d, (codebooks.shape, codes.shape, d)
+    if int8_lut and (exact_lut or group_bias is not None):
+        raise ValueError(
+            "int8_lut is mutually exclusive with exact_lut and group_bias"
+        )
     metric = DistanceMetric(metric)
     qt = min(query_tile, _round_up(q, 8))
     k_pad = _round_up(k, LANES)
@@ -322,11 +352,20 @@ def _fused_adc_topk(
                 constant_values=-1e30,
             )
         lut = jnp.concatenate([lut, gb], axis=1)
-    lut = lut.astype(jnp.float32 if exact_lut else jnp.bfloat16)
+    sq = None
+    if int8_lut:
+        # symmetric per-query quantization; scale restored in-kernel
+        s_q = jnp.maximum(jnp.max(jnp.abs(lut), axis=1, keepdims=True), 1e-30)
+        sq = (s_q / 127.0).astype(jnp.float32)
+        lut = jnp.clip(jnp.round(lut / sq), -127, 127).astype(jnp.int8)
+    else:
+        lut = lut.astype(jnp.float32 if exact_lut else jnp.bfloat16)
 
     q_pad = _round_up(q, qt)
     if q_pad != q:
         lut = jnp.pad(lut, ((0, q_pad - q), (0, 0)))
+        if sq is not None:
+            sq = jnp.pad(sq, ((0, q_pad - q), (0, 0)), constant_values=1.0)
 
     codes_u8 = codes.astype(jnp.uint8)
     nvalid_arr = jnp.asarray(num_valid, dtype=jnp.int32).reshape(1, 1)
@@ -346,6 +385,12 @@ def _fused_adc_topk(
         row_spec,
     ]
     args = [nvalid_arr, lut, codes_u8, norms_2d]
+    if sq is not None:
+        in_specs.append(
+            pl.BlockSpec((qt, 1), lambda qi, ni: (qi, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(sq)
     if group_ids is not None:
         # [N, 1] sublane-major so each block reads [BN, 1] directly (a
         # [1, BN] lane-major block would need an in-kernel transpose).
@@ -362,7 +407,7 @@ def _fused_adc_topk(
         k, k_pad, block_rows, m, ksub, metric,
         has_valid=valid_mask is not None, exact_lut=exact_lut,
         group_rows=group_rows, n_groups=n_groups,
-        has_group_ids=group_ids is not None,
+        has_group_ids=group_ids is not None, int8_lut=int8_lut,
     )
     out_s, out_i = pl.pallas_call(
         kernel,

@@ -121,3 +121,39 @@ def test_kernel_odd_sizes(rng):
     )
     _, oi = numpy_oracle(q, recon, 5, DistanceMetric.L2)
     np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_int8_lut_near_parity(rng):
+    """int8-quantized LUT on the integer MXU: candidate sets must stay
+    within quantization tolerance of the f32-exact ADC ranking (the knob
+    trades a small LUT rounding error for 2x MAC rate; always paired with
+    re-ranking in serving)."""
+    data, books, codes, recon, rnorms = _fixture(rng, n=2048)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    s_e, i_e = fused_adc_topk(
+        q, codes, books, rnorms, np.int32(2048), 40, DistanceMetric.L2,
+        exact_lut=True, block_rows=256, interpret=True,
+    )
+    s_q, i_q = fused_adc_topk(
+        q, codes, books, rnorms, np.int32(2048), 40, DistanceMetric.L2,
+        int8_lut=True, exact_lut=False, block_rows=256, interpret=True,
+    )
+    overlap = np.mean([
+        len(set(np.asarray(i_e)[r]) & set(np.asarray(i_q)[r])) / 40
+        for r in range(8)
+    ])
+    assert overlap >= 0.9, overlap
+    # scores within the quantization error envelope
+    np.testing.assert_allclose(
+        np.asarray(s_q)[:, :10], np.asarray(s_e)[:, :10], rtol=0.05, atol=0.5
+    )
+
+
+def test_int8_lut_exclusions(rng):
+    data, books, codes, recon, rnorms = _fixture(rng, n=512)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    with pytest.raises(ValueError):
+        fused_adc_topk(
+            q, codes, books, rnorms, np.int32(512), 5, DistanceMetric.L2,
+            int8_lut=True, exact_lut=True, block_rows=128, interpret=True,
+        )
