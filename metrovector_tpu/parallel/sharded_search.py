@@ -146,7 +146,7 @@ def sharded_topk(
     jax.jit,
     static_argnames=(
         "k", "rerank", "metric", "mesh", "axis", "exact_lut", "backend",
-        "interpret", "block_rows",
+        "interpret", "block_rows", "int8_lut",
     ),
 )
 def sharded_pq_topk(
@@ -167,6 +167,7 @@ def sharded_pq_topk(
     backend: str = "pallas",
     interpret: bool = False,
     block_rows: int | None = None,
+    int8_lut: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Global PQ search over a row-sharded coded corpus.
 
@@ -205,7 +206,7 @@ def sharded_pq_topk(
             s, i = fused_adc_topk(
                 q, codes_l, codebooks, rnorms_l, nvalid_local, fetch, metric,
                 valid_mask=mask_l, exact_lut=exact_lut, interpret=interpret,
-                block_rows=block_rows,
+                block_rows=block_rows, int8_lut=int8_lut,
             )
         else:
             s, i = _adc_search(

@@ -110,3 +110,41 @@ def test_sharded_pq_matches_single_device(rng):
     )
     single = idx.search(q, k=10, backend="xla", exact_lut=True)
     assert np.array_equal(np.asarray(i), single.indices)
+
+
+def test_sharded_pq_int8_lut(rng):
+    """int8-LUT ADC on the sharded path: candidates near the exact-LUT
+    sharded ranking, deterministic regardless of shard count."""
+    import jax.numpy as jnp
+
+    from metrovector_tpu.index.pq import encode_pq, reconstruct_pq, train_pq
+    from metrovector_tpu.parallel import (
+        make_mesh,
+        replicate,
+        shard_rows,
+        sharded_pq_topk,
+    )
+
+    mesh = make_mesh(8)
+    n, d = 1024, 32
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    books = train_pq(db, m=4, ksub=32, iters=3)
+    codes = encode_pq(db, books)
+    recon = reconstruct_pq(codes, books)
+    rn = np.einsum("ij,ij->i", recon, recon).astype(np.float32)
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    args = (
+        replicate(q, mesh), shard_rows(codes, mesh), jnp.asarray(books),
+        shard_rows(rn, mesh), n, 20, DistanceMetric.L2, mesh,
+    )
+    s_e, i_e = sharded_pq_topk(
+        *args, backend="pallas", interpret=True, exact_lut=True
+    )
+    s_q, i_q = sharded_pq_topk(
+        *args, backend="pallas", interpret=True, int8_lut=True
+    )
+    overlap = np.mean([
+        len(set(np.asarray(i_e)[r]) & set(np.asarray(i_q)[r])) / 20
+        for r in range(5)
+    ])
+    assert overlap >= 0.85, overlap
