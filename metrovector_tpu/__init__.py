@@ -48,6 +48,7 @@ from .vectors import (
 __version__ = "0.1.0"
 
 _LAZY = {
+    "Database": ".database",
     "SearchEngine": ".engine",
     "DeviceSpace": ".engine",
     "SearchResult": ".engine",
@@ -108,6 +109,7 @@ __all__ = [
     "VectorSpace",
     "VectorType",
     "Writer",
+    "Database",
     "builder_from_reader",
     "compact",
     "encode_pq",

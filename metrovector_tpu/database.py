@@ -1,0 +1,129 @@
+"""Multi-space serving facade: one open file, one engine per space.
+
+The reference's application layer is "open a reader, walk the spaces"
+(`examples/simple.rs:45-66` in thegenem0/metrovector); this wraps the same
+flow for serving: engines build lazily per space (first search uploads
+that space to HBM), metadata columns turn into kernel-exact filter masks,
+and results carry stable IDs.
+"""
+
+from __future__ import annotations
+
+import operator
+import os
+from typing import Any
+
+import numpy as np
+
+from .engine import SearchEngine, SearchResult
+from .errors import MetadataColumnNotFoundError
+from .format.reader import Reader
+
+_OPS = {
+    "==": operator.eq,
+    "!=": operator.ne,
+    "<": operator.lt,
+    "<=": operator.le,
+    ">": operator.gt,
+    ">=": operator.ge,
+    "in": lambda col, vals: np.isin(col, list(vals)),
+}
+
+
+class Database:
+    """Lazy per-space engines over one MVT file.
+
+    >>> import numpy as np, tempfile, os
+    >>> from metrovector_tpu import Builder, Database
+    >>> b = Builder()
+    >>> _ = b.add_vector_space("docs", dim=4)
+    >>> b.add_vectors("docs", np.eye(4, dtype=np.float32))
+    >>> b.add_metadata_column("docs", "lang", ["en", "de", "en", "fr"])
+    >>> path = os.path.join(tempfile.mkdtemp(), "db.mvt")
+    >>> b.build().save(path)
+    >>> db = Database.open(path, backend="xla")
+    >>> res = db.search("docs", np.eye(4, dtype=np.float32)[:1], k=2,
+    ...                 where=("lang", "==", "en"))
+    >>> res.indices.tolist()
+    [[0, 2]]
+    """
+
+    def __init__(self, reader: Reader, backend: str = "pallas",
+                 interpret: bool | None = None):
+        self._reader = reader
+        self._backend = backend
+        self._interpret = interpret
+        self._engines: dict[str, SearchEngine] = {}
+
+    @classmethod
+    def open(cls, path: str | os.PathLike, backend: str = "pallas",
+             interpret: bool | None = None) -> "Database":
+        return cls(Reader.open(path), backend=backend, interpret=interpret)
+
+    @property
+    def reader(self) -> Reader:
+        return self._reader
+
+    @property
+    def space_names(self) -> list[str]:
+        return self._reader.vector_space_names
+
+    def engine(self, space: str | None = None) -> SearchEngine:
+        """The (lazily built) engine for one space. With a single-space
+        file the name may be omitted."""
+        if space is None:
+            names = self.space_names
+            if len(names) != 1:
+                raise ValueError(
+                    f"file has {len(names)} spaces; name one of {names}"
+                )
+            space = names[0]
+        if space not in self._engines:
+            kw = {}
+            if self._interpret is not None:
+                kw["interpret"] = self._interpret
+            self._engines[space] = SearchEngine(
+                self._reader.vector_space(space), backend=self._backend, **kw
+            )
+        return self._engines[space]
+
+    def column_mask(self, space: str, column: str, op: str,
+                    value: Any) -> np.ndarray:
+        """A boolean row mask from a metadata predicate, e.g.
+        ``column_mask("docs", "lang", "==", "en")`` or
+        ``("price", "<", 10.0)`` or ``("tag", "in", {"a", "b"})``."""
+        if op not in _OPS:
+            raise ValueError(f"unknown operator {op!r}; one of {list(_OPS)}")
+        sp = self._reader.vector_space(space)
+        if column not in sp.metadata_column_names():
+            raise MetadataColumnNotFoundError(column)
+        vals = sp.metadata_column(column)
+        if isinstance(vals, list):  # string column
+            arr = np.asarray(vals, dtype=object)
+        else:
+            arr = np.asarray(vals)
+        if op == "in":
+            return np.asarray(_OPS[op](arr, value), dtype=bool)
+        return np.asarray(_OPS[op](arr, value), dtype=bool)
+
+    def search(self, space: str | None, queries, k: int = 10,
+               where: tuple | list[tuple] | None = None,
+               filter_mask=None) -> SearchResult:
+        """Search one space, optionally restricted by metadata predicates.
+
+        ``where``: a ``(column, op, value)`` predicate or a list of them
+        (AND-combined), turned into the engine's exact in-kernel filter
+        mask. Composable with an explicit ``filter_mask``.
+        """
+        eng = self.engine(space)
+        name = space if space is not None else self.space_names[0]
+        mask = None
+        if where is not None:
+            preds = [where] if isinstance(where, tuple) else list(where)
+            for col, op, value in preds:
+                m = self.column_mask(name, col, op, value)
+                mask = m if mask is None else (mask & m)
+        if filter_mask is not None:
+            fm = np.asarray(filter_mask, dtype=bool)
+            mask = fm if mask is None else (mask & fm)
+        return eng.search(queries, k=k, filter_mask=mask)

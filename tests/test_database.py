@@ -1,0 +1,75 @@
+"""Multi-space Database facade: lazy engines, metadata predicates as
+exact in-kernel filters, stable-ID results."""
+
+import numpy as np
+import pytest
+
+from metrovector_tpu import Builder, Database
+from metrovector_tpu.errors import MetadataColumnNotFoundError
+from metrovector_tpu.format.constants import DistanceMetric
+from metrovector_tpu.ops.distances import numpy_oracle
+
+
+@pytest.fixture
+def db_file(tmp_path, rng):
+    b = Builder()
+    b.add_vector_space("docs", dim=8)
+    data = rng.standard_normal((50, 8)).astype(np.float32)
+    b.add_vectors("docs", data, ids=np.arange(50, dtype=np.uint64) + 500)
+    b.add_metadata_column("docs", "lang", ["en", "de"] * 25)
+    b.add_metadata_column("docs", "price", list(range(50)))
+    b.add_vector_space("imgs", dim=4)
+    imgs = rng.standard_normal((10, 4)).astype(np.float32)
+    b.add_vectors("imgs", imgs)
+    p = tmp_path / "db.mvt"
+    b.build().save(p)
+    return p, data, imgs
+
+
+def test_lazy_engines_and_search(db_file, rng):
+    p, data, imgs = db_file
+    db = Database.open(p, backend="xla")
+    assert db.space_names == ["docs", "imgs"]
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    res = db.search("docs", q, k=4)
+    _, oi = numpy_oracle(q, data, 4, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+    assert np.array_equal(res.ids, oi.astype(np.uint64) + 500)
+    r2 = db.search("imgs", imgs[:1], k=1)
+    assert r2.indices[0, 0] == 0
+    with pytest.raises(ValueError):
+        db.engine()  # ambiguous: two spaces
+
+
+def test_metadata_predicates(db_file, rng):
+    p, data, _ = db_file
+    db = Database.open(p, backend="xla")
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    res = db.search("docs", q, k=5, where=("lang", "==", "en"))
+    assert (res.indices % 2 == 0).all()  # "en" rows are even
+    mask = np.zeros(50, bool)
+    mask[::2] = True
+    _, oi = numpy_oracle(q, data, 5, DistanceMetric.L2,
+                         valid_mask=mask.astype(np.float32))
+    assert np.array_equal(res.indices, oi)
+
+    # AND-combined predicates + numeric comparison
+    res2 = db.search(
+        "docs", q, k=3,
+        where=[("lang", "==", "de"), ("price", "<", 20)],
+    )
+    got = res2.indices[res2.indices >= 0]
+    assert ((got % 2 == 1) & (got < 20)).all()
+
+    # "in" operator and composition with an explicit mask
+    extra = np.zeros(50, bool)
+    extra[:10] = True
+    res3 = db.search("docs", q, k=3, where=("lang", "in", {"en"}),
+                     filter_mask=extra)
+    got3 = res3.indices[res3.indices >= 0]
+    assert ((got3 % 2 == 0) & (got3 < 10)).all()
+
+    with pytest.raises(MetadataColumnNotFoundError):
+        db.column_mask("docs", "nope", "==", 1)
+    with pytest.raises(ValueError):
+        db.column_mask("docs", "lang", "~=", "en")

@@ -11,6 +11,7 @@ import doctest
 import pytest
 
 MODULES = [
+    "metrovector_tpu.database",
     "metrovector_tpu.format.builder",
     "metrovector_tpu.format.reader",
     "metrovector_tpu.vectors.space",
