@@ -49,11 +49,12 @@ def main():
     # 3. persist the same changes
     b2 = mvt.builder_from_reader(mvt.Reader.open(path))
     b2.add_vectors("docs", fresh, ids=fresh_ids)
+    # file-side deletion is positional; resolve via the ID column (one
+    # open + one lazy id->row map, hoisted out of the loop)
+    v1_space = mvt.Reader.open(path).vector_space("docs")
     for vid in (1_000_007, 9_000_003, 1_004_999):
-        # file-side deletion is positional; resolve via the ID column
-        b2_space = mvt.Reader.open(path).vector_space("docs")
         row = (
-            b2_space.row_for_id(vid) if vid < 9_000_000
+            v1_space.row_for_id(vid) if vid < 9_000_000
             else 5_000 + int(vid - 9_000_000)
         )
         b2.delete_vector("docs", row)

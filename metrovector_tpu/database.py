@@ -102,8 +102,6 @@ class Database:
             arr = np.asarray(vals, dtype=object)
         else:
             arr = np.asarray(vals)
-        if op == "in":
-            return np.asarray(_OPS[op](arr, value), dtype=bool)
         return np.asarray(_OPS[op](arr, value), dtype=bool)
 
     def search(self, space: str | None, queries, k: int = 10,

@@ -152,8 +152,13 @@ def _insert_nodes(adj, rows, norms, metric, nodes, levels, entry,
 
 
 def _freeze_adj(adj, entry, m):
-    """Compact build-time adjacency dicts to per-layer (ids, adj) arrays."""
+    """Compact build-time adjacency dicts to per-layer (ids, adj) arrays.
+    The entry node is guaranteed a layer-0 slot even when edgeless (a
+    single-node graph otherwise froze to an empty layer and thawing it
+    looked like an empty graph, orphaning the node — review finding r2)."""
     width0, width = 2 * m, m
+    if entry != _SENTINEL and adj and int(entry) not in adj[0]:
+        adj[0][int(entry)] = np.zeros(0, np.int32)
     layers_out = []
     for layer, lad in enumerate(adj):
         ids = np.asarray(sorted(lad), np.int32)
@@ -243,15 +248,17 @@ class HNSWIndex:
     # -- online mutation ------------------------------------------------------
 
     def add_rows(self, vectors: np.ndarray, seed: int | None = None) -> None:
-        """TRUE incremental insertion (the whole point of HNSW): thaw the
-        frozen per-layer arrays back to adjacency dicts, run the standard
-        insert for each new node against the existing graph, refreeze.
-        Cost is O(n_new · ef_construction · log N) — independent of the
-        existing corpus size, unlike the index families that re-derive
-        bucket layouts."""
+        """Incremental insertion: thaw the frozen per-layer arrays back to
+        adjacency dicts, run the standard insert for each new node against
+        the existing graph, refreeze. The insertions themselves cost
+        O(n_new · ef_construction · log N); the thaw/refreeze wrapper adds
+        an O(N) pass per CALL (not per row) — batch appends rather than
+        looping row-by-row on large graphs."""
         rows_new, norms_new = _prep(np.atleast_2d(vectors), self.metric)
         n_old = self.rows.shape[0]
         n_new = rows_new.shape[0]
+        if n_new == 0:
+            return
         rows = np.concatenate([self.rows, rows_new])
         norms = np.concatenate([self.norms, norms_new])
 

@@ -542,6 +542,11 @@ class PQIndex:
         fetch = min(fetch, self.num_vectors) or 1
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = backend == "pallas" or (backend == "auto" and on_tpu)
+        if int8_lut and not use_pallas:
+            raise ValueError(
+                "int8_lut exists only in the pallas ADC kernel; the xla "
+                "branch would silently serve exact-LUT results instead"
+            )
         if use_pallas:
             from ..ops.adc_kernel import fused_adc_topk
 

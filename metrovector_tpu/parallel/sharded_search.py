@@ -70,6 +70,16 @@ def sharded_topk(
     Returns replicated ``(scores [Q, k], indices [Q, k])``, best-first,
     with global row indices.
     """
+    if bias_row is not None and backend != "pallas":
+        raise ValueError(
+            "bias_row (the offset-uint8 correction) only exists in the "
+            "pallas kernel; backend='xla' would silently drop it"
+        )
+    if dequant_bias is not None and backend != "xla":
+        raise ValueError(
+            "dequant_bias (affine-uint8 dequant-on-read) only exists on "
+            "the xla backend; backend='pallas' would silently drop it"
+        )
     total_rows = db.shape[0]
     n_shards = mesh.shape[axis]
     local_rows = total_rows // n_shards
@@ -343,6 +353,11 @@ def query_sharded_topk(
     divisible by the axis size); ``db``/``db_norms``/``valid_mask``
     replicated.
     """
+    if bias_row is not None and backend != "pallas":
+        raise ValueError(
+            "bias_row (the offset-uint8 correction) only exists in the "
+            "pallas kernel; backend='xla' would silently drop it"
+        )
     metric = DistanceMetric(metric)
     num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
 
@@ -421,6 +436,12 @@ def grid_sharded_topk(
     local_rows = total_rows // n_shards
     metric = DistanceMetric(metric)
     num_valid = jnp.asarray(num_valid, dtype=jnp.int32)
+
+    if bias_row is not None and backend != "pallas":
+        raise ValueError(
+            "bias_row (the offset-uint8 correction) only exists in the "
+            "pallas kernel; backend='xla' would silently drop it"
+        )
 
     def local(q, db_l, norms_l, nvalid, *extras):
         sid = jax.lax.axis_index(shard_axis)

@@ -304,3 +304,30 @@ def test_hnsw_add_to_empty_graph(rng):
     idx.add_rows(data)
     i = idx.search(data[:5], k=1, ef=40).indices
     assert (i[:, 0] == np.arange(5)).all()
+
+
+def test_hnsw_single_node_then_add(rng):
+    """A 1-node graph must not be orphaned by add_rows (review finding
+    r2: the edgeless entry froze to an empty layer and looked like an
+    empty graph)."""
+    from metrovector_tpu.index.hnsw import HNSWIndex
+
+    v0 = rng.standard_normal((1, 4)).astype(np.float32)
+    idx = HNSWIndex.build(v0, DistanceMetric.L2, m=4)
+    idx.add_rows(rng.standard_normal((5, 4)).astype(np.float32))
+    i = idx.search(v0, k=1, ef=20).indices
+    assert i[0, 0] == 0  # the original node is reachable
+
+    # empty append is a no-op, even on an empty-built index
+    empty = HNSWIndex.build(np.zeros((0, 4), np.float32), DistanceMetric.L2)
+    empty.add_rows(np.zeros((0, 4), np.float32))
+    assert empty.rows.shape[0] == 0
+
+
+def test_pq_int8_lut_requires_pallas(rng):
+    from metrovector_tpu.index.pq import PQIndex
+
+    data = rng.standard_normal((100, 8)).astype(np.float32)
+    idx = PQIndex.build(data, DistanceMetric.L2, m=4, ksub=16, iters=2)
+    with pytest.raises(ValueError):
+        idx.search(data[:2], k=3, backend="xla", int8_lut=True)

@@ -281,3 +281,58 @@ def test_query_and_grid_sharded_int8_uint8(rng):
         bias_scale=128.0,
     )
     assert np.array_equal(np.asarray(i2), oi2)
+
+
+def test_bias_requires_pallas_backend(rng):
+    """Silently dropping the offset-uint8 bias on the xla branch produced
+    wrong rankings (review finding r2) — now a loud error on all three
+    sharded mappings."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from metrovector_tpu.parallel import (
+        grid_sharded_topk,
+        make_mesh,
+        make_mesh_2d,
+        query_sharded_topk,
+        replicate,
+        shard_rows,
+        sharded_topk,
+    )
+
+    n, d = 128, 8
+    db = rng.integers(-128, 128, (n, d)).astype(np.int8)
+    norms = (db.astype(np.float32) ** 2).sum(1)
+    bias = db.astype(np.int32).sum(1).astype(np.float32)
+    q = rng.integers(-128, 128, (8, d)).astype(np.int8)
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        sharded_topk(
+            replicate(q, mesh), shard_rows(db, mesh), shard_rows(norms, mesh),
+            n, 3, DistanceMetric.L2, mesh, backend="xla",
+            bias_row=shard_rows(bias, mesh), bias_scale=128.0,
+        )
+    with pytest.raises(ValueError):
+        sharded_topk(
+            replicate(q, mesh), shard_rows(db, mesh), shard_rows(norms, mesh),
+            n, 3, DistanceMetric.L2, mesh, backend="pallas", interpret=True,
+            dequant_bias=128.0,
+        )
+    meshq = make_mesh(8, axis="query")
+    with pytest.raises(ValueError):
+        query_sharded_topk(
+            jax.device_put(q, NamedSharding(meshq, P("query", None))),
+            replicate(db, meshq), replicate(norms, meshq), n, 3,
+            DistanceMetric.L2, meshq, backend="xla",
+            bias_row=replicate(bias, meshq), bias_scale=128.0,
+        )
+    mesh2 = make_mesh_2d(2, 4)
+    with pytest.raises(ValueError):
+        grid_sharded_topk(
+            jax.device_put(q, NamedSharding(mesh2, P("query", None))),
+            shard_rows(db, mesh2, axis="shard"),
+            shard_rows(norms, mesh2, axis="shard"), n, 3,
+            DistanceMetric.L2, mesh2, backend="xla",
+            bias_row=shard_rows(bias, mesh2, axis="shard"), bias_scale=128.0,
+        )
