@@ -258,6 +258,21 @@ def bench_deep10m(interpret):
     _report(f"deep10m(n={n},96d,int8 dot,k=10,{qb}q)", qb / dt, dt * 1e3,
             recall, "1.28 GB int8 corpus, integer MXU")
 
+    if not interpret:
+        # Tuned config (r2 sweep: smaller query tiles cut the per-element
+        # VPU fold cost that dominates this many-block scan).
+        def run2(q):
+            return fused_topk(q, db_d, norms_d, np.int32(n), k,
+                              DistanceMetric.INNER_PRODUCT, scale=sc * sc,
+                              block_rows=16384, query_tile=64,
+                              merge="rounds")
+
+        dt2 = _measure(run2, mk, iters=10)
+        _report(
+            f"deep10m(n={n},96d,int8 dot,k=10,{qb}q,qt=64,br=16384)",
+            qb / dt2, dt2 * 1e3, recall, "tuned tile config",
+        )
+
 
 def bench_stream(interpret):
     import tempfile, os
