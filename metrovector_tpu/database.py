@@ -87,6 +87,31 @@ class Database:
             )
         return self._engines[space]
 
+    def pq_index(self, space: str, **kw):
+        """Reattach (or build) the space's PQ index — persisted codebooks
+        /codes/norms load without retraining (``PQIndex.from_space``)."""
+        from .index import PQIndex
+
+        return PQIndex.from_space(self._reader.vector_space(space), **kw)
+
+    def ivf_index(self, space: str, **kw):
+        """Reattach (or build) the space's IVF structure."""
+        from .index import IVFIndex
+
+        return IVFIndex.from_space(self._reader.vector_space(space), **kw)
+
+    def ivfpq_index(self, space: str, **kw):
+        """Reattach (or build) the space's residual IVF-PQ structure."""
+        from .index import IVFPQIndex
+
+        return IVFPQIndex.from_space(self._reader.vector_space(space), **kw)
+
+    def hnsw_index(self, space: str, **kw):
+        """Reattach (or build) the space's HNSW graph."""
+        from .index import HNSWIndex
+
+        return HNSWIndex.from_space(self._reader.vector_space(space), **kw)
+
     def column_mask(self, space: str, column: str, op: str,
                     value: Any) -> np.ndarray:
         """A boolean row mask from a metadata predicate, e.g.
