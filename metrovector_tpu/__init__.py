@@ -45,7 +45,7 @@ from .vectors import (
     VectorSpace,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 _LAZY = {
     "Database": ".database",
