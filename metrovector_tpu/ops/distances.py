@@ -241,5 +241,14 @@ def numpy_oracle(queries, db, k, metric, valid_mask=None):
         raise NotImplementedError(metric)
     if valid_mask is not None:
         s = np.where(np.asarray(valid_mask)[None, :] != 0, s, -np.inf)
+    # Rank at f32 granularity — the precision every engine actually scores
+    # in. Ranking the raw f64 values is subtly WRONG for exact-duplicate
+    # rows: BLAS dgemm's blocking can give bit-identical columns 1-ulp-
+    # different f64 results depending on their position, silently breaking
+    # the lowest-index tie contract this oracle defines (found by the
+    # duplicate-heavy fuzzer on cosine/IP; the L2 path's elementwise
+    # reduction was immune). Casting collapses sub-f32-ulp positional
+    # noise so ties are ties.
+    s = s.astype(np.float32)
     idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
     return np.take_along_axis(s, idx, axis=1), idx

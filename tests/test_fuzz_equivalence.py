@@ -26,9 +26,16 @@ def _random_config(rng):
     return n, d, k, metric, dup, tomb, block_rows, merge
 
 
-@pytest.mark.parametrize("trial", range(12))
-def test_fuzz_backend_equivalence(trial):
-    rng = np.random.default_rng(1000 + trial)
+# The extra 5xxx seeds come from the deep-fuzz session that exposed the
+# oracle's dgemm tie nondeterminism for duplicate rows (cosine/IP at high
+# duplication; fixed by ranking at f32 granularity in numpy_oracle) —
+# extra trials guarding the canonicalized tie contract.
+@pytest.mark.parametrize(
+    "seed",
+    [1000 + t for t in range(12)] + [5012, 5013, 5018, 5021, 5036],
+)
+def test_fuzz_backend_equivalence(seed):
+    rng = np.random.default_rng(seed)
     n, d, k, metric, dup, tomb, block_rows, merge = _random_config(rng)
     db = rng.standard_normal((n, d)).astype(np.float32)
     if dup:
