@@ -116,6 +116,7 @@ class SparseSearchEngine:
         self.dim = space.dim
         self.num_vectors = space.num_vectors
         self.name = space.name
+        self.host_ids = space.ids()
 
     def search(self, queries, k: int = 10):
         """Batched exact top-k over the sparse corpus. ``queries`` are
@@ -161,5 +162,8 @@ class SparseSearchEngine:
                 if self.metric == DistanceMetric.L2
                 else -np.inf,
             )
+        from .engine import ids_for_rows
+
         return SearchResult(indices=i, scores=s, distances=dist,
-                            metric=self.metric)
+                            metric=self.metric,
+                            ids=ids_for_rows(self.host_ids, i))

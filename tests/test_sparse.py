@@ -133,3 +133,35 @@ def test_sparse_empty_rows(tmp_path, rng):
     res = SparseSearchEngine(sp).search(np.eye(16, dtype=np.float32)[2], k=2)
     assert res.indices[0].tolist() == [0, 1]
     np.testing.assert_allclose(res.distances[0], [1.0, 4.0], atol=1e-5)
+
+
+def test_sparse_search_carries_ids(tmp_path, rng):
+    """ID-returning results on the sparse engine too (parity with the
+    dense/streamed/sharded paths)."""
+    from metrovector_tpu import Builder, Reader
+    from metrovector_tpu.sparse import SparseSearchEngine
+
+    rows = []
+    for _ in range(30):
+        nnz = int(rng.integers(1, 6))
+        cols = np.sort(rng.choice(16, nnz, replace=False)).astype(np.uint32)
+        vals = rng.standard_normal(nnz).astype(np.float32)
+        rows.append((cols, vals))
+    b = Builder()
+    b.add_vector_space("s", dim=16, vector_type=VectorType.SPARSE)
+    b.add_sparse_vectors("s", rows)
+    b.set_vector_ids("s", np.arange(30, dtype=np.uint64) * 3 + 11)
+    p = tmp_path / "sp.mvt"
+    b.build().save(p)
+    sp = Reader.open(p).vector_space("s")
+    eng = SparseSearchEngine(sp)
+    dense = np.zeros((2, 16), np.float32)
+    c0, v0 = rows[0]
+    dense[0, c0] = v0
+    res = eng.search(dense, k=3)
+    assert res.indices[0, 0] == 0
+    assert res.ids[0, 0] == 11
+    assert np.array_equal(
+        res.ids[res.indices >= 0],
+        (np.arange(30, dtype=np.uint64) * 3 + 11)[res.indices[res.indices >= 0]],
+    )
