@@ -75,6 +75,35 @@ class SearchResult:
 
 
 
+def merged_append_ids(host_ids, ids, n_new: int, num_valid: int):
+    """Validate and merge the ID column for an append of ``n_new`` rows.
+
+    Shared contract across every mutable surface (``DeviceSpace`` and the
+    ANN indexes): appends must carry ``ids`` iff the structure has an ID
+    column (mixing positional and stable identities would silently corrupt
+    external references); merged ids must stay unique. Returns the new
+    host ID column (or None for position-identified structures)."""
+    if ids is not None:
+        ids = np.ascontiguousarray(ids, dtype=np.uint64).reshape(-1)
+        if ids.shape[0] != n_new:
+            raise DimensionMismatchError(expected=n_new, actual=int(ids.shape[0]))
+        if host_ids is None and num_valid > 0:
+            raise InvalidVectorTypeError(
+                "space has no ID column; appended rows cannot carry ids"
+            )
+    elif host_ids is not None:
+        raise InvalidVectorTypeError(
+            "space has an ID column; appended rows must carry ids"
+        )
+    else:
+        return None
+    old = host_ids if host_ids is not None else np.zeros(0, np.uint64)
+    merged = np.concatenate([old[:num_valid], ids])
+    if np.unique(merged).shape[0] != merged.shape[0]:
+        raise InvalidVectorTypeError("appended ids collide")
+    return merged
+
+
 def ids_for_rows(host_ids, idx):
     """Translate result row positions to stable external IDs (positions
     themselves when the space has no ID column; the u64-max sentinel for
@@ -244,20 +273,9 @@ class DeviceSpace:
                 expected=self.dim, actual=int(rows.shape[1])
             )
         n_new = rows.shape[0]
-        if ids is not None:
-            ids = np.ascontiguousarray(ids, dtype=np.uint64).reshape(-1)
-            if ids.shape[0] != n_new:
-                raise DimensionMismatchError(
-                    expected=n_new, actual=int(ids.shape[0])
-                )
-            if self.host_ids is None and self.num_valid > 0:
-                raise InvalidVectorTypeError(
-                    "space has no ID column; appended rows cannot carry ids"
-                )
-        elif self.host_ids is not None:
-            raise InvalidVectorTypeError(
-                "space has an ID column; appended rows must carry ids"
-            )
+        merged_ids = merged_append_ids(
+            self.host_ids, ids, n_new, self.num_valid
+        )
 
         rows_f = rows.astype(np.float32)
         new_norms = np.einsum(
@@ -333,16 +351,8 @@ class DeviceSpace:
                 block_f32 - block_new.astype(np.float32)
             ).astype(ml_dtypes.bfloat16)
             self.data_lo = grown(self.data_lo, lo)
-        if ids is not None:
-            old_ids = (
-                self.host_ids
-                if self.host_ids is not None
-                else np.zeros(0, np.uint64)
-            )
-            merged = np.concatenate([old_ids[: self.num_valid], ids])
-            if np.unique(merged).shape[0] != merged.shape[0]:
-                raise InvalidVectorTypeError("appended ids collide")
-            self.host_ids = merged
+        if merged_ids is not None:
+            self.host_ids = merged_ids
             self._id_lut = None  # invalidate the lazy id→row map
         self.num_valid = total
 

@@ -190,6 +190,10 @@ class HNSWIndex:
     m: int
     ef_construction: int
     valid: np.ndarray | None = None  # False = tombstoned
+    # Host-side stable u64 ID column (reference ``schema/core.fbs:54``
+    # semantics); node ids are row positions, translated through this at
+    # result time so ids survive compaction.
+    host_ids: np.ndarray | None = None
 
     def __post_init__(self):
         n = self.rows.shape[0]
@@ -210,12 +214,18 @@ class HNSWIndex:
         ef_construction: int = 200,
         seed: int = 0,
         valid_mask: np.ndarray | None = None,
+        ids: np.ndarray | None = None,
     ) -> "HNSWIndex":
         """Incremental insertion build. ``m``: neighbors per node on upper
         layers (``2m`` at layer 0); ``ef_construction``: beam width during
         construction. Tombstoned rows (``valid_mask`` True) are excluded
         from the graph entirely."""
         metric = DistanceMetric(metric)
+        host_ids = (
+            np.ascontiguousarray(ids, np.uint64).reshape(-1)
+            if ids is not None
+            else None
+        )
         rows, norms = _prep(vectors, metric)
         n = rows.shape[0]
         rng = np.random.default_rng(seed)
@@ -224,7 +234,7 @@ class HNSWIndex:
             live = live[~np.asarray(valid_mask, dtype=bool)]
         if len(live) == 0:
             return cls(rows, norms, [], _SENTINEL, metric, m, ef_construction,
-                       valid=None)
+                       valid=None, host_ids=host_ids)
 
         ml = 1.0 / np.log(max(m, 2))
         levels = np.minimum(
@@ -243,22 +253,29 @@ class HNSWIndex:
         if valid_mask is not None:
             valid = ~np.asarray(valid_mask, dtype=bool)
         return cls(rows, norms, layers_out, entry, metric, m,
-                   ef_construction, valid=valid)
+                   ef_construction, valid=valid, host_ids=host_ids)
 
     # -- online mutation ------------------------------------------------------
 
-    def add_rows(self, vectors: np.ndarray, seed: int | None = None) -> None:
+    def add_rows(
+        self, vectors: np.ndarray, ids=None, seed: int | None = None
+    ) -> None:
         """Incremental insertion: thaw the frozen per-layer arrays back to
         adjacency dicts, run the standard insert for each new node against
-        the existing graph, refreeze. The insertions themselves cost
+        the existing graph, refreeze. Appends must carry ``ids`` iff the
+        index has an ID column (the ``DeviceSpace.add_rows`` contract).
+        The insertions themselves cost
         O(n_new · ef_construction · log N); the thaw/refreeze wrapper adds
         an O(N) pass per CALL (not per row) — batch appends rather than
         looping row-by-row on large graphs."""
+        from ..engine import merged_append_ids
+
         rows_new, norms_new = _prep(np.atleast_2d(vectors), self.metric)
         n_old = self.rows.shape[0]
         n_new = rows_new.shape[0]
         if n_new == 0:
             return
+        merged_ids = merged_append_ids(self.host_ids, ids, n_new, n_old)
         rows = np.concatenate([self.rows, rows_new])
         norms = np.concatenate([self.norms, norms_new])
 
@@ -306,6 +323,8 @@ class HNSWIndex:
         self.norms = norms
         self.entry = entry
         self.layers = _freeze_adj(adj, entry, self.m)
+        if merged_ids is not None:
+            self.host_ids = merged_ids
         if self.valid is not None:
             self.valid = np.concatenate(
                 [self.valid, np.ones(n_new, bool)]
@@ -353,10 +372,10 @@ class HNSWIndex:
             if mask is not None:
                 valid = ~mask
             return cls(rows, norms, layers, entry, metric, sm, sef,
-                       valid=valid)
+                       valid=valid, host_ids=space.ids())
         return cls.build(
             vectors, metric, m=m, ef_construction=ef_construction, seed=seed,
-            valid_mask=space.tombstone_mask(),
+            valid_mask=space.tombstone_mask(), ids=space.ids(),
         )
 
     @property
@@ -383,12 +402,15 @@ class HNSWIndex:
 
         out_i = np.full((len(q2), k), _SENTINEL, np.int32)
         out_s = np.full((len(q2), k), -np.inf, np.float32)
+        from ..engine import ids_for_rows
+
         if self.entry == _SENTINEL or not self.layers:
             dist = np.where(
                 out_i >= 0, 0.0,
                 np.inf if metric == DistanceMetric.L2 else -np.inf
             ).astype(np.float32)
-            return SearchResult(out_i, out_s, dist, metric)
+            return SearchResult(out_i, out_s, dist, metric,
+                                ids=ids_for_rows(self.host_ids, out_i))
 
         adjs = []
         for (ids, mat), lut in zip(self.layers, self.slot_of):
@@ -413,7 +435,8 @@ class HNSWIndex:
         dist = distances_np(scores, metric, qn)
         bad = np.inf if metric == DistanceMetric.L2 else -np.inf
         dist = np.where(out_i >= 0, dist, bad)
-        return SearchResult(out_i, scores, dist.astype(np.float32), metric)
+        return SearchResult(out_i, scores, dist.astype(np.float32), metric,
+                            ids=ids_for_rows(self.host_ids, out_i))
 
     def _greedy(self, q, ep: int, layer: int) -> int:
         lut, mat = self.slot_of[layer], self.layers[layer][1]

@@ -226,6 +226,10 @@ class IVFIndex:
     fill: np.ndarray
     metric: DistanceMetric
     dim: int
+    # Host-side stable u64 ID column (reference ``schema/core.fbs:54``
+    # semantics); bucket row ids are positions, translated through this at
+    # result time so ids survive compaction.
+    host_ids: np.ndarray | None = None
 
     @classmethod
     def build(
@@ -239,12 +243,18 @@ class IVFIndex:
         centroids: np.ndarray | None = None,
         assignments: np.ndarray | None = None,
         valid_mask: np.ndarray | None = None,
+        ids: np.ndarray | None = None,
     ) -> "IVFIndex":
         """Train (or accept precomputed) cluster structure and lay rows out
         into uniform buckets. ``vectors``: logical ``[N, dim]`` rows (the
         dequantized values for quantized spaces are not required — clustering
         on raw codes preserves neighborhoods since dequant is affine)."""
         n, d = vectors.shape
+        host_ids = (
+            np.ascontiguousarray(ids, np.uint64).reshape(-1)
+            if ids is not None
+            else None
+        )
         data32 = np.ascontiguousarray(vectors, dtype=np.float32)
         if centroids is None or assignments is None:
             centroids, assignments = train_kmeans(
@@ -277,6 +287,7 @@ class IVFIndex:
             fill=np.asarray([len(r) for r in row_lists]),
             metric=DistanceMetric(metric),
             dim=d,
+            host_ids=host_ids,
         )
 
     @classmethod
@@ -318,6 +329,7 @@ class IVFIndex:
             centroids=centroids,
             assignments=assignments,
             valid_mask=space.tombstone_mask(),
+            ids=space.ids(),
         )
 
     @property
@@ -367,7 +379,12 @@ class IVFIndex:
             s = np.pad(s, pad, constant_values=-np.inf)
             dist = np.pad(dist, pad, constant_values=np.inf
                           if self.metric == DistanceMetric.L2 else -np.inf)
-        return SearchResult(indices=i, scores=s, distances=dist, metric=self.metric)
+        from ..engine import ids_for_rows
+
+        return SearchResult(
+            indices=i, scores=s, distances=dist, metric=self.metric,
+            ids=ids_for_rows(self.host_ids, i),
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))

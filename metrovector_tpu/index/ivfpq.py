@@ -195,6 +195,10 @@ class IVFPQIndex:
     rnorms_row: jax.Array | None = None
     row_bucket: jax.Array | None = None
     row_valid: jax.Array | None = None
+    # Host-side stable u64 ID column (reference ``schema/core.fbs:54``
+    # semantics); result positions translate through it so ids survive
+    # compaction.
+    host_ids: np.ndarray | None = None
 
     @classmethod
     def build(
@@ -213,6 +217,7 @@ class IVFPQIndex:
         recon_norms: np.ndarray | None = None,
         keep_vectors: bool = True,
         valid_mask: np.ndarray | None = None,
+        ids: np.ndarray | None = None,
     ) -> "IVFPQIndex":
         """Train (or accept precomputed) coarse + residual structure and lay
         codes out into uniform buckets. With everything precomputed
@@ -223,6 +228,11 @@ class IVFPQIndex:
         entirely."""
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n, d = vectors.shape
+        host_ids = (
+            np.ascontiguousarray(ids, np.uint64).reshape(-1)
+            if ids is not None
+            else None
+        )
         if centroids is None or assignments is None:
             centroids, assignments = train_kmeans(
                 vectors, num_clusters, iters=iters, seed=seed
@@ -296,6 +306,7 @@ class IVFPQIndex:
             rnorms_row=jax.device_put(recon_norms),
             row_bucket=jax.device_put(b_of_row),
             row_valid=jax.device_put((b_of_row >= 0).astype(np.float32)),
+            host_ids=host_ids,
         )
 
     @classmethod
@@ -348,6 +359,7 @@ class IVFPQIndex:
             recon_norms=recon_norms,
             keep_vectors=keep_vectors,
             valid_mask=space.tombstone_mask(),
+            ids=space.ids(),
         )
 
     @property
@@ -410,14 +422,17 @@ class IVFPQIndex:
         keep = rb >= 0
         return codes_all, rnorms_all, cluster_of_row.astype(np.int32), keep
 
-    def add_rows(self, vectors: np.ndarray) -> None:
+    def add_rows(self, vectors: np.ndarray, ids=None) -> None:
         """Append rows to the live index: coarse-assign to the nearest
         trained centroid (L2, as at build), encode the residual with the
         EXISTING codebooks, and rebuild both serving layouts. No
         retraining — centroids and codebooks are fixed, so quantization
         error grows with distribution drift; rebuild via ``build`` when it
-        matters. Each call re-derives the bucket tensors (O(N) host work):
-        batch appends rather than looping row-by-row."""
+        matters. Appends must carry ``ids`` iff the index has an ID column
+        (the ``DeviceSpace.add_rows`` contract). Each call re-derives the
+        bucket tensors (O(N) host work): batch appends rather than looping
+        row-by-row."""
+        from ..engine import merged_append_ids
         from ..errors import DimensionMismatchError
 
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
@@ -427,6 +442,9 @@ class IVFPQIndex:
             raise DimensionMismatchError(
                 expected=self.dim, actual=int(vectors.shape[1])
             )
+        merged_ids = merged_append_ids(
+            self.host_ids, ids, vectors.shape[0], self.num_vectors
+        )
         cn = np.einsum(
             "ij,ij->i", self.centroids, self.centroids, dtype=np.float64
         )
@@ -451,6 +469,8 @@ class IVFPQIndex:
             np.concatenate([cluster_of_row, assign_new]),
             np.concatenate([keep, np.ones(len(vectors), bool)]),
         )
+        if merged_ids is not None:
+            self.host_ids = merged_ids
         if self.db is not None:
             vn = np.einsum(
                 "ij,ij->i",
@@ -621,4 +641,9 @@ class IVFPQIndex:
             i = np.pad(i, pad, constant_values=-1)
             s = np.pad(s, pad, constant_values=-np.inf)
             dist = np.pad(dist, pad, constant_values=bad_fill)
-        return SearchResult(indices=i, scores=s, distances=dist, metric=self.metric)
+        from ..engine import ids_for_rows
+
+        return SearchResult(
+            indices=i, scores=s, distances=dist, metric=self.metric,
+            ids=ids_for_rows(self.host_ids, i),
+        )

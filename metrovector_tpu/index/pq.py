@@ -307,6 +307,10 @@ class PQIndex:
     db: jax.Array | None = None
     db_norms: jax.Array | None = None
     valid: jax.Array | None = None  # 1 = live, 0 = tombstoned
+    # Host-side stable u64 ID column (reference ``schema/core.fbs:54``
+    # semantics); result positions translate through it so ids stay valid
+    # across compaction, like every brute-force surface.
+    host_ids: np.ndarray | None = None
 
     @classmethod
     def build(
@@ -322,6 +326,7 @@ class PQIndex:
         recon_norms: np.ndarray | None = None,
         keep_vectors: bool = True,
         valid_mask: np.ndarray | None = None,
+        ids: np.ndarray | None = None,
     ) -> "PQIndex":
         """Train (or accept precomputed) codebooks, encode, and upload. With
         ``keep_vectors`` the originals stay on device for re-ranking; without
@@ -356,6 +361,8 @@ class PQIndex:
             valid = jax.device_put(
                 (~np.asarray(valid_mask, dtype=bool)).astype(np.int32)
             )
+        if ids is not None:
+            ids = np.ascontiguousarray(ids, dtype=np.uint64).reshape(-1)
         return cls(
             codebooks=codebooks,
             codes=jax.device_put(np.asarray(codes, np.uint8)),
@@ -366,6 +373,7 @@ class PQIndex:
             db=db,
             db_norms=db_norms,
             valid=valid,
+            host_ids=ids,
         )
 
     @classmethod
@@ -405,6 +413,7 @@ class PQIndex:
                 dim=space.dim,
                 num_vectors=space.num_vectors,
                 valid=valid,
+                host_ids=space.ids(),
             )
         vectors = np.asarray(space.to_numpy(), dtype=np.float32)
         q = space.quantization
@@ -422,6 +431,7 @@ class PQIndex:
             recon_norms=stored_rnorms,
             keep_vectors=keep_vectors,
             valid_mask=space.tombstone_mask(),
+            ids=space.ids(),
         )
 
     @property
@@ -438,13 +448,17 @@ class PQIndex:
 
     # -- online mutation ------------------------------------------------------
 
-    def add_rows(self, vectors: np.ndarray, reserve: float = 1.5) -> None:
+    def add_rows(
+        self, vectors: np.ndarray, ids=None, reserve: float = 1.5
+    ) -> None:
         """Encode new rows with the EXISTING codebooks and append to the
         live coded corpus (no retraining — quantization error for data far
         outside the trained distribution grows accordingly; retrain via
         ``build`` when drift matters). Device arrays grow in capacity
         steps (``reserve`` factor) so kernel shapes stay stable and
-        recompiles amortize, mirroring ``DeviceSpace.add_rows``."""
+        recompiles amortize, mirroring ``DeviceSpace.add_rows`` — including
+        its ID contract: appends must carry ``ids`` iff the index has an ID
+        column."""
         from ..errors import DimensionMismatchError
 
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
@@ -454,7 +468,12 @@ class PQIndex:
             raise DimensionMismatchError(
                 expected=self.dim, actual=int(vectors.shape[1])
             )
+        from ..engine import merged_append_ids
+
         n_new = vectors.shape[0]
+        merged_ids = merged_append_ids(
+            self.host_ids, ids, n_new, self.num_vectors
+        )
         codes_new = encode_pq(vectors, self.codebooks)
         recon = reconstruct_pq(codes_new, self.codebooks)
         rn_new = np.einsum(
@@ -491,6 +510,8 @@ class PQIndex:
             self.valid = grown(
                 self.valid, np.ones(n_new, np.int32), fill=1
             )
+        if merged_ids is not None:
+            self.host_ids = merged_ids
         self.num_vectors = total
 
     def delete_rows(self, rows) -> None:
@@ -604,4 +625,9 @@ class PQIndex:
             i = np.pad(i, pad, constant_values=-1)
             s = np.pad(s, pad, constant_values=-np.inf)
             dist = np.pad(dist, pad, constant_values=bad_fill)
-        return SearchResult(indices=i, scores=s, distances=dist, metric=self.metric)
+        from ..engine import ids_for_rows
+
+        return SearchResult(
+            indices=i, scores=s, distances=dist, metric=self.metric,
+            ids=ids_for_rows(self.host_ids, i),
+        )
