@@ -164,6 +164,52 @@ def train_kmeans(
 # ----------------------------------------------------------- the index ---
 
 
+def _plan_placements(cells, fill, bucket_rows: int, assign_new):
+    """Plan (bucket, slot) placements for appended rows: tail slots of the
+    target cluster's existing buckets first, new buckets (sharing the
+    cluster's centroid, as in :func:`bucket_layout` splitting) only on
+    overflow. O(appended + touched buckets) host work — the incremental
+    alternative to a full layout rebuild.
+
+    Returns ``(b_idx [n] i32, s_idx [n] i32, new_cells [list], fill',
+    fills_new)`` where bucket ids ≥ ``len(cells)`` index ``new_cells`` in
+    order and ``fill'``/``fills_new`` are the post-append fills."""
+    cells = np.asarray(cells)
+    fill = np.asarray(fill, np.int64).copy()
+    nb0 = len(cells)
+    by_cluster: dict[int, list[int]] = {}
+    for b, c in enumerate(cells):
+        by_cluster.setdefault(int(c), []).append(b)
+    new_cells: list[int] = []
+    fills_new: list[int] = []
+    open_new: dict[int, int] = {}  # cluster -> open new-bucket index
+    cursor: dict[int, int] = {}  # cluster -> next existing bucket to try
+    n = len(assign_new)
+    b_idx = np.empty(n, np.int32)
+    s_idx = np.empty(n, np.int32)
+    for i, c in enumerate(assign_new):
+        c = int(c)
+        lst = by_cluster.get(c, ())
+        p = cursor.get(c, 0)
+        while p < len(lst) and fill[lst[p]] >= bucket_rows:
+            p += 1
+        cursor[c] = p
+        if p < len(lst):
+            b = lst[p]
+            b_idx[i], s_idx[i] = b, fill[b]
+            fill[b] += 1
+            continue
+        j = open_new.get(c, -1)
+        if j < 0 or fills_new[j] >= bucket_rows:
+            j = len(new_cells)
+            new_cells.append(c)
+            fills_new.append(0)
+            open_new[c] = j
+        b_idx[i], s_idx[i] = nb0 + j, fills_new[j]
+        fills_new[j] += 1
+    return b_idx, s_idx, new_cells, fill, np.asarray(fills_new, np.int64)
+
+
 def bucket_layout(
     assignments: np.ndarray,
     keep: np.ndarray,
@@ -230,6 +276,12 @@ class IVFIndex:
     # semantics); bucket row ids are positions, translated through this at
     # result time so ids survive compaction.
     host_ids: np.ndarray | None = None
+    # Online-mutation state: logical row count and per-row (bucket, slot)
+    # placement (−1 = tombstoned/unbucketed). Host-side i32; lets appends
+    # and deletes run as device scatters instead of O(N) layout rebuilds.
+    num_vectors: int = 0
+    row_bucket: np.ndarray | None = None
+    row_slot: np.ndarray | None = None
 
     @classmethod
     def build(
@@ -273,10 +325,14 @@ class IVFIndex:
         buckets = np.zeros((nb, bucket_rows, d), np.float32)
         ids = np.full((nb, bucket_rows), -1, np.int32)
         bnorms = np.zeros((nb, bucket_rows), np.float32)
+        b_of_row = np.full(n, -1, np.int32)
+        s_of_row = np.full(n, -1, np.int32)
         for b, rows in enumerate(row_lists):
             buckets[b, : len(rows)] = data32[rows]
             ids[b, : len(rows)] = rows
             bnorms[b, : len(rows)] = norms[rows]
+            b_of_row[rows] = b
+            s_of_row[rows] = np.arange(len(rows), dtype=np.int32)
         return cls(
             centroids=centroids,
             probe_centroids=jax.device_put(centroids[cells]),
@@ -288,6 +344,9 @@ class IVFIndex:
             metric=DistanceMetric(metric),
             dim=d,
             host_ids=host_ids,
+            num_vectors=n,
+            row_bucket=b_of_row,
+            row_slot=s_of_row,
         )
 
     @classmethod
@@ -343,6 +402,125 @@ class IVFIndex:
     @property
     def bucket_rows(self) -> int:
         return int(self.buckets.shape[1])
+
+    # -- online mutation ------------------------------------------------------
+
+    def add_rows(self, vectors: np.ndarray, ids=None) -> None:
+        """Append rows to the live index: assign each to its nearest
+        trained centroid (L2, as at build — no retraining) and scatter
+        into tail slots of that cluster's buckets on device. New buckets
+        are allocated only when a cluster's existing ones are full (a
+        shape change, hence a kernel recompile — batch appends to
+        amortize). O(appended + touched buckets) host work; appends that
+        fit existing capacity are pure device scatters. Appends must
+        carry ``ids`` iff the index has an ID column (the
+        ``DeviceSpace.add_rows`` contract)."""
+        from ..engine import merged_append_ids
+        from ..errors import DimensionMismatchError
+
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None]
+        if vectors.shape[1] != self.dim:
+            raise DimensionMismatchError(
+                expected=self.dim, actual=int(vectors.shape[1])
+            )
+        n_new = vectors.shape[0]
+        if n_new == 0:
+            return
+        merged_ids = merged_append_ids(
+            self.host_ids, ids, n_new, self.num_vectors
+        )
+        cn = np.einsum(
+            "ij,ij->i", self.centroids, self.centroids, dtype=np.float64
+        )
+        d2 = cn[None, :] - 2.0 * (
+            vectors.astype(np.float64) @ self.centroids.T.astype(np.float64)
+        )
+        assign_new = np.argmin(d2, axis=1).astype(np.int32)
+        norms_new = np.einsum(
+            "ij,ij->i",
+            vectors.astype(np.float64),
+            vectors.astype(np.float64),
+        ).astype(np.float32)
+
+        b_idx, s_idx, new_cells, fill, fills_new = _plan_placements(
+            self.cells, self.fill, self.bucket_rows, assign_new
+        )
+        if new_cells:
+            nbn = len(new_cells)
+            bsz = self.bucket_rows
+            self.buckets = jnp.concatenate(
+                [self.buckets,
+                 jnp.zeros((nbn, bsz, self.buckets.shape[2]),
+                           self.buckets.dtype)]
+            )
+            self.bucket_ids = jnp.concatenate(
+                [self.bucket_ids, jnp.full((nbn, bsz), -1, jnp.int32)]
+            )
+            self.bucket_norms = jnp.concatenate(
+                [self.bucket_norms, jnp.zeros((nbn, bsz), jnp.float32)]
+            )
+            self.probe_centroids = jnp.concatenate(
+                [self.probe_centroids,
+                 jnp.asarray(self.centroids[np.asarray(new_cells)])]
+            )
+            self.cells = np.concatenate(
+                [self.cells, np.asarray(new_cells, np.int32)]
+            )
+        row_ids_new = np.arange(
+            self.num_vectors, self.num_vectors + n_new, dtype=np.int32
+        )
+        bi, si = jnp.asarray(b_idx), jnp.asarray(s_idx)
+        self.buckets = self.buckets.at[bi, si].set(jnp.asarray(vectors))
+        self.bucket_ids = self.bucket_ids.at[bi, si].set(
+            jnp.asarray(row_ids_new)
+        )
+        self.bucket_norms = self.bucket_norms.at[bi, si].set(
+            jnp.asarray(norms_new)
+        )
+        self.fill = np.concatenate([fill, fills_new])
+        self.row_bucket = np.concatenate([self.row_bucket, b_idx])
+        self.row_slot = np.concatenate([self.row_slot, s_idx])
+        if merged_ids is not None:
+            self.host_ids = merged_ids
+        self.num_vectors += n_new
+
+    def delete_rows(self, rows=None, ids=None) -> None:
+        """Tombstone rows (by position or stable ID): their bucket slots
+        get id −1 (masked to −inf in the probe epilogue, so they can
+        never surface), an O(deleted) device scatter. Slots are not
+        reclaimed; rebuild via ``build`` after heavy churn."""
+        from ..errors import IndexOutOfBoundsError, VectorIdNotFoundError
+
+        idx = []
+        if rows is not None:
+            idx.extend(int(r) for r in np.atleast_1d(rows))
+        if ids is not None:
+            if self.host_ids is None:
+                idx.extend(int(i) for i in np.atleast_1d(ids))
+            else:
+                lut = {int(v): i for i, v in enumerate(self.host_ids)}
+                for i in np.atleast_1d(ids):
+                    try:
+                        idx.append(lut[int(i)])
+                    except KeyError:
+                        raise VectorIdNotFoundError(int(i)) from None
+        for r in idx:
+            if r < 0 or r >= self.num_vectors:
+                raise IndexOutOfBoundsError(r, self.num_vectors)
+        if not idx:
+            return
+        sel = np.asarray(idx, np.int64)
+        placed = sel[self.row_bucket[sel] >= 0]
+        if placed.size:
+            bi = jnp.asarray(self.row_bucket[placed])
+            si = jnp.asarray(self.row_slot[placed])
+            self.bucket_ids = self.bucket_ids.at[bi, si].set(-1)
+        self.row_bucket = self.row_bucket.copy()
+        self.row_slot = self.row_slot.copy()
+        self.row_bucket[sel] = -1
+        self.row_slot[sel] = -1
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8):
         """Approximate top-k: probe the ``nprobe`` best-scoring buckets per

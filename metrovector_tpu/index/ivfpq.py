@@ -199,6 +199,11 @@ class IVFPQIndex:
     # semantics); result positions translate through it so ids survive
     # compaction.
     host_ids: np.ndarray | None = None
+    # Host mirrors of each row's (bucket, slot) placement (−1 =
+    # tombstoned/unbucketed): let mutation run as O(touched) device
+    # scatters instead of O(N) layout rebuilds.
+    row_bucket_host: np.ndarray | None = None
+    row_slot_host: np.ndarray | None = None
 
     @classmethod
     def build(
@@ -272,11 +277,13 @@ class IVFPQIndex:
         ids = np.full((nb, bucket_rows), -1, np.int32)
         bnorms = np.zeros((nb, bucket_rows), np.float32)
         b_of_row = np.full(n, -1, np.int32)
+        s_of_row = np.full(n, -1, np.int32)
         for b, rows in enumerate(row_lists):
             bcodes[b, : len(rows)] = codes[rows]
             ids[b, : len(rows)] = rows
             bnorms[b, : len(rows)] = recon_norms[rows]
             b_of_row[rows] = b
+            s_of_row[rows] = np.arange(len(rows), dtype=np.int32)
 
         db = db_norms = None
         if keep_vectors:
@@ -307,6 +314,8 @@ class IVFPQIndex:
             row_bucket=jax.device_put(b_of_row),
             row_valid=jax.device_put((b_of_row >= 0).astype(np.float32)),
             host_ids=host_ids,
+            row_bucket_host=b_of_row,
+            row_slot_host=s_of_row,
         )
 
     @classmethod
@@ -395,11 +404,15 @@ class IVFPQIndex:
         ids = np.full((nb, bucket_rows), -1, np.int32)
         bnorms = np.zeros((nb, bucket_rows), np.float32)
         b_of_row = np.full(n, -1, np.int32)
+        s_of_row = np.full(n, -1, np.int32)
         for b, rows in enumerate(row_lists):
             bcodes[b, : len(rows)] = codes_all[rows]
             ids[b, : len(rows)] = rows
             bnorms[b, : len(rows)] = rnorms_all[rows]
             b_of_row[rows] = b
+            s_of_row[rows] = np.arange(len(rows), dtype=np.int32)
+        self.row_bucket_host = b_of_row
+        self.row_slot_host = s_of_row
         self.cells = cells
         self.fill = np.asarray([len(r) for r in row_lists])
         self.probe_centroids = jax.device_put(self.centroids[cells])
@@ -422,18 +435,24 @@ class IVFPQIndex:
         keep = rb >= 0
         return codes_all, rnorms_all, cluster_of_row.astype(np.int32), keep
 
-    def add_rows(self, vectors: np.ndarray, ids=None) -> None:
+    def add_rows(
+        self, vectors: np.ndarray, ids=None, reserve: float = 1.5
+    ) -> None:
         """Append rows to the live index: coarse-assign to the nearest
         trained centroid (L2, as at build), encode the residual with the
-        EXISTING codebooks, and rebuild both serving layouts. No
+        EXISTING codebooks, and scatter into tail slots of that cluster's
+        buckets on device (:func:`.ivf._plan_placements` — O(appended +
+        touched buckets) host work, not an O(N) layout rebuild). New
+        buckets are allocated only on cluster overflow, and the row-order
+        scan arrays grow in capacity steps (``reserve``), so steady-state
+        appends are pure device scatters with no recompiles. No
         retraining — centroids and codebooks are fixed, so quantization
         error grows with distribution drift; rebuild via ``build`` when it
         matters. Appends must carry ``ids`` iff the index has an ID column
-        (the ``DeviceSpace.add_rows`` contract). Each call re-derives the
-        bucket tensors (O(N) host work): batch appends rather than looping
-        row-by-row."""
+        (the ``DeviceSpace.add_rows`` contract)."""
         from ..engine import merged_append_ids
         from ..errors import DimensionMismatchError
+        from .ivf import _plan_placements
 
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         if vectors.ndim == 1:
@@ -442,8 +461,11 @@ class IVFPQIndex:
             raise DimensionMismatchError(
                 expected=self.dim, actual=int(vectors.shape[1])
             )
+        n_new = vectors.shape[0]
+        if n_new == 0:
+            return
         merged_ids = merged_append_ids(
-            self.host_ids, ids, vectors.shape[0], self.num_vectors
+            self.host_ids, ids, n_new, self.num_vectors
         )
         cn = np.einsum(
             "ij,ij->i", self.centroids, self.centroids, dtype=np.float64
@@ -462,43 +484,118 @@ class IVFPQIndex:
             "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
         ).astype(np.float32)
 
-        codes_all, rnorms_all, cluster_of_row, keep = self._host_row_state()
-        self._rebuild_layouts(
-            np.concatenate([codes_all, codes_new]),
-            np.concatenate([rnorms_all, rn_new]),
-            np.concatenate([cluster_of_row, assign_new]),
-            np.concatenate([keep, np.ones(len(vectors), bool)]),
+        b_idx, s_idx, new_cells, fill, fills_new = _plan_placements(
+            self.cells, self.fill, self.bucket_rows, assign_new
         )
-        if merged_ids is not None:
-            self.host_ids = merged_ids
+        if new_cells:
+            nbn = len(new_cells)
+            bsz = self.bucket_rows
+            self.buckets = jnp.concatenate(
+                [self.buckets,
+                 jnp.zeros((nbn, bsz, self.buckets.shape[2]),
+                           self.buckets.dtype)]
+            )
+            self.bucket_ids = jnp.concatenate(
+                [self.bucket_ids, jnp.full((nbn, bsz), -1, jnp.int32)]
+            )
+            self.bucket_norms = jnp.concatenate(
+                [self.bucket_norms, jnp.zeros((nbn, bsz), jnp.float32)]
+            )
+            self.probe_centroids = jnp.concatenate(
+                [self.probe_centroids,
+                 jnp.asarray(self.centroids[np.asarray(new_cells)])]
+            )
+            self.cells = np.concatenate(
+                [self.cells, np.asarray(new_cells, np.int32)]
+            )
+        total = self.num_vectors + n_new
+        row_ids_new = np.arange(self.num_vectors, total, dtype=np.int32)
+        bi, si = jnp.asarray(b_idx), jnp.asarray(s_idx)
+        self.buckets = self.buckets.at[bi, si].set(jnp.asarray(codes_new))
+        self.bucket_ids = self.bucket_ids.at[bi, si].set(
+            jnp.asarray(row_ids_new)
+        )
+        self.bucket_norms = self.bucket_norms.at[bi, si].set(
+            jnp.asarray(rn_new)
+        )
+        self.fill = np.concatenate([fill, fills_new])
+
+        cap = int(self.codes_row.shape[0])
+        if total > cap:
+            cap = max(
+                -(-total // 128) * 128,
+                -(-int(cap * reserve) // 128) * 128,
+            )
+        rows_dev = jnp.asarray(row_ids_new)
+
+        def grown(old_dev, new_host, fill_v=0, dtype=None):
+            # Within capacity: pure device scatter (no host O(N) pass, no
+            # re-upload). Over capacity: host-materialize at the new cap.
+            if total <= int(old_dev.shape[0]):
+                return old_dev.at[rows_dev].set(jnp.asarray(new_host))
+            old = np.asarray(old_dev)
+            dtype = dtype or old.dtype
+            out = np.full((cap,) + old.shape[1:], fill_v, dtype=dtype)
+            out[: self.num_vectors] = old[: self.num_vectors]
+            out[self.num_vectors : total] = new_host
+            return jax.device_put(out)
+
+        self.codes_row = grown(self.codes_row, codes_new)
+        self.rnorms_row = grown(self.rnorms_row, rn_new)
+        self.row_bucket = grown(self.row_bucket, b_idx, fill_v=-1)
+        self.row_valid = grown(
+            self.row_valid, np.ones(n_new, np.float32), fill_v=0.0
+        )
+        self.row_bucket_host = np.concatenate(
+            [self.row_bucket_host[: self.num_vectors], b_idx]
+        )
+        self.row_slot_host = np.concatenate(
+            [self.row_slot_host[: self.num_vectors], s_idx]
+        )
         if self.db is not None:
             vn = np.einsum(
                 "ij,ij->i",
                 vectors.astype(np.float64),
                 vectors.astype(np.float64),
             ).astype(np.float32)
-            self.db = jax.device_put(
-                np.concatenate([np.asarray(self.db), vectors])
-            )
-            self.db_norms = jax.device_put(
-                np.concatenate([np.asarray(self.db_norms), vn])
-            )
+            self.db = grown(self.db, vectors)
+            self.db_norms = grown(self.db_norms, vn)
+        if merged_ids is not None:
+            self.host_ids = merged_ids
+        self.num_vectors = total
 
     def delete_rows(self, rows) -> None:
-        """Tombstone rows by position: dropped from the probe buckets and
-        masked out of the scan; row positions are never renumbered."""
+        """Tombstone rows by position: their bucket slots get id −1 and
+        the scan-path validity drops to 0 — an O(deleted) device scatter;
+        row positions are never renumbered. Slots are not reclaimed;
+        call :meth:`rebuild` after heavy churn."""
         from ..errors import IndexOutOfBoundsError
 
         idx = [int(r) for r in np.atleast_1d(rows)]
         for r in idx:
             if r < 0 or r >= self.num_vectors:
                 raise IndexOutOfBoundsError(r, self.num_vectors)
-        codes_all, rnorms_all, cluster_of_row, keep = self._host_row_state()
-        keep = keep.copy()
-        keep[np.asarray(idx, np.int64)] = False
-        cluster_of_row = cluster_of_row.copy()
-        cluster_of_row[np.asarray(idx, np.int64)] = -1
-        self._rebuild_layouts(codes_all, rnorms_all, cluster_of_row, keep)
+        if not idx:
+            return
+        sel = np.asarray(idx, np.int64)
+        placed = sel[self.row_bucket_host[sel] >= 0]
+        if placed.size:
+            bi = jnp.asarray(self.row_bucket_host[placed])
+            si = jnp.asarray(self.row_slot_host[placed])
+            self.bucket_ids = self.bucket_ids.at[bi, si].set(-1)
+        seld = jnp.asarray(sel)
+        self.row_bucket = self.row_bucket.at[seld].set(-1)
+        self.row_valid = self.row_valid.at[seld].set(0.0)
+        self.row_bucket_host = self.row_bucket_host.copy()
+        self.row_slot_host = self.row_slot_host.copy()
+        self.row_bucket_host[sel] = -1
+        self.row_slot_host[sel] = -1
+
+    def rebuild(self) -> None:
+        """Re-derive both serving layouts from per-row state, reclaiming
+        deleted slots and re-balancing buckets (O(N) host work — the full
+        rebuild that :meth:`add_rows`/:meth:`delete_rows` avoid)."""
+        self._rebuild_layouts(*self._host_row_state())
 
     def _masked_scan(self, qdev, fetch: int, nprobe: int, interpret: bool,
                      exact_lut: bool = False):

@@ -331,3 +331,113 @@ def test_pq_int8_lut_requires_pallas(rng):
     idx = PQIndex.build(data, DistanceMetric.L2, m=4, ksub=16, iters=2)
     with pytest.raises(ValueError):
         idx.search(data[:2], k=3, backend="xla", int8_lut=True)
+
+
+def test_ivf_add_and_delete_rows(rng):
+    from metrovector_tpu.index.ivf import IVFIndex
+    from metrovector_tpu.ops import numpy_oracle
+
+    data = rng.standard_normal((400, 16)).astype(np.float32)
+    norms = (data.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    idx = IVFIndex.build(data, norms, DistanceMetric.L2, num_clusters=8)
+    assert idx.num_vectors == 400
+
+    new = rng.standard_normal((20, 16)).astype(np.float32)
+    idx.add_rows(new)
+    assert idx.num_vectors == 420
+    allv = np.concatenate([data, new])
+
+    # appended rows are findable and full-probe search stays oracle-exact
+    res = idx.search(new[:3], k=1, nprobe=idx.num_buckets)
+    assert res.indices[:, 0].tolist() == [400, 401, 402]
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    res = idx.search(q, k=10, nprobe=idx.num_buckets)
+    _, oi = numpy_oracle(q, allv, 10, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
+
+    # deletes (by position) never surface again; ranks stay exact
+    idx.delete_rows([0, 405])
+    res = idx.search(allv[[0, 405]], k=1, nprobe=idx.num_buckets)
+    assert 0 not in res.indices and 405 not in res.indices
+    keep = np.ones(420, bool)
+    keep[[0, 405]] = False
+    _, oi = numpy_oracle(q, allv[keep], 10, DistanceMetric.L2)
+    remap = np.arange(420)[keep]
+    res = idx.search(q, k=10, nprobe=idx.num_buckets)
+    assert np.array_equal(res.indices, remap[oi])
+
+    with pytest.raises(IndexOutOfBoundsError):
+        idx.delete_rows([420])
+
+
+def test_ivf_delete_by_id(tmp_path, rng):
+    from metrovector_tpu.index.ivf import IVFIndex
+    from metrovector_tpu.errors import VectorIdNotFoundError
+
+    data = rng.standard_normal((60, 8)).astype(np.float32)
+    ids = np.arange(60, dtype=np.uint64) * 2
+    b = Builder()
+    b.add_vector_space("e", dim=8)
+    b.add_vectors("e", data, ids=ids)
+    p = tmp_path / "ivfid.mvt"
+    b.build().save(p)
+    sp = Reader.open(p).vector_space("e")
+    idx = IVFIndex.from_space(sp, num_clusters=4)
+    idx.delete_rows(ids=[10])  # id 10 == row 5
+    res = idx.search(data[5:6], k=1, nprobe=idx.num_buckets)
+    assert res.indices[0, 0] != 5
+    with pytest.raises(VectorIdNotFoundError):
+        idx.delete_rows(ids=[99999])
+
+
+def test_ivf_append_overflow_allocates_buckets(rng):
+    from metrovector_tpu.index.ivf import IVFIndex
+
+    data = rng.standard_normal((64, 8)).astype(np.float32)
+    norms = (data.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    idx = IVFIndex.build(data, norms, DistanceMetric.L2, num_clusters=4)
+    nb0 = idx.num_buckets
+    # force overflow: append far more rows than total remaining capacity
+    cap_left = int(idx.bucket_rows * nb0 - idx.fill.sum())
+    new = rng.standard_normal((cap_left + 30, 8)).astype(np.float32)
+    idx.add_rows(new)
+    assert idx.num_buckets > nb0
+    assert idx.probe_centroids.shape[0] == idx.num_buckets
+    assert len(idx.cells) == idx.num_buckets
+    # all appended rows remain findable at full probe
+    res = idx.search(new, k=1, nprobe=idx.num_buckets)
+    assert (res.indices[:, 0] >= 64).all()
+
+
+def test_ivfpq_incremental_append_no_layout_rebuild(rng):
+    """Appends that fit capacity must not reallocate the bucket tensors
+    (surgery, not rebuild) and must keep the scan/probe paths consistent."""
+    from metrovector_tpu.index.ivfpq import IVFPQIndex
+
+    data = rng.standard_normal((512, 16)).astype(np.float32)
+    idx = IVFPQIndex.build(
+        data, DistanceMetric.L2, num_clusters=4, m=4, ksub=16
+    )
+    nb0, fill0 = idx.num_buckets, idx.fill.sum()
+    new = rng.standard_normal((8, 16)).astype(np.float32)
+    idx.add_rows(new)
+    assert idx.num_buckets == nb0  # no new buckets for a tiny append
+    assert idx.fill.sum() == fill0 + 8
+    assert idx.num_vectors == 520
+    # both serving modes see the appended rows identically
+    r_probe = idx.search(new[:2], k=3, nprobe=idx.num_buckets, mode="probe")
+    r_scan = idx.search(new[:2], k=3, nprobe=idx.num_buckets, mode="scan")
+    assert np.array_equal(r_probe.indices, r_scan.indices)
+    assert r_probe.indices[0, 0] == 512
+
+    # incremental delete drops the row from BOTH layouts
+    idx.delete_rows([512])
+    r_probe = idx.search(new[:1], k=3, nprobe=idx.num_buckets, mode="probe")
+    r_scan = idx.search(new[:1], k=3, nprobe=idx.num_buckets, mode="scan")
+    assert 512 not in r_probe.indices and 512 not in r_scan.indices
+
+    # rebuild() compacts and preserves results
+    before = idx.search(new[1:2], k=5, nprobe=idx.num_buckets, mode="probe")
+    idx.rebuild()
+    after = idx.search(new[1:2], k=5, nprobe=idx.num_buckets, mode="probe")
+    assert np.array_equal(before.indices, after.indices)
