@@ -49,16 +49,28 @@ class Database:
     """
 
     def __init__(self, reader: Reader, backend: str = "pallas",
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 hbm_budget: int | None = None):
         self._reader = reader
         self._backend = backend
         self._interpret = interpret
+        # Insertion order == LRU order (engines re-inserted on access).
         self._engines: dict[str, SearchEngine] = {}
+        self.hbm_budget = hbm_budget
 
     @classmethod
     def open(cls, path: str | os.PathLike, backend: str = "pallas",
-             interpret: bool | None = None) -> "Database":
-        return cls(Reader.open(path), backend=backend, interpret=interpret)
+             interpret: bool | None = None,
+             hbm_budget: int | None = None) -> "Database":
+        """``hbm_budget``: optional cap (bytes) on the summed device
+        footprint of resident per-space engines. When a new space would
+        exceed it, least-recently-searched engines are evicted first; a
+        single space larger than the whole budget raises
+        :class:`~metrovector_tpu.errors.HBMBudgetExceededError` instead of
+        OOMing on the Nth search. No budget (default) keeps every searched
+        space resident, as before."""
+        return cls(Reader.open(path), backend=backend, interpret=interpret,
+                   hbm_budget=hbm_budget)
 
     @property
     def reader(self) -> Reader:
@@ -68,9 +80,58 @@ class Database:
     def space_names(self) -> list[str]:
         return self._reader.vector_space_names
 
+    @property
+    def resident_bytes(self) -> int:
+        """Summed device footprint of the currently resident engines."""
+        return sum(e.space.nbytes for e in self._engines.values())
+
+    def _estimate_nbytes(self, space: str) -> int:
+        """Device footprint of a space BEFORE uploading it (the budget
+        decision must precede the allocation). Mirrors
+        ``DeviceSpace.from_space``: f16 upcasts to f32 (Mosaic has no f16
+        vector type), int8/uint8 stay 1 byte, plus f32 norms and an
+        optional f32 validity mask."""
+        sp = self._reader.vector_space(space)
+        from .format.constants import DataType
+
+        elem = {
+            DataType.INT8: 1,
+            DataType.UINT8: 1,
+        }.get(sp.dtype, 4)
+        rows, dim = sp.padded_rows, sp.padded_dim
+        n = rows * dim * elem + rows * 4  # data + norms
+        if sp.tombstone_mask() is not None:
+            n += rows * 4
+        if sp.dtype == DataType.UINT8:
+            n += rows * 4  # per-row code sums (offset path)
+        return n
+
+    def evict(self, space: str) -> bool:
+        """Drop one space's engine (and its device arrays). Returns True
+        if it was resident. Un-persisted online mutations
+        (``add_rows``/``delete_rows`` on the live engine) are lost —
+        persist via the append workflow first."""
+        return self._engines.pop(space, None) is not None
+
+    def _admit(self, space: str) -> None:
+        """Evict least-recently-used engines until ``space`` fits the
+        budget; error if it can never fit."""
+        if self.hbm_budget is None:
+            return
+        need = self._estimate_nbytes(space)
+        if need > self.hbm_budget:
+            from .errors import HBMBudgetExceededError
+
+            raise HBMBudgetExceededError(space, need, self.hbm_budget)
+        while self._engines and self.resident_bytes + need > self.hbm_budget:
+            # dict order is LRU (oldest first)
+            oldest = next(iter(self._engines))
+            del self._engines[oldest]
+
     def engine(self, space: str | None = None) -> SearchEngine:
         """The (lazily built) engine for one space. With a single-space
-        file the name may be omitted."""
+        file the name may be omitted. Under an ``hbm_budget``, building a
+        new engine may evict least-recently-used ones."""
         if space is None:
             names = self.space_names
             if len(names) != 1:
@@ -79,12 +140,15 @@ class Database:
                 )
             space = names[0]
         if space not in self._engines:
+            self._admit(space)
             kw = {}
             if self._interpret is not None:
                 kw["interpret"] = self._interpret
             self._engines[space] = SearchEngine(
                 self._reader.vector_space(space), backend=self._backend, **kw
             )
+        else:
+            self._engines[space] = self._engines.pop(space)  # LRU touch
         return self._engines[space]
 
     def pq_index(self, space: str, **kw):

@@ -102,3 +102,21 @@ class MetadataColumnNotFoundError(MvtError, KeyError):
     def __init__(self, name: str):
         self.name = name
         MvtError.__init__(self, f"metadata column not found: {name!r}")
+
+
+class HBMBudgetExceededError(MvtError, MemoryError):
+    """A single space's device footprint exceeds the Database's HBM
+    budget — nothing can be evicted to make it fit. No reference analog
+    (the mmap reference has ~0 resident memory); this is the TPU-native
+    capacity error for the serving facade."""
+
+    def __init__(self, space: str, needed: int, budget: int):
+        self.space = space
+        self.needed = needed
+        self.budget = budget
+        MvtError.__init__(
+            self,
+            f"space {space!r} needs ~{needed} bytes of HBM but the "
+            f"database budget is {budget} bytes; raise hbm_budget or "
+            "serve this space via StreamingSearcher/PQ",
+        )

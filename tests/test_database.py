@@ -103,3 +103,56 @@ def test_index_reattachment(tmp_path, rng):
     res = idx.search(data[:3], k=4, rerank=200, backend="xla")
     _, oi = numpy_oracle(data[:3], data, 4, DistanceMetric.L2)
     assert np.array_equal(res.indices, oi)
+
+
+def test_hbm_budget_lru_eviction(db_file, rng):
+    """Round-3 verdict item: the facade must not accrete device arrays
+    without bound. Budget admits one space at a time here, so touching
+    the second evicts the first (LRU), and re-touching rebuilds it."""
+    p, data, imgs = db_file
+    one_space = Database.open(p, backend="xla")._estimate_nbytes("docs")
+    db = Database.open(p, backend="xla", hbm_budget=one_space)
+    db.search("docs", data[:1], k=3)
+    assert set(db._engines) == {"docs"}
+    assert 0 < db.resident_bytes <= one_space
+    db.search("imgs", imgs[:1], k=3)  # imgs fits only after evicting docs
+    assert set(db._engines) == {"imgs"}
+    db.search("docs", data[:1], k=3)  # transparently rebuilt
+    assert set(db._engines) == {"docs"}
+
+    # LRU order: most recently searched survives
+    big = Database.open(
+        p, backend="xla",
+        hbm_budget=one_space
+        + Database.open(p, backend="xla")._estimate_nbytes("imgs"),
+    )
+    big.search("docs", data[:1], k=3)
+    big.search("imgs", imgs[:1], k=3)
+    big.search("docs", data[:1], k=3)  # touch docs -> imgs is now LRU
+    assert list(big._engines) == ["imgs", "docs"]
+
+    # explicit eviction
+    assert big.evict("imgs") is True
+    assert big.evict("imgs") is False
+    assert list(big._engines) == ["docs"]
+
+
+def test_hbm_budget_too_small_is_typed_error(db_file):
+    from metrovector_tpu.errors import HBMBudgetExceededError, MvtError
+
+    p, data, _ = db_file
+    db = Database.open(p, backend="xla", hbm_budget=64)
+    with pytest.raises(HBMBudgetExceededError) as ei:
+        db.search("docs", data[:1], k=1)
+    assert isinstance(ei.value, MvtError)
+    assert isinstance(ei.value, MemoryError)
+    assert ei.value.budget == 64 and ei.value.needed > 64
+    assert db._engines == {}  # nothing leaked
+
+
+def test_estimate_matches_actual_footprint(db_file, rng):
+    p, data, _ = db_file
+    db = Database.open(p, backend="xla")
+    est = db._estimate_nbytes("docs")
+    eng = db.engine("docs")
+    assert est == eng.space.nbytes
