@@ -60,44 +60,49 @@ def _scores(q: np.ndarray, rows: np.ndarray, norms: np.ndarray, ids,
 
 def _beam_build(q, ep, ef, layer_adj, rows, norms, metric):
     """Best-first beam search over one build-time adjacency dict. Returns
-    (ids, scores) of up to ``ef`` best, sorted best-first."""
-    import bisect
+    (ids, scores) of up to ``ef`` best, sorted best-first.
+
+    Heap-based (O(log ef) per insert): ``cand`` is a max-heap by score
+    (negated), ``res`` a min-heap whose root is the current worst keeper —
+    the classic HNSW SEARCH-LAYER pair. The round-2 list/bisect version
+    rebuilt a negated score list per insert (O(ef) each, O(ef²) per
+    expansion) and crawled on large builds."""
+    import heapq
 
     ep = np.unique(np.asarray(ep, np.int64))
     visited = set(ep.tolist())
     sc = _scores(q, rows, norms, ep, metric)
-    order = np.argsort(-sc, kind="stable")
-    cand_ids = list(ep[order])
-    cand_sc = list(sc[order])
-    best_ids = list(cand_ids[:ef])
-    best_sc = list(cand_sc[:ef])
-    while cand_ids:
-        c = cand_ids.pop(0)
-        c_s = cand_sc.pop(0)
-        if best_sc and c_s < best_sc[-1] and len(best_sc) >= ef:
+    cand = [(-float(s), int(v)) for v, s in zip(ep, sc)]
+    heapq.heapify(cand)
+    res = [(float(s), int(v)) for v, s in zip(ep, sc)]
+    heapq.heapify(res)
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        c_negs, c = heapq.heappop(cand)
+        if len(res) >= ef and -c_negs < res[0][0]:
             break
-        nbrs = layer_adj.get(int(c))
+        nbrs = layer_adj.get(c)
         if nbrs is None or len(nbrs) == 0:
             continue
         new = [v for v in nbrs.tolist() if v >= 0 and v not in visited]
         if not new:
             continue
         visited.update(new)
-        new = np.asarray(new, np.int64)
-        ns = _scores(q, rows, norms, new, metric)
-        worst = best_sc[-1] if len(best_sc) >= ef else -np.inf
-        keep = ns > worst if len(best_sc) >= ef else np.ones(len(ns), bool)
-        for v, s_v in zip(new[keep], ns[keep]):
-            pos = bisect.bisect_left([-x for x in best_sc], -s_v)
-            best_sc.insert(pos, float(s_v))
-            best_ids.insert(pos, int(v))
-            pos = bisect.bisect_left([-x for x in cand_sc], -s_v)
-            cand_sc.insert(pos, float(s_v))
-            cand_ids.insert(pos, int(v))
-        if len(best_sc) > ef:
-            best_sc = best_sc[:ef]
-            best_ids = best_ids[:ef]
-    return np.asarray(best_ids, np.int64), np.asarray(best_sc)
+        ns = _scores(q, rows, norms, np.asarray(new, np.int64), metric)
+        for v, s_v in zip(new, ns):
+            s_v = float(s_v)
+            if len(res) < ef:
+                heapq.heappush(res, (s_v, v))
+                heapq.heappush(cand, (-s_v, v))
+            elif s_v > res[0][0]:
+                heapq.heapreplace(res, (s_v, v))
+                heapq.heappush(cand, (-s_v, v))
+    res.sort(key=lambda t: (-t[0], t[1]))
+    return (
+        np.asarray([v for _, v in res], np.int64),
+        np.asarray([s for s, _ in res]),
+    )
 
 
 def _connect_build(node, neighbors, layer_adj, cap, rows, norms, metric):
@@ -202,6 +207,25 @@ class HNSWIndex:
             lut = np.full(n, _SENTINEL, np.int32)
             lut[ids] = np.arange(len(ids), dtype=np.int32)
             self.slot_of.append(lut)
+        # Cached native search handle (invalidated whenever the graph
+        # changes — add_rows refreezes and re-runs __post_init__).
+        self._native = None
+
+    def _native_handle(self):
+        """Borrow-adopt the frozen graph into the C++ searcher (cached).
+        None when the native toolchain is unavailable or disabled."""
+        if self._native is not None:
+            return self._native
+        from .. import native
+
+        if not native.hnsw_available():
+            return None
+        self._native = native.NativeHNSW.adopt(
+            self.rows, self.norms,
+            1 if self.metric == DistanceMetric.L2 else 0,
+            self.m, self.ef_construction, self.layers, self.entry,
+        )
+        return self._native
 
     # ------------------------------------------------------------- build --
 
@@ -235,6 +259,23 @@ class HNSWIndex:
         if len(live) == 0:
             return cls(rows, norms, [], _SENTINEL, metric, m, ef_construction,
                        valid=None, host_ids=host_ids)
+
+        from .. import native as _nat
+
+        if _nat.hnsw_available():
+            # C++ insertion path (~15× the Python twin; same algorithm,
+            # its own level RNG). Exports the same frozen layout.
+            nh = _nat.NativeHNSW.build(
+                rows, norms, 1 if metric == DistanceMetric.L2 else 0,
+                m, ef_construction, seed, live,
+            )
+            if nh is not None:
+                valid = None
+                if valid_mask is not None:
+                    valid = ~np.asarray(valid_mask, dtype=bool)
+                return cls(rows, norms, nh.export_layers(), nh.entry,
+                           metric, m, ef_construction, valid=valid,
+                           host_ids=host_ids)
 
         ml = 1.0 / np.log(max(m, 2))
         levels = np.minimum(
@@ -412,21 +453,30 @@ class HNSWIndex:
             return SearchResult(out_i, out_s, dist, metric,
                                 ids=ids_for_rows(self.host_ids, out_i))
 
-        adjs = []
-        for (ids, mat), lut in zip(self.layers, self.slot_of):
-            adjs.append((lut, mat))
-
-        for qi, q in enumerate(qs):
-            ep = self.entry
-            for layer in range(self.max_level, 0, -1):
-                ep = self._greedy(q, ep, layer)
-            ids, sc = self._beam0(q, ep, ef)
-            if self.valid is not None:
-                keep = self.valid[ids]
+        nh = self._native_handle()
+        if nh is not None:
+            bids, bsc = nh.search(qs, ef)  # [Q, ef] best-first, −1 padded
+            for qi in range(len(qs)):
+                ids, sc = bids[qi], bsc[qi]
+                keep = ids >= 0
+                if self.valid is not None:
+                    keep &= self.valid[np.clip(ids, 0, None)]
                 ids, sc = ids[keep], sc[keep]
-            top = min(k, len(ids))
-            out_i[qi, :top] = ids[:top]
-            out_s[qi, :top] = sc[:top]
+                top = min(k, len(ids))
+                out_i[qi, :top] = ids[:top]
+                out_s[qi, :top] = sc[:top]
+        else:
+            for qi, q in enumerate(qs):
+                ep = self.entry
+                for layer in range(self.max_level, 0, -1):
+                    ep = self._greedy(q, ep, layer)
+                ids, sc = self._beam0(q, ep, ef)
+                if self.valid is not None:
+                    keep = self.valid[ids]
+                    ids, sc = ids[keep], sc[keep]
+                top = min(k, len(ids))
+                out_i[qi, :top] = ids[:top]
+                out_s[qi, :top] = sc[:top]
         if metric == DistanceMetric.COSINE:
             # scores were computed on normalized q: already cosine sim
             scores = out_s
@@ -459,19 +509,19 @@ class HNSWIndex:
             cur, cur_s = int(nbrs[j]), float(sc[j])
 
     def _beam0(self, q, ep: int, ef: int):
-        """Layer-0 beam search; returns (ids, scores) best-first."""
-        import bisect
+        """Layer-0 beam search; returns (ids, scores) best-first.
+        Heap-based like :func:`_beam_build` (O(log ef) per insert)."""
+        import heapq
 
         lut, mat = self.slot_of[0], self.layers[0][1]
         visited = {ep}
         s0 = float(_scores(q, self.rows, self.norms,
                            np.asarray([ep], np.int64), self.metric)[0])
-        best_ids, best_sc = [ep], [s0]
-        cand_ids, cand_sc = [ep], [s0]
-        while cand_ids:
-            c = cand_ids.pop(0)
-            c_s = cand_sc.pop(0)
-            if len(best_sc) >= ef and c_s < best_sc[-1]:
+        res = [(s0, ep)]
+        cand = [(-s0, ep)]
+        while cand:
+            c_negs, c = heapq.heappop(cand)
+            if len(res) >= ef and -c_negs < res[0][0]:
                 break
             slot = lut[c]
             if slot < 0:
@@ -481,20 +531,18 @@ class HNSWIndex:
             if not new:
                 continue
             visited.update(new)
-            arr = np.asarray(new, np.int64)
-            ns = _scores(q, self.rows, self.norms, arr, self.metric)
-            worst = best_sc[-1] if len(best_sc) >= ef else -np.inf
-            for v, s_v in zip(arr, ns):
-                if len(best_sc) >= ef and s_v <= worst:
-                    continue
-                pos = bisect.bisect_left([-x for x in best_sc], -float(s_v))
-                best_sc.insert(pos, float(s_v))
-                best_ids.insert(pos, int(v))
-                pos = bisect.bisect_left([-x for x in cand_sc], -float(s_v))
-                cand_sc.insert(pos, float(s_v))
-                cand_ids.insert(pos, int(v))
-                if len(best_sc) > ef:
-                    best_sc.pop()
-                    best_ids.pop()
-                worst = best_sc[-1] if len(best_sc) >= ef else -np.inf
-        return np.asarray(best_ids, np.int32), np.asarray(best_sc, np.float32)
+            ns = _scores(q, self.rows, self.norms,
+                         np.asarray(new, np.int64), self.metric)
+            for v, s_v in zip(new, ns):
+                s_v = float(s_v)
+                if len(res) < ef:
+                    heapq.heappush(res, (s_v, v))
+                    heapq.heappush(cand, (-s_v, v))
+                elif s_v > res[0][0]:
+                    heapq.heapreplace(res, (s_v, v))
+                    heapq.heappush(cand, (-s_v, v))
+        res.sort(key=lambda t: (-t[0], t[1]))
+        return (
+            np.asarray([v for _, v in res], np.int32),
+            np.asarray([s for s, _ in res], np.float32),
+        )

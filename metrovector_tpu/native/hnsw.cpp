@@ -1,0 +1,416 @@
+// Native HNSW graph builder + searcher for metrovector_tpu.
+//
+// The reference declares an HNSW schema it never implements
+// (src/builder.rs:459, schema/index.fbs:25-30 in thegenem0/metrovector).
+// The Python twin (../index/hnsw.py) defines the behavior; this module is
+// the performance path for the host-side graph work that deliberately does
+// NOT run on the TPU (chained data-dependent tiny gathers — the worst
+// shape for XLA). Build is incremental insertion (Malkov & Yashunin 2016,
+// closest-M neighbor selection, no heuristic pruning — matching the
+// Python twin); search is greedy upper-layer descent + layer-0 beam.
+//
+// Scores are the engine's greater-is-better convention:
+//   use_norms=1 (L2):  s(q, x) = 2 q·x − ‖x‖²
+//   use_norms=0 (IP / pre-normalized cosine):  s(q, x) = q·x
+//
+// The handle BORROWS rows/norms — the Python caller keeps them alive.
+// Adjacency is exported in the Python frozen layout (ids sorted
+// ascending, fixed-width rows, −1 padding), so persistence and the
+// numpy fallback interoperate bit-for-bit with graphs built here.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <random>
+#include <utility>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+using ScoredNode = std::pair<float, int64_t>;
+
+struct Layer {
+  std::vector<int32_t> slot_of;  // node id -> slot (-1 absent); size n
+  std::vector<int32_t> ids;      // slot -> node id
+  std::vector<int32_t> cnt;      // neighbors in use per slot
+  std::vector<int32_t> adj;      // [slots, width], -1 padded
+  int32_t width = 0;
+
+  int32_t* row(int64_t slot) { return adj.data() + slot * width; }
+  const int32_t* row(int64_t slot) const {
+    return adj.data() + slot * width;
+  }
+  int32_t slot_for(int64_t node) {
+    int32_t s = slot_of[node];
+    if (s >= 0) return s;
+    s = (int32_t)ids.size();
+    ids.push_back((int32_t)node);
+    cnt.push_back(0);
+    adj.resize(adj.size() + width, -1);
+    slot_of[node] = s;
+    return s;
+  }
+};
+
+// Stamped visited set: O(1) clear between searches, O(n) memory once.
+struct VisitedTable {
+  std::vector<uint32_t> mark;
+  uint32_t stamp = 0;
+  void reset(int64_t n) {
+    if ((int64_t)mark.size() != n) {
+      mark.assign(n, 0);
+      stamp = 0;
+    }
+    if (++stamp == 0) {
+      std::fill(mark.begin(), mark.end(), 0u);
+      stamp = 1;
+    }
+  }
+  bool seen(int64_t v) {
+    if (mark[v] == stamp) return true;
+    mark[v] = stamp;
+    return false;
+  }
+};
+
+struct Index {
+  const float* rows = nullptr;   // borrowed [n, d]
+  const float* norms = nullptr;  // borrowed [n] (only if use_norms)
+  int64_t n = 0;
+  int32_t d = 0;
+  int32_t use_norms = 0;
+  int32_t m = 16;
+  int32_t ef_c = 200;
+  int64_t entry = -1;
+  std::vector<Layer> layers;
+  VisitedTable visited;  // build-time / single-query table
+
+  float score(const float* q, int64_t v) const {
+    const float* x = rows + v * (int64_t)d;
+    float dot = 0.f;
+    for (int32_t i = 0; i < d; ++i) dot += q[i] * x[i];
+    return use_norms ? 2.f * dot - norms[v] : dot;
+  }
+};
+
+// Max-heap of candidates (best on top) vs min-heap of results (worst on
+// top) — the classic SEARCH-LAYER pair.
+struct WorstOnTop {
+  bool operator()(const ScoredNode& a, const ScoredNode& b) const {
+    return a > b;
+  }
+};
+
+void search_layer(const Index& ix, const float* q, const int64_t* eps,
+                  int64_t n_eps, int32_t ef, const Layer& L,
+                  VisitedTable& vt, std::vector<ScoredNode>& out) {
+  vt.reset(ix.n);
+  std::priority_queue<ScoredNode> cand;
+  std::priority_queue<ScoredNode, std::vector<ScoredNode>, WorstOnTop> res;
+  for (int64_t i = 0; i < n_eps; ++i) {
+    int64_t v = eps[i];
+    if (v < 0 || vt.seen(v)) continue;
+    float s = ix.score(q, v);
+    cand.emplace(s, v);
+    res.emplace(s, v);
+    if ((int32_t)res.size() > ef) res.pop();
+  }
+  while (!cand.empty()) {
+    ScoredNode top = cand.top();
+    cand.pop();
+    if ((int32_t)res.size() >= ef && top.first < res.top().first) break;
+    int32_t slot = L.slot_of[top.second];
+    if (slot < 0) continue;
+    const int32_t* nb = L.row(slot);
+    for (int32_t j = 0; j < L.width; ++j) {
+      int32_t v = nb[j];
+      if (v < 0 || vt.seen(v)) continue;
+      float s = ix.score(q, v);
+      if ((int32_t)res.size() < ef) {
+        res.emplace(s, v);
+        cand.emplace(s, v);
+      } else if (s > res.top().first) {
+        res.pop();
+        res.emplace(s, v);
+        cand.emplace(s, v);
+      }
+    }
+  }
+  out.clear();
+  out.reserve(res.size());
+  while (!res.empty()) {
+    out.push_back(res.top());
+    res.pop();
+  }
+  std::reverse(out.begin(), out.end());  // best-first
+}
+
+// Link node <-> chosen (best-first), pruning over-full neighbor lists
+// back to the best `cap` by score — the Python _connect_build twin.
+void connect(Index& ix, Layer& L, int64_t node,
+             const std::vector<ScoredNode>& chosen, int32_t cap) {
+  int32_t s = L.slot_for(node);
+  int32_t k = std::min<int32_t>(cap, (int32_t)chosen.size());
+  int32_t* r = L.row(s);
+  for (int32_t i = 0; i < k; ++i) r[i] = (int32_t)chosen[i].second;
+  for (int32_t i = k; i < L.width; ++i) r[i] = -1;
+  L.cnt[s] = k;
+  for (int32_t i = 0; i < k; ++i) {
+    int64_t v = chosen[i].second;
+    int32_t vs = L.slot_for(v);
+    // slot_for may reallocate adj; re-derive pointers each iteration
+    int32_t* vr = L.row(vs);
+    if (L.cnt[vs] < cap) {
+      vr[L.cnt[vs]++] = (int32_t)node;
+      continue;
+    }
+    const float* vq = ix.rows + v * (int64_t)ix.d;
+    std::vector<ScoredNode> cs;
+    cs.reserve(L.cnt[vs] + 1);
+    for (int32_t j = 0; j < L.cnt[vs]; ++j)
+      cs.emplace_back(ix.score(vq, vr[j]), vr[j]);
+    cs.emplace_back(ix.score(vq, node), node);
+    std::stable_sort(cs.begin(), cs.end(),
+                     [](const ScoredNode& a, const ScoredNode& b) {
+                       return a.first > b.first;
+                     });
+    for (int32_t j = 0; j < cap; ++j) vr[j] = (int32_t)cs[j].second;
+    L.cnt[vs] = cap;
+  }
+}
+
+void insert_node(Index& ix, int64_t node, int32_t lvl,
+                 std::vector<ScoredNode>& beam) {
+  const float* q = ix.rows + node * (int64_t)ix.d;
+  int32_t max_level = (int32_t)ix.layers.size() - 1;
+  int64_t ep = ix.entry;
+  for (int32_t layer = max_level; layer > lvl; --layer) {
+    search_layer(ix, q, &ep, 1, 1, ix.layers[layer], ix.visited, beam);
+    if (!beam.empty()) ep = beam[0].second;
+  }
+  std::vector<int64_t> eps{ep};
+  for (int32_t layer = std::min(lvl, max_level); layer >= 0; --layer) {
+    Layer& L = ix.layers[layer];
+    search_layer(ix, q, eps.data(), (int64_t)eps.size(), ix.ef_c, L,
+                 ix.visited, beam);
+    int32_t cap = L.width;
+    std::vector<ScoredNode> chosen;
+    chosen.reserve(cap);
+    for (const ScoredNode& sn : beam) {
+      if (sn.second != node && (int32_t)chosen.size() < cap)
+        chosen.push_back(sn);
+    }
+    connect(ix, L, node, chosen, cap);
+    eps.clear();
+    for (const ScoredNode& sn : beam) eps.push_back(sn.second);
+    if (eps.empty()) eps.push_back(ep);
+  }
+}
+
+int64_t greedy_descend(const Index& ix, const float* q, int64_t ep,
+                       const Layer& L) {
+  int64_t cur = ep;
+  float cur_s = ix.score(q, cur);
+  for (;;) {
+    int32_t slot = L.slot_of[cur];
+    if (slot < 0) return cur;
+    const int32_t* nb = L.row(slot);
+    int64_t best = -1;
+    float best_s = cur_s;
+    for (int32_t j = 0; j < L.width; ++j) {
+      int32_t v = nb[j];
+      if (v < 0) continue;
+      float s = ix.score(q, v);
+      if (s > best_s) {
+        best_s = s;
+        best = v;
+      }
+    }
+    if (best < 0) return cur;
+    cur = best;
+    cur_s = best_s;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int mvt_hnsw_abi_version() { return 1; }
+
+void* mvt_hnsw_build(const float* rows, int64_t n, int32_t d,
+                     const float* norms, int32_t use_norms, int32_t m,
+                     int32_t ef_construction, uint64_t seed,
+                     const int64_t* live, int64_t n_live) {
+  Index* ix = new Index;
+  ix->rows = rows;
+  ix->norms = norms;
+  ix->n = n;
+  ix->d = d;
+  ix->use_norms = use_norms;
+  ix->m = m;
+  ix->ef_c = ef_construction;
+  if (n_live == 0) return ix;
+
+  std::mt19937_64 rng(seed);
+  std::uniform_real_distribution<double> U(1e-12, 1.0);
+  double ml = 1.0 / std::log((double)std::max<int32_t>(m, 2));
+  std::vector<int32_t> levels(n, 0);
+  for (int64_t i = 0; i < n; ++i)
+    levels[i] =
+        std::min<int32_t>(32, (int32_t)(-std::log(U(rng)) * ml));
+
+  int32_t max_live_level = 0;
+  for (int64_t i = 0; i < n_live; ++i)
+    max_live_level = std::max(max_live_level, levels[live[i]]);
+
+  ix->layers.resize(max_live_level + 1);
+  for (size_t l = 0; l < ix->layers.size(); ++l) {
+    ix->layers[l].slot_of.assign(n, -1);
+    ix->layers[l].width = (l == 0) ? 2 * m : m;
+  }
+  ix->entry = live[0];
+  int32_t entry_level = levels[ix->entry];
+  std::vector<ScoredNode> beam;
+  for (int64_t i = 1; i < n_live; ++i) {
+    int64_t node = live[i];
+    int32_t lvl = levels[node];
+    insert_node(*ix, node, lvl, beam);
+    if (lvl > entry_level) {
+      ix->entry = node;
+      entry_level = lvl;
+    }
+  }
+  // guarantee the entry a layer-0 slot even when edgeless
+  if (ix->entry >= 0) ix->layers[0].slot_for(ix->entry);
+  return ix;
+}
+
+void* mvt_hnsw_new(const float* rows, int64_t n, int32_t d,
+                   const float* norms, int32_t use_norms, int32_t m,
+                   int32_t ef_construction) {
+  Index* ix = new Index;
+  ix->rows = rows;
+  ix->norms = norms;
+  ix->n = n;
+  ix->d = d;
+  ix->use_norms = use_norms;
+  ix->m = m;
+  ix->ef_c = ef_construction;
+  return ix;
+}
+
+// Adopt one frozen layer (bottom-up call order): ids [n_ids] node ids,
+// adj [n_ids, width] neighbor rows, −1 padded.
+void mvt_hnsw_add_layer(void* h, const int32_t* ids, int64_t n_ids,
+                        const int32_t* adj, int32_t width) {
+  Index* ix = (Index*)h;
+  ix->layers.emplace_back();
+  Layer& L = ix->layers.back();
+  L.width = width;
+  L.slot_of.assign(ix->n, -1);
+  L.ids.assign(ids, ids + n_ids);
+  L.adj.assign(adj, adj + n_ids * (int64_t)width);
+  L.cnt.resize(n_ids);
+  for (int64_t s = 0; s < n_ids; ++s) {
+    L.slot_of[ids[s]] = (int32_t)s;
+    int32_t c = 0;
+    const int32_t* r = L.row(s);
+    for (int32_t j = 0; j < width; ++j)
+      if (r[j] >= 0) ++c;
+    L.cnt[s] = c;
+  }
+}
+
+void mvt_hnsw_set_entry(void* h, int64_t entry) {
+  ((Index*)h)->entry = entry;
+}
+
+int32_t mvt_hnsw_n_layers(void* h) {
+  return (int32_t)((Index*)h)->layers.size();
+}
+
+int64_t mvt_hnsw_layer_size(void* h, int32_t l) {
+  return (int64_t)((Index*)h)->layers[l].ids.size();
+}
+
+int32_t mvt_hnsw_layer_width(void* h, int32_t l) {
+  return ((Index*)h)->layers[l].width;
+}
+
+int64_t mvt_hnsw_entry(void* h) { return ((Index*)h)->entry; }
+
+// Export in the Python frozen layout: slots sorted by node id ascending.
+void mvt_hnsw_export_layer(void* h, int32_t l, int32_t* ids_out,
+                           int32_t* adj_out) {
+  Index* ix = (Index*)h;
+  Layer& L = ix->layers[l];
+  int64_t sz = (int64_t)L.ids.size();
+  std::vector<int32_t> order(sz);
+  for (int64_t i = 0; i < sz; ++i) order[i] = (int32_t)i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return L.ids[a] < L.ids[b];
+  });
+  for (int64_t i = 0; i < sz; ++i) {
+    int32_t s = order[i];
+    ids_out[i] = L.ids[s];
+    std::memcpy(adj_out + i * (int64_t)L.width, L.row(s),
+                sizeof(int32_t) * L.width);
+  }
+}
+
+// Batched beam search: per query, greedy descent through upper layers
+// then a layer-0 beam of width ef. Outputs [nq, ef] best-first, padded
+// with id −1 / score −inf. Thread-parallel over queries (read-only
+// graph; per-thread visited tables).
+void mvt_hnsw_search(void* h, const float* queries, int64_t nq, int32_t ef,
+                     int32_t* out_ids, float* out_scores) {
+  Index* ix = (Index*)h;
+  const float NEG_INF = -std::numeric_limits<float>::infinity();
+  if (ix->entry < 0 || ix->layers.empty()) {
+    for (int64_t i = 0; i < nq * (int64_t)ef; ++i) {
+      out_ids[i] = -1;
+      out_scores[i] = NEG_INF;
+    }
+    return;
+  }
+#ifdef _OPENMP
+#pragma omp parallel if (nq > 1)
+#endif
+  {
+    VisitedTable vt;
+    std::vector<ScoredNode> beam;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int64_t qi = 0; qi < nq; ++qi) {
+      const float* q = queries + qi * (int64_t)ix->d;
+      int64_t ep = ix->entry;
+      for (int32_t l = (int32_t)ix->layers.size() - 1; l >= 1; --l)
+        ep = greedy_descend(*ix, q, ep, ix->layers[l]);
+      search_layer(*ix, q, &ep, 1, ef, ix->layers[0], vt, beam);
+      int32_t* oi = out_ids + qi * (int64_t)ef;
+      float* os = out_scores + qi * (int64_t)ef;
+      int32_t got = std::min<int32_t>(ef, (int32_t)beam.size());
+      for (int32_t j = 0; j < got; ++j) {
+        oi[j] = (int32_t)beam[j].second;
+        os[j] = beam[j].first;
+      }
+      for (int32_t j = got; j < ef; ++j) {
+        oi[j] = -1;
+        os[j] = NEG_INF;
+      }
+    }
+  }
+}
+
+void mvt_hnsw_free(void* h) { delete (Index*)h; }
+
+}  // extern "C"

@@ -126,3 +126,53 @@ def test_hnsw_config_roundtrip_without_graph(tmp_path, rng):
     sp = Reader.open(path).vector_space("s")
     assert sp.info.index.params == {"m": 24, "ef_construction": 77}
     assert sp.hnsw_arrays() is None  # no graph stored
+
+
+def test_native_and_python_search_agree_on_same_graph(rng):
+    """The C++ searcher and the Python beam must return the same results
+    on the SAME frozen graph (same algorithm, same scoring); the native
+    path is a performance twin, not a semantic fork."""
+    from metrovector_tpu import native
+
+    if not native.hnsw_available():
+        pytest.skip("native toolchain unavailable")
+    data = _data(rng, n=800, d=16)
+    idx = HNSWIndex.build(data, DistanceMetric.L2, m=8, ef_construction=80,
+                          seed=2)
+    q = _data(rng, n=12, d=16)
+    res_native = idx.search(q, k=10, ef=64)
+    assert idx._native is not None  # the native path actually ran
+
+    idx2 = HNSWIndex(
+        rows=idx.rows, norms=idx.norms, layers=idx.layers, entry=idx.entry,
+        metric=idx.metric, m=idx.m, ef_construction=idx.ef_construction,
+        valid=idx.valid, host_ids=idx.host_ids,
+    )
+    idx2._native_handle = lambda: None  # force the Python beam
+    res_py = idx2.search(q, k=10, ef=64)
+    np.testing.assert_array_equal(res_native.indices, res_py.indices)
+    np.testing.assert_allclose(res_native.scores, res_py.scores, rtol=1e-5)
+
+
+def test_native_graph_survives_append_and_persistence(tmp_path, rng):
+    """add_rows thaws the (native-built) frozen graph in Python and
+    refreezes; the refrozen graph must adopt back into the native
+    searcher and keep finding everything."""
+    data = _data(rng, n=300, d=8)
+    idx = HNSWIndex.build(data, DistanceMetric.L2, m=8, ef_construction=80)
+    new = _data(rng, n=20, d=8)
+    idx.add_rows(new)
+    res = idx.search(new, k=1, ef=128)
+    assert (res.indices[:, 0] == np.arange(300, 320)).mean() >= 0.95
+
+    b = Builder()
+    b.add_vector_space("s", dim=8)
+    b.add_vectors("s", np.concatenate([data, new]))
+    b.set_hnsw_index("s", idx.layers, idx.entry, m=8, ef_construction=80)
+    path = tmp_path / "ng.mvt"
+    b.build().save(path)
+    re = HNSWIndex.from_space(Reader.open(path).vector_space("s"))
+    q = _data(rng, n=6, d=8)
+    np.testing.assert_array_equal(
+        re.search(q, k=5, ef=64).indices, idx.search(q, k=5, ef=64).indices
+    )
