@@ -20,15 +20,54 @@ import metrovector_tpu as mvt
 from metrovector_tpu.utils import PhaseTimer
 
 
+def _resolve_shape(args) -> tuple[int, int]:
+    """The reference's GB-targeted sizing (``large_dataset.rs:24-85``):
+    with ``--size`` given and vectors/dimensions unset, derive them from
+    the byte target (default dim 768, the common sentence-transformer
+    width)."""
+    n, d = args.vectors, args.dimensions
+    if args.size is None:
+        return n or 100_000, d or 256
+    s = args.size.lower().removesuffix("gb")
+    try:
+        target_gb = float(s)
+    except ValueError:
+        target_gb = 2.5  # the reference's default
+    target_bytes = int(target_gb * 1024**3)
+    if not n and not d:
+        d = 768
+        n = target_bytes // (d * 4)
+    elif not n:
+        n = target_bytes // (d * 4)
+    elif not d:
+        d = target_bytes // (n * 4)
+    return n, d
+
+
+def _page_size_analysis(file_size: int) -> None:
+    """OS page-size impact of the mmap (``large_dataset.rs:347-372``)."""
+    print(f"  file size on disk: {file_size / 1024**3:.2f} GB")
+    try:
+        page = os.sysconf("SC_PAGESIZE")
+    except (ValueError, OSError):
+        page = 4096  # the reference's non-unix assumption
+    print(f"  OS page size: {page // 1024} KB")
+    print(f"  pages needed: {-(-file_size // page)}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--vectors", type=int, default=100_000)
-    ap.add_argument("--dimensions", type=int, default=256)
+    ap.add_argument("--vectors", type=int, default=0)
+    ap.add_argument("--dimensions", type=int, default=0)
+    ap.add_argument("--size", default=None, metavar="GB",
+                    help="target file size, e.g. '2.5' or '2.5GB' "
+                         "(derives --vectors/--dimensions when unset)")
     ap.add_argument("--chunk", type=int, default=10_000,
                     help="build chunk size (reference default 10k rows)")
     ap.add_argument("--queries", type=int, default=64)
     ap.add_argument("--path", default=None)
     args = ap.parse_args()
+    args.vectors, args.dimensions = _resolve_shape(args)
 
     timer = PhaseTimer()
     rng = np.random.default_rng(0)
@@ -48,6 +87,7 @@ def main():
         built.save(path)
     size = os.path.getsize(path)
     print(f"file: {path}  {size / 1e6:,.1f} MB")
+    _page_size_analysis(size)
 
     # -- open latency (reference :197-200; claim ~10 ms any size) -----------
     with timer.phase("open"):

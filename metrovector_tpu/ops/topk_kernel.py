@@ -138,50 +138,22 @@ def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
 
 
 
-def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
-                      block_rows: int):
-    """Streaming top-k pool merge for one score block — shared by the
-    distance kernel and the ADC kernel.
-
-    The candidate pool (``best_s`` / ``best_i`` scratch refs, ``[qt,
-    k_pad]``, first ``k`` columns live) is UNSORTED: per-block selection
-    work is proportional to how many rows actually improve the running
-    top-k (a heap's replace-min, vectorized over the query tile, O(k·ln N)
-    inserts over the whole scan) instead of k full selection rounds per
-    merged block. Sorted output is produced once, by :func:`_pool_flush`.
-
-    Exactness: a conservative whole-tile skip (equal scores are skippable —
-    the scan visits rows in ascending id order, so a later tie always loses
-    the lowest-index tie-break), then a 128-lane fold whose per-lane
-    improvement count detects the rare same-lane double-improvement and
-    reruns that block's inserts at full width. Key order everywhere is
-    (score desc, index asc), matching the stable-argsort oracle.
-    """
-    lanes = LANES
-    n_chunks = block_rows // lanes
-    qt = scores.shape[0]
+def _make_pool_inserter(best_s, best_i, pool_valid, col_iota_k):
+    """Vectorized replace-min insert over the UNSORTED candidate pool
+    refs — shared by the pool and chunked merge strategies. Each round
+    moves every query's best remaining incoming candidate into its pool
+    slot holding the worst retained entry, if it beats it. ``n_rounds``
+    bounds the trip count (theta only rises, so the pre-insert beat count
+    is an upper bound on inserts); the loop also exits as soon as a round
+    inserts nothing — candidates are consumed in descending key order per
+    query, so once every query's best remaining fails to beat, the rest
+    never can. Without the early exit, a loose bound (e.g. while the pool
+    still has −inf holes and few candidates qualify) burns the full k
+    rounds as no-ops — measured 5× end-to-end on the sparse-candidate
+    masked-scan workload."""
     big = jnp.int32(2**31 - 1)
-    col_iota_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
-    pool_valid = col_iota_k < k  # pool occupies the first k columns
-
-    # theta_q = the pool's current minimum = the k-th best score so far.
-    theta = jnp.min(
-        jnp.where(pool_valid, best_s[:], jnp.float32(jnp.inf)), axis=1
-    )
 
     def insert_candidates(inc_s, inc_i, n_rounds):
-        """Vectorized replace-min: each round moves every query's best
-        remaining incoming candidate into its pool slot holding the worst
-        retained entry, if it beats it. ``n_rounds`` bounds the trip count
-        (theta only rises, so the pre-insert beat count is an upper bound
-        on inserts); the loop also exits as soon as a round inserts
-        nothing — candidates are consumed in descending key order per
-        query, so once every query's best remaining fails to beat, the
-        rest never can. Without the early exit, a loose bound (e.g. while
-        the pool still has −inf holes and few candidates qualify) burns
-        the full k rounds as no-ops — measured 5× end-to-end on the
-        sparse-candidate masked-scan workload."""
-
         def cond(state):
             j, go, _, _ = state
             return jnp.logical_and(j < n_rounds, go)
@@ -221,6 +193,43 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
         jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.bool_(True), inc_s, inc_i)
         )
+
+    return insert_candidates
+
+
+def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
+                      block_rows: int):
+    """Streaming top-k pool merge for one score block — shared by the
+    distance kernel and the ADC kernel.
+
+    The candidate pool (``best_s`` / ``best_i`` scratch refs, ``[qt,
+    k_pad]``, first ``k`` columns live) is UNSORTED: per-block selection
+    work is proportional to how many rows actually improve the running
+    top-k (a heap's replace-min, vectorized over the query tile, O(k·ln N)
+    inserts over the whole scan) instead of k full selection rounds per
+    merged block. Sorted output is produced once, by :func:`_pool_flush`.
+
+    Exactness: a conservative whole-tile skip (equal scores are skippable —
+    the scan visits rows in ascending id order, so a later tie always loses
+    the lowest-index tie-break), then a 128-lane fold whose per-lane
+    improvement count detects the rare same-lane double-improvement and
+    reruns that block's inserts at full width. Key order everywhere is
+    (score desc, index asc), matching the stable-argsort oracle.
+    """
+    lanes = LANES
+    n_chunks = block_rows // lanes
+    qt = scores.shape[0]
+    col_iota_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
+    pool_valid = col_iota_k < k  # pool occupies the first k columns
+
+    # theta_q = the pool's current minimum = the k-th best score so far.
+    theta = jnp.min(
+        jnp.where(pool_valid, best_s[:], jnp.float32(jnp.inf)), axis=1
+    )
+
+    insert_candidates = _make_pool_inserter(
+        best_s, best_i, pool_valid, col_iota_k
+    )
 
     # Conservative whole-tile skip: nothing in this block can beat the
     # worst retained candidate of any query in the tile.

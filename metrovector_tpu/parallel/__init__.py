@@ -18,13 +18,14 @@ from .sharded_search import (
     sharded_pq_topk,
     sharded_topk,
 )
-from .streaming import StreamingSearcher
+from .streaming import ShardedStreamingSearcher, StreamingSearcher
 
 __all__ = [
     "QUERY_AXIS",
     "SHARD_AXIS",
     "DistributedSearcher",
     "ShardedDeviceSpace",
+    "ShardedStreamingSearcher",
     "StreamingSearcher",
     "dim_sharded_topk",
     "grid_sharded_topk",

@@ -74,3 +74,118 @@ def test_streaming_int8(tmp_path, rng):
     res_stream = StreamingSearcher(sp, chunk_rows=128).search(queries, k=8)
     res_resident = SearchEngine(sp, backend="pallas").search(queries, k=8)
     assert np.array_equal(res_stream.indices, res_resident.indices)
+
+
+# ------------------------------------------- multi-chip streamed search ---
+
+
+def _mesh8():
+    from metrovector_tpu.parallel import make_mesh
+
+    return make_mesh(8)
+
+
+def test_sharded_streaming_matches_resident_sharded(big_space, rng):
+    """BASELINE '100M×768 f16 streamed + ICI merge' config, scaled down:
+    streamed-per-shard results must be bit-identical to the resident
+    sharded search AND to the f64 oracle's ranks."""
+    from metrovector_tpu.parallel import (
+        ShardedDeviceSpace,
+        ShardedStreamingSearcher,
+    )
+
+    sp, data = big_space
+    mesh = _mesh8()
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    res_stream = ShardedStreamingSearcher(
+        sp, mesh=mesh, chunk_rows=64, backend="xla"
+    ).search(queries, k=12)
+    res_resident = ShardedDeviceSpace(sp, mesh).search(
+        queries, k=12, backend="xla"
+    )
+    np.testing.assert_array_equal(res_stream.indices, res_resident.indices)
+    np.testing.assert_array_equal(res_stream.scores, res_resident.scores)
+    keep = np.ones(2000, bool)
+    keep[1234] = False  # the fixture's tombstone
+    _, oi = numpy_oracle(queries, np.where(keep[:, None], data, np.nan), 12,
+                         DistanceMetric.L2)
+    np.testing.assert_array_equal(res_stream.indices, oi)
+
+
+@pytest.mark.parametrize("chunk_rows", [64, 96, 256])
+def test_sharded_streaming_chunk_size_invariant(big_space, rng, chunk_rows):
+    from metrovector_tpu.parallel import ShardedStreamingSearcher
+
+    sp, _ = big_space
+    queries = rng.standard_normal((3, 32)).astype(np.float32)
+    res = ShardedStreamingSearcher(
+        sp, mesh=_mesh8(), chunk_rows=chunk_rows, backend="xla"
+    ).search(queries, k=7)
+    base = ShardedStreamingSearcher(
+        sp, mesh=_mesh8(), chunk_rows=512, backend="xla"
+    ).search(queries, k=7)
+    np.testing.assert_array_equal(res.indices, base.indices)
+
+
+def test_sharded_streaming_bf16_storage(tmp_path, rng):
+    """bf16-stored corpus streams at half the f32 upload bytes with no
+    host-side conversion; ranks must match the bf16-resident engine."""
+    data = rng.standard_normal((1024, 16)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=16, dtype=DataType.BFLOAT16)
+    b.add_vectors("v", data)
+    p = tmp_path / "bf16.mvt"
+    b.build().save(p)
+    sp = Reader.open(p).vector_space("v")
+    from metrovector_tpu.parallel import ShardedStreamingSearcher
+
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    res = ShardedStreamingSearcher(
+        sp, mesh=_mesh8(), chunk_rows=128, backend="xla"
+    ).search(q, k=5)
+    res_resident = SearchEngine(sp, backend="xla").search(q, k=5)
+    np.testing.assert_array_equal(res.indices, res_resident.indices)
+
+
+def test_sharded_streaming_uint8_offset(tmp_path, rng):
+    data = rng.integers(0, 255, (640, 8)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=8, dtype=DataType.UINT8)
+    b.add_vectors("v", data)
+    p = tmp_path / "u8.mvt"
+    b.build().save(p)
+    sp = Reader.open(p).vector_space("v")
+    from metrovector_tpu.parallel import ShardedStreamingSearcher
+
+    q = rng.integers(-20, 20, (3, 8)).astype(np.float32)
+    res = ShardedStreamingSearcher(
+        sp, mesh=_mesh8(), chunk_rows=64,
+        backend="pallas", interpret=True,
+    ).search(q, k=6)
+    res_resident = SearchEngine(sp, backend="xla").search(q, k=6)
+    np.testing.assert_array_equal(res.indices, res_resident.indices)
+    np.testing.assert_allclose(
+        res.scores, res_resident.scores, rtol=1e-5, atol=1e-3
+    )
+
+
+def test_sharded_streaming_ids_and_small_corpus(tmp_path, rng):
+    data = rng.standard_normal((40, 8)).astype(np.float32)
+    ids = np.arange(40, dtype=np.uint64) * 5 + 3
+    b = Builder()
+    b.add_vector_space("v", dim=8)
+    b.add_vectors("v", data, ids=ids)
+    p = tmp_path / "tiny.mvt"
+    b.build().save(p)
+    sp = Reader.open(p).vector_space("v")
+    from metrovector_tpu.parallel import ShardedStreamingSearcher
+
+    res = ShardedStreamingSearcher(
+        sp, mesh=_mesh8(), chunk_rows=8, backend="xla"
+    ).search(data[:2], k=50)  # k > corpus: sentinel tail
+    assert (res.indices[:, 0] == [0, 1]).all()
+    valid = res.indices >= 0
+    assert np.array_equal(res.ids[valid], ids[res.indices[valid]])
+    from metrovector_tpu.engine import SearchResult
+
+    assert (res.ids[~valid] == SearchResult.ID_SENTINEL).all()
