@@ -259,18 +259,21 @@ def bench_deep10m(interpret):
             recall, "1.28 GB int8 corpus, integer MXU")
 
     if not interpret:
-        # Tuned config (r2 sweep: smaller query tiles cut the per-element
-        # VPU fold cost that dominates this many-block scan).
+        # Tuned config (r3: the deferred-scale path — unscaled f32 dots
+        # ranked in-kernel, pad-bias riding the norms slot, no whole-tile
+        # skip pass — auto-engages for int8 inner product; qt=128/br=8192
+        # measured best. CAUTION: qt=128 with br=16384 crosses the silent
+        # VMEM-spill cliff, ~500× slowdown).
         def run2(q):
             return fused_topk(q, db_d, norms_d, np.int32(n), k,
                               DistanceMetric.INNER_PRODUCT, scale=sc * sc,
-                              block_rows=16384, query_tile=64,
+                              block_rows=8192, query_tile=128,
                               merge="rounds")
 
         dt2 = _measure(run2, mk, iters=10)
         _report(
-            f"deep10m(n={n},96d,int8 dot,k=10,{qb}q,qt=64,br=16384)",
-            qb / dt2, dt2 * 1e3, recall, "tuned tile config",
+            f"deep10m(n={n},96d,int8 dot,k=10,{qb}q,qt=128,br=8192)",
+            qb / dt2, dt2 * 1e3, recall, "deferred-scale tuned config",
         )
 
 

@@ -48,6 +48,7 @@ from ..utils.log import get_logger
 _NEG_INF = float("-inf")
 _log = get_logger("ops.topk")
 
+
 # Latched True the first time the split-plane ('high' precision) kernel
 # fails Mosaic compilation on this toolchain, so later calls skip the
 # re-attempt (lowering failures are not jit-cached; remote compiles cost
@@ -94,6 +95,22 @@ def default_block_rows(padded_dim: int, itemsize: int, query_tile: int = 128,
 _UNROLL_K_MAX = 32
 
 
+_NEG_I32 = -(2**31)
+_POS_I32 = 2**31 - 1
+
+
+def _sentinels(int_dom: bool):
+    """(worst, best) sentinel values for the score domain: the int32
+    domain keeps raw integer dots (exact ranking, no per-element
+    astype/scale passes — the deep10m lever); the f32 domain is the
+    default. Real int dots are magnitude-bounded (D·127² ≪ 2³¹) so the
+    sentinels are unreachable by data."""
+    if int_dom:
+        return jnp.int32(_NEG_I32), jnp.int32(_POS_I32)
+    return jnp.float32(_NEG_INF), jnp.float32(jnp.inf)
+
+
+
 def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
     """k rounds of (max, min-index-among-ties, mask) over the candidate
     tile, writing the sorted-descending winners into ``ref[rows]``.
@@ -107,6 +124,7 @@ def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
     O(1) in ``k`` — a fully unrolled k=100 selection is tens of thousands
     of MLIR ops and takes the Mosaic compiler minutes."""
     big = jnp.int32(2**31 - 1)
+    neg = _sentinels(jnp.issubdtype(cand_s.dtype, jnp.integer))[0]
     if k <= _UNROLL_K_MAX:
         for j in range(k):
             m = jnp.max(cand_s, axis=1)
@@ -115,7 +133,7 @@ def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
             onehot = jnp.logical_and(eq, cand_i == idx_sel[:, None])
             best_s_ref[rows, j : j + 1] = m[:, None]
             best_i_ref[rows, j : j + 1] = idx_sel[:, None]
-            cand_s = jnp.where(onehot, _NEG_INF, cand_s)
+            cand_s = jnp.where(onehot, neg, cand_s)
         return
 
     g = cand_s.shape[0]
@@ -132,7 +150,7 @@ def _select_k_into(cand_s, cand_i, best_s_ref, best_i_ref, rows, k: int):
         best_i_ref[rows] = jnp.where(
             sel_col, idx_sel[:, None], best_i_ref[rows]
         )
-        return jnp.where(onehot, _NEG_INF, cs)
+        return jnp.where(onehot, neg, cs)
 
     jax.lax.fori_loop(0, k, body, cand_s)
 
@@ -152,6 +170,7 @@ def _make_pool_inserter(best_s, best_i, pool_valid, col_iota_k):
     rounds as no-ops — measured 5× end-to-end on the sparse-candidate
     masked-scan workload."""
     big = jnp.int32(2**31 - 1)
+    neg, pos = jnp.float32(_NEG_INF), jnp.float32(jnp.inf)
 
     def insert_candidates(inc_s, inc_i, n_rounds):
         def cond(state):
@@ -163,7 +182,7 @@ def _make_pool_inserter(best_s, best_i, pool_valid, col_iota_k):
             m = jnp.max(cs, axis=1)
             eqc = cs == m[:, None]
             sel_i = jnp.min(jnp.where(eqc, ci, big), axis=1)
-            ps = jnp.where(pool_valid, best_s[:], jnp.float32(jnp.inf))
+            ps = jnp.where(pool_valid, best_s[:], pos)
             wmin = jnp.min(ps, axis=1)
             eqp = ps == wmin[:, None]
             # worst key among the minima = the one with LARGEST id
@@ -186,7 +205,7 @@ def _make_pool_inserter(best_s, best_i, pool_valid, col_iota_k):
             # Consume the candidate whether or not it beat: if the block's
             # best remaining didn't, none of the rest will.
             consumed = jnp.logical_and(eqc, ci == sel_i[:, None])
-            cs = jnp.where(consumed, _NEG_INF, cs)
+            cs = jnp.where(consumed, neg, cs)
             ci = jnp.where(consumed, big, ci)
             return j + 1, jnp.any(beats), cs, ci
 
@@ -198,7 +217,7 @@ def _make_pool_inserter(best_s, best_i, pool_valid, col_iota_k):
 
 
 def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
-                      block_rows: int):
+                      block_rows: int, skip_test: bool = True):
     """Streaming top-k pool merge for one score block — shared by the
     distance kernel and the ADC kernel.
 
@@ -215,6 +234,11 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
     improvement count detects the rare same-lane double-improvement and
     reruns that block's inserts at full width. Key order everywhere is
     (score desc, index asc), matching the stable-argsort oracle.
+
+    ``skip_test=False`` folds unconditionally and gates only the inserts
+    on the fold maxima — for regimes (large query tiles over many-block
+    scans) where the whole-tile skip almost never fires and its full-width
+    max pass is pure overhead.
     """
     lanes = LANES
     n_chunks = block_rows // lanes
@@ -230,14 +254,9 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
     insert_candidates = _make_pool_inserter(
         best_s, best_i, pool_valid, col_iota_k
     )
-
-    # Conservative whole-tile skip: nothing in this block can beat the
-    # worst retained candidate of any query in the tile.
     worst = jnp.min(theta)
-    blockmax = jnp.max(scores)
 
-    @pl.when(blockmax > worst)
-    def _merge():
+    def fold():
         # Lane fold: compress the block to its per-lane maxima — 128
         # candidates per query in ~2 passes. Exact unless one query has two
         # pool-beating rows in the same lane of the same block, which the
@@ -253,14 +272,17 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
             fm = jnp.where(gt, sc, fm)
             am = jnp.where(gt, c, am)
             imp += (sc >= th_col).astype(jnp.int32)
+        return fm, am, imp
+
+    def do_inserts(fm, am, imp):
         collision = jnp.max(imp) >= 2
         # Upper bound on insert rounds this block: the largest per-query
         # count of candidates ≥ its current k-th best (ties included),
         # capped at k — a block can insert at most k rows (each insert
         # evicts), and candidates are consumed in descending key order so
         # all inserts precede all no-ops. The cap matters while the pool
-        # still has −inf holes (theta=−inf makes the raw count the whole
-        # block).
+        # still has sentinel holes (theta at the worst sentinel makes the
+        # raw count the whole block).
         n_rounds = jnp.minimum(jnp.max(jnp.sum(imp, axis=1)), jnp.int32(k))
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
@@ -277,41 +299,119 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
             )
             insert_candidates(scores, gidx, n_rounds)
 
+    if skip_test:
+        # Conservative whole-tile skip: nothing in this block can beat the
+        # worst retained candidate of any query in the tile.
+        blockmax = jnp.max(scores)
 
-def _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k: int, k_pad: int):
+        @pl.when(blockmax > worst)
+        def _merge():
+            fm, am, imp = fold()
+            do_inserts(fm, am, imp)
+    else:
+        fm, am, imp = fold()
+
+        @pl.when(jnp.max(fm) > worst)
+        def _merge():
+            do_inserts(fm, am, imp)
+
+
+def _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k: int, k_pad: int,
+                out_scale: float = 1.0):
     """One k-round sort of the (tiny) pool per query tile — the only place
-    selection still costs O(k) passes."""
+    selection still costs O(k) passes. ``out_scale``: deferred dequant
+    scale applied here (positive, so −inf sentinels survive and order is
+    identical to pre-scaled selection)."""
     qt = best_s.shape[0]
     col_iota_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
     pool_valid = col_iota_k < k
     out_s_ref[:] = jnp.full_like(out_s_ref, _NEG_INF)
     out_i_ref[:] = jnp.full_like(out_i_ref, -1)
     cand_s = jnp.where(pool_valid, best_s[:], _NEG_INF)
+    if out_scale != 1.0:
+        cand_s = cand_s * jnp.float32(out_scale)
     cand_i = jnp.where(pool_valid, best_i[:], -1)
     _select_k_into(cand_s, cand_i, out_s_ref, out_i_ref, slice(None), k)
 
 
+def _chunked_merge_block(scores, sc_scratch, best_s, best_i, row0, k: int,
+                         k_pad: int, block_rows: int):
+    """Chunk-granular merge: the round-3 strategy for huge blocks where
+    the 128-lane fold's ~5 VPU passes over the full ``[qt, BN]`` tile
+    dominate (the deep10m regime — a single-pass int8 matmul next to a
+    5-pass f32 fold sits ~5× above the HBM floor; see
+    ``benchmarks/RESULTS.md``).
+
+    Instead of folding the whole block, the 128-lane chunks are walked
+    with a rolled loop carrying the scalar pool-worst: a skipped chunk
+    costs ONE reduce over ``[qt, 128]`` (so a non-contributing block
+    costs ~1 pass total, the floor for work that must read the scores),
+    and a contributing chunk inserts its full 128-lane width directly
+    into the unsorted pool — no fold, hence no same-lane collision case
+    at all. The carried worst only rises, so the per-chunk skip is
+    conservative-exact; chunks are visited in ascending id order, so
+    tie-breaking matches the stable-argsort oracle exactly as in the
+    pool merge. Flush is shared (:func:`_pool_flush`)."""
+    lanes = LANES
+    n_chunks = block_rows // lanes
+    qt = scores.shape[0]
+    col_iota_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k_pad), 1)
+    pool_valid = col_iota_k < k
+    insert_candidates = _make_pool_inserter(
+        best_s, best_i, pool_valid, col_iota_k
+    )
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
+
+    worst0 = jnp.min(jnp.where(pool_valid, best_s[:], jnp.float32(jnp.inf)))
+    blockmax = jnp.max(scores)
+
+    @pl.when(blockmax > worst0)
+    def _merge():
+        # Mosaic has no dynamic_slice on VALUES; stage the block's scores
+        # through a VMEM scratch ref (one write pass) so the chunk loop
+        # can use dynamic ref loads (pl.dslice).
+        sc_scratch[:] = scores
+
+        def body(c, worst):
+            sc = sc_scratch[:, pl.ds(c * lanes, lanes)]
+            cmax = jnp.max(sc)
+
+            def _insert(_):
+                idx = row0 + c * lanes + lane_iota
+                # Cap k: a chunk can insert at most k rows; the
+                # inserter's early exit ends the loop one round after
+                # the last actual insert.
+                insert_candidates(sc, idx, jnp.int32(k))
+                return jnp.min(
+                    jnp.where(pool_valid, best_s[:], jnp.float32(jnp.inf))
+                )
+
+            return jax.lax.cond(
+                cmax > worst, _insert, lambda _: worst, operand=0
+            )
+
+        jax.lax.fori_loop(0, n_chunks, body, worst0)
+
 
 def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
-                        block_rows: int):
+                        block_rows: int, skip_test: bool = True):
     """k-round unrolled merge keeping the candidate list SORTED descending
     (the round-1 strategy). Per merged block it always pays k selection
     rounds over [qt, 128 + k_pad] — more selection work than the pool
     merge, but straight-line unrolled code with no serialized loop-carried
     bookkeeping, which wins on cheap-matmul paths (single-pass int8 MXU at
     small k) where the pool loop's serialization is visible. Exactness
-    discipline (skip test, lane fold, collision fallback) is identical."""
+    discipline (skip test, lane fold, collision fallback) is identical.
+    ``skip_test``: as in :func:`_pool_merge_block`."""
     lanes = LANES
     n_chunks = block_rows // lanes
     qt = scores.shape[0]
     full = slice(None)
 
     worst = jnp.min(best_s[:, :k])
-    blockmax = jnp.max(scores)
+    theta = best_s[:, k - 1 : k]  # current kth best per query (sorted)
 
-    @pl.when(blockmax > worst)
-    def _merge():
-        theta = best_s[:, k - 1 : k]  # current kth best per query (sorted)
+    def fold():
         fm = scores[:, 0:lanes]
         am = jnp.zeros((qt, lanes), jnp.int32)
         imp = (fm >= theta).astype(jnp.int32)
@@ -321,6 +421,9 @@ def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
             fm = jnp.where(gt, sc, fm)
             am = jnp.where(gt, c, am)
             imp += (sc >= theta).astype(jnp.int32)
+        return fm, am, imp
+
+    def do_select(fm, am, imp):
         collision = jnp.max(imp) >= 2
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (qt, lanes), 1)
@@ -341,6 +444,20 @@ def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
             cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
             _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
 
+    if skip_test:
+        blockmax = jnp.max(scores)
+
+        @pl.when(blockmax > worst)
+        def _merge():
+            fm, am, imp = fold()
+            do_select(fm, am, imp)
+    else:
+        fm, am, imp = fold()
+
+        @pl.when(jnp.max(fm) > worst)
+        def _merge():
+            do_select(fm, am, imp)
+
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -355,7 +472,9 @@ _PRECISIONS = {
 def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                  scale: float, has_valid: bool, int_path: bool,
                  precision: str, has_bias: bool = False,
-                 split_planes: bool = False, merge: str = "pool"):
+                 split_planes: bool = False, merge: str = "pool",
+                 defer_scale: bool = False, has_seed: bool = False,
+                 raw_scores: bool = False):
     metric = DistanceMetric(metric)
     prec = _PRECISIONS[precision]
     bf16x3 = precision == "high" and not int_path and not split_planes
@@ -375,6 +494,9 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
         norms_ref = rest.pop(0)
         bias_ref = rest.pop(0) if has_bias else None
         valid_ref = rest.pop(0) if has_valid else None
+        seed_s_ref = rest.pop(0) if has_seed else None
+        seed_i_ref = rest.pop(0) if has_seed else None
+        sc_scratch = rest.pop() if merge == "chunks" else None
         out_s_ref, out_i_ref, best_s, best_i = rest
 
         ni = pl.program_id(1)
@@ -382,8 +504,15 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
 
         @pl.when(ni == 0)
         def _init():
-            best_s[:] = jnp.full_like(best_s, _NEG_INF)
-            best_i[:] = jnp.full_like(best_i, -1)
+            if has_seed:
+                # Presampled two-phase scan: the pool starts from the
+                # subsample's exact top-k (INTERNAL-domain scores), so the
+                # whole-tile skip fires from the first block.
+                best_s[:] = seed_s_ref[:]
+                best_i[:] = seed_i_ref[:]
+            else:
+                best_s[:] = jnp.full_like(best_s, _NEG_INF)
+                best_i[:] = jnp.full_like(best_i, -1)
 
         dims = (((1,), (1,)), ((), ()))
         if int_path:
@@ -443,7 +572,8 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                 q_ref[:], db_ref[:], dimension_numbers=dims,
                 preferred_element_type=jnp.float32, precision=prec,
             )
-        if scale != 1.0:
+        if scale != 1.0 and not defer_scale:
+            # (deferred-scale mode multiplies once at flush instead)
             dots = dots * jnp.float32(scale)
         if bias_ref is not None:
             # Affine-offset correction: effective_dot = scale·idot +
@@ -462,24 +592,63 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
             scores = dots
 
         row0 = ni * block_rows
-        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_rows), 1)
-        scores = jnp.where(rows < nvalid_ref[0, 0], scores, _NEG_INF)
-        if valid_ref is not None:
-            scores = jnp.where(valid_ref[:] != 0, scores, _NEG_INF)
 
-        if merge == "pool":
-            _pool_merge_block(
-                scores, best_s, best_i, row0, k, k_pad, block_rows
-            )
+        # Unseeded deferred-scale scans drop the whole-tile skip pass
+        # (it almost never fires mid-scan: any query × any row beating the
+        # TILE-min threshold forces a merge, and qt·BN pairs per block add
+        # up); SEEDED scans keep it. Group-granular skips and per-query
+        # normalization were measured 2–3× SLOWER here (branchy per-group
+        # code defeats Mosaic's pipelining) — see benchmarks/RESULTS.md.
+        use_skip = not defer_scale or has_seed
+
+        def do_merge(sc):
+            if merge == "pool":
+                _pool_merge_block(
+                    sc, best_s, best_i, row0, k, k_pad, block_rows,
+                    skip_test=use_skip,
+                )
+            elif merge == "chunks":
+                _chunked_merge_block(
+                    sc, sc_scratch, best_s, best_i, row0, k, k_pad,
+                    block_rows,
+                )
+            else:
+                _rounds_merge_block(
+                    sc, best_s, best_i, row0, k, k_pad, block_rows,
+                    skip_test=use_skip,
+                )
+
+        if defer_scale:
+            # The norms input is unused by the inner-product epilogue, so
+            # in deferred-scale mode it carries the PAD BIAS row instead
+            # (0 for logical rows, −inf for padding, precomputed in XLA):
+            # one fused add replaces the iota-compare + select masking
+            # passes over [qt, BN].
+            sc = scores + norms_ref[:]
+            if valid_ref is not None:
+                sc = jnp.where(valid_ref[:] != 0, sc, _NEG_INF)
+            do_merge(sc)
         else:
-            _rounds_merge_block(
-                scores, best_s, best_i, row0, k, k_pad, block_rows
+            rows = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_rows), 1
             )
+            sc = jnp.where(rows < nvalid_ref[0, 0], scores, _NEG_INF)
+            if valid_ref is not None:
+                sc = jnp.where(valid_ref[:] != 0, sc, _NEG_INF)
+            do_merge(sc)
 
+        out_mul = (
+            scale if (defer_scale and scale != 1.0 and not raw_scores)
+            else 1.0
+        )
         @pl.when(ni == nblocks - 1)
         def _flush():
-            if merge == "pool":
-                _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k, k_pad)
+            if merge in ("pool", "chunks"):  # unsorted pool: one k-sort
+                _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k, k_pad,
+                            out_scale=out_mul)
+            elif out_mul != 1.0:  # deferred scale: one [qt, k_pad] mul
+                out_s_ref[:] = best_s[:] * jnp.float32(out_mul)
+                out_i_ref[:] = best_i[:]
             else:  # rounds merge keeps the list sorted: plain copy-out
                 out_s_ref[:] = best_s[:]
                 out_i_ref[:] = best_i[:]
@@ -504,6 +673,10 @@ def fused_topk(
     bias_scale=1.0,
     db_lo=None,
     merge: str | None = None,
+    seed_s=None,
+    seed_i=None,
+    raw_scores: bool = False,
+    exclude_stride: int | None = None,
 ):
     """VMEM-robust front end for :func:`_fused_topk`: if Mosaic's scoped
     VMEM allocator rejects the auto-sized block (its live-set model is not
@@ -543,6 +716,8 @@ def fused_topk(
                 query_tile=query_tile, interpret=interpret,
                 precision=precision, bias_row=bias_row,
                 bias_scale=bias_scale, db_lo=db_lo, merge=merge,
+                seed_s=seed_s, seed_i=seed_i, raw_scores=raw_scores,
+                exclude_stride=exclude_stride,
             )
         except Exception as exc:  # jaxlib runtime error types vary
             msg = str(exc)
@@ -579,7 +754,7 @@ def fused_topk(
     jax.jit,
     static_argnames=(
         "k", "metric", "scale", "block_rows", "query_tile", "interpret",
-        "precision", "merge",
+        "precision", "merge", "raw_scores", "exclude_stride",
     ),
 )
 def _fused_topk(
@@ -599,6 +774,10 @@ def _fused_topk(
     bias_scale: jax.Array | float = 1.0,
     db_lo: jax.Array | None = None,
     merge: str | None = None,
+    seed_s: jax.Array | None = None,
+    seed_i: jax.Array | None = None,
+    raw_scores: bool = False,
+    exclude_stride: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k search over one resident DB shard.
 
@@ -626,12 +805,15 @@ def _fused_topk(
         'default' (single bf16 pass, fastest, visibly reorders near-ties).
       merge: on-chip selection strategy — 'pool' (streaming replace-min:
         per-block work scales with actual top-k improvements; wins
-        wherever the matmul dominates, and at large k) or 'rounds'
+        wherever the matmul dominates, and at large k), 'rounds'
         (k unrolled selection rounds per merged block, straight-line
         code with no serialized loop; wins on the single-pass int8 MXU
         path at small k, where the pool loop's serialization is visible
-        next to a very cheap matmul). Default None = auto: 'rounds' for
-        int8/uint8 at k ≤ 32, else 'pool'. Both are exact.
+        next to a very cheap matmul), or 'chunks' (chunk-granular skip +
+        direct 128-wide pool inserts, no lane fold: per-block cost drops
+        to ~1 VPU pass when few chunks contribute — the huge-block int8
+        regime near the HBM floor, e.g. deep10m). Default None = auto:
+        'rounds' for int8/uint8 at k ≤ 32, else 'pool'. All are exact.
       bias_row: optional ``[N]`` f32 per-row additive dot correction
         (affine-offset uint8 path: the per-row code sum); applied as
         ``dots += bias_scale · bias_row`` before the metric epilogue.
@@ -659,6 +841,11 @@ def _fused_topk(
     int_path_early = db.dtype in (jnp.int8.dtype, jnp.uint8.dtype)
     if merge is None:
         merge = "rounds" if int_path_early and k <= _UNROLL_K_MAX else "pool"
+    if merge not in ("pool", "rounds", "chunks"):
+        raise ValueError(
+            f"unknown merge strategy {merge!r}; one of 'pool', 'rounds', "
+            "'chunks'"
+        )
     if block_rows is None:
         # split planes stream two bf16 blocks = f32-equivalent bytes
         eff_itemsize = 4 if split_planes else db.dtype.itemsize
@@ -683,9 +870,40 @@ def _fused_topk(
         queries = q_hi
 
     metric = DistanceMetric(metric)
+    # Deferred-scale mode: int8 inner product with no bias ranks the
+    # unscaled f32-cast dots (monotone positive scale => identical order
+    # AND identical output values — the scale multiplies once at flush),
+    # replaces padding masks with a pad-bias add riding the norms slot,
+    # and gates inserts on fold maxima instead of a separate whole-tile
+    # skip pass.
+    defer_scale = (
+        db.dtype == jnp.int8.dtype
+        and metric == DistanceMetric.INNER_PRODUCT
+        and bias_row is None
+        and merge in ("pool", "rounds")
+        and float(scale) > 0.0
+    )
     int_path = int_path_early
     nvalid_arr = jnp.asarray(num_valid, dtype=jnp.int32).reshape(1, 1)
-    norms_2d = db_norms.reshape(1, n).astype(jnp.float32)
+    if defer_scale:
+        # IP ignores norms; ship the pad-bias row in their slot (see the
+        # kernel's deferred-scale masking note). Sized to the full grid
+        # extent so the final (possibly partial) block never reads out of
+        # bounds — an OOB pad value would poison the whole block's gate
+        # (−inf + NaN = NaN, and NaN > worst is false).
+        n_grid = _round_up(n, block_rows)
+        iota_n = jnp.arange(n_grid, dtype=jnp.int32)
+        live = iota_n < jnp.asarray(num_valid, jnp.int32)
+        if exclude_stride is not None:
+            # presampled two-phase scan: rows already seeded from the
+            # strided subsample are excluded here so they cannot enter
+            # the pool twice (seed ∪ scan partitions the corpus)
+            live = jnp.logical_and(live, iota_n % exclude_stride != 0)
+        norms_2d = jnp.where(
+            live, jnp.float32(0.0), jnp.float32(_NEG_INF)
+        ).reshape(1, n_grid)
+    else:
+        norms_2d = db_norms.reshape(1, n).astype(jnp.float32)
 
     grid = (q_pad // qt, pl.cdiv(n, block_rows))
 
@@ -722,12 +940,23 @@ def _fused_topk(
     if valid_mask is not None:
         in_specs.append(row_spec)
         args.append(valid_mask.reshape(1, n).astype(jnp.float32))
+    if seed_s is not None:
+        seed_spec = pl.BlockSpec((qt, k_pad), lambda qi, ni: (qi, 0),
+                                 memory_space=pltpu.VMEM)
+        ss = jnp.asarray(seed_s, jnp.float32)
+        si = jnp.asarray(seed_i, jnp.int32)
+        pads = ((0, q_pad - ss.shape[0]), (0, k_pad - ss.shape[1]))
+        ss = jnp.pad(ss, pads, constant_values=_NEG_INF)
+        si = jnp.pad(si, pads, constant_values=-1)
+        in_specs += [seed_spec, seed_spec]
+        args += [ss, si]
 
     kernel = _make_kernel(
         k, k_pad, block_rows, metric, float(scale),
         has_valid=valid_mask is not None, int_path=int_path,
         precision=precision, has_bias=bias_row is not None,
-        split_planes=split_planes, merge=merge,
+        split_planes=split_planes, merge=merge, defer_scale=defer_scale,
+        has_seed=seed_s is not None, raw_scores=raw_scores,
     )
 
     flops_dot = 2 * q_pad * n * d
@@ -748,11 +977,21 @@ def _fused_topk(
         scratch_shapes=[
             pltpu.VMEM((qt, k_pad), jnp.float32),
             pltpu.VMEM((qt, k_pad), jnp.int32),
-        ],
+        ]
+        + (
+            # chunked merge stages block scores in VMEM for dynamic
+            # per-chunk ref loads (no value dynamic_slice in Mosaic)
+            [pltpu.VMEM((qt, block_rows), jnp.float32)]
+            if merge == "chunks"
+            else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops_dot,
             bytes_accessed=n * d * db.dtype.itemsize + q_pad * d * 4 + n * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*args)
@@ -760,3 +999,60 @@ def _fused_topk(
     # normalize their index to the −1 sentinel.
     out_i = jnp.where(jnp.isneginf(out_s), -1, out_i)
     return out_s[:q, :k], out_i[:q, :k]
+
+
+def fused_topk_presampled(
+    queries,
+    db,
+    db_norms,
+    num_valid,
+    k: int,
+    metric,
+    scale: float = 1.0,
+    stride: int = 64,
+    block_rows: int | None = None,
+    query_tile: int = 128,
+    interpret: bool = False,
+    merge: str | None = None,
+):
+    """Two-phase exact top-k for the deferred-scale regime (int8 inner
+    product, no bias/mask): phase 1 computes the exact top-k of the
+    ``[::stride]`` row subsample (~``1/stride`` of the scan) and seeds the
+    main kernel's candidate pool with it, so the per-query thresholds
+    start near their final values and the whole-tile skip test eliminates
+    the lane fold on almost every block — the main scan drops to ~3 VPU
+    passes per element (cast + pad-bias + skip max). Phase 2 excludes the
+    subsampled rows via the pad-bias row, so seed ∪ scan partitions the
+    corpus and no row can enter the pool twice. Results are exact and
+    identical to :func:`fused_topk` (both phases share its selection
+    semantics; a subsample row in the global top-k is necessarily in the
+    subsample's top-k).
+
+    Falls back to plain :func:`fused_topk` when the inputs don't qualify
+    for the deferred-scale path."""
+    if not (
+        db.dtype == jnp.int8.dtype
+        and DistanceMetric(metric) == DistanceMetric.INNER_PRODUCT
+        and float(scale) > 0.0
+        and db.shape[0] > 4 * stride
+    ):
+        return fused_topk(
+            queries, db, db_norms, num_valid, k, metric, scale=scale,
+            block_rows=block_rows, query_tile=query_tile,
+            interpret=interpret, merge=merge,
+        )
+    n = db.shape[0]
+    n_sub = -(-n // stride)
+    nv = jnp.asarray(num_valid, jnp.int32)
+    nv_sub = -(-nv // stride)  # rows i·stride < num_valid
+    seed_s, seed_i = fused_topk(
+        queries, db[::stride], db_norms[::stride], nv_sub,
+        min(k, n_sub), metric, scale=scale, query_tile=query_tile,
+        interpret=interpret, merge=merge, raw_scores=True,
+    )
+    seed_i = jnp.where(seed_i >= 0, seed_i * stride, seed_i)
+    return fused_topk(
+        queries, db, db_norms, num_valid, k, metric, scale=scale,
+        block_rows=block_rows, query_tile=query_tile, interpret=interpret,
+        merge=merge, seed_s=seed_s, seed_i=seed_i, exclude_stride=stride,
+    )

@@ -22,7 +22,7 @@ def _random_config(rng):
     dup = float(rng.choice([0.0, 0.0, 0.5, 0.9]))
     tomb = float(rng.choice([0.0, 0.1]))
     block_rows = int(rng.choice([128, 256, 384]))
-    merge = str(rng.choice(["pool", "rounds"]))
+    merge = str(rng.choice(["pool", "rounds", "chunks"]))
     return n, d, k, metric, dup, tomb, block_rows, merge
 
 
@@ -82,7 +82,7 @@ def test_fuzz_int8_paths(trial):
     n = int(rng.integers(100, 500))
     d = int(rng.choice([8, 16, 32]))
     k = int(rng.integers(1, 40))
-    merge = str(rng.choice(["pool", "rounds"]))
+    merge = str(rng.choice(["pool", "rounds", "chunks"]))
     codes = rng.integers(-128, 128, (n, d)).astype(np.int8)
     scale = 0.05
     deq = codes.astype(np.float32) * scale

@@ -134,3 +134,56 @@ def test_kernel_k_exceeds_lane_tile(rng):
     s, i = _run(queries, db, norms, 512, 150, DistanceMetric.L2, block_rows=256)
     _, oi = numpy_oracle(queries, db, 150, DistanceMetric.L2)
     assert np.array_equal(np.asarray(i), oi)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_chunked_merge_matches_oracle(rng, metric):
+    """The 'chunks' strategy (per-128-lane skip + direct pool inserts,
+    no lane fold) must be bit-for-rank exact like the others."""
+    n, d, k = 1024, 32, 10
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    if metric == DistanceMetric.COSINE:
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    s, i = fused_topk(
+        q, db, norms, np.int32(n), k, metric,
+        block_rows=256, interpret=True, merge="chunks",
+    )
+    _, oi = numpy_oracle(q, db, k, metric)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_chunked_merge_duplicates_and_tombstones(rng):
+    """Tie-break (lowest index) and masking discipline under the chunked
+    strategy, with heavy duplicates so ties cross chunk boundaries."""
+    n, d, k = 512, 16, 12
+    base = rng.standard_normal((64, d)).astype(np.float32)
+    db = base[rng.integers(0, 64, n)]  # many exact duplicates
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[rng.choice(n, 40, replace=False)] = 0.0
+    s, i = fused_topk(
+        q, db, norms, np.int32(n), k, DistanceMetric.L2,
+        valid_mask=mask, block_rows=128, interpret=True, merge="chunks",
+    )
+    masked = db.copy().astype(np.float64)
+    masked[mask == 0] = np.nan
+    _, oi = numpy_oracle(q, masked, k, DistanceMetric.L2)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_chunked_merge_int8_k100(rng):
+    n, d, k = 768, 32, 100
+    db = rng.integers(-128, 127, (n, d)).astype(np.int8)
+    q = rng.integers(-128, 127, (5, d)).astype(np.int8)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    s, i = fused_topk(
+        q, db, norms, np.int32(n), k, DistanceMetric.L2,
+        block_rows=256, interpret=True, merge="chunks",
+    )
+    _, oi = numpy_oracle(
+        q.astype(np.float32), db.astype(np.float64), k, DistanceMetric.L2
+    )
+    np.testing.assert_array_equal(np.asarray(i), oi)
