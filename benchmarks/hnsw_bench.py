@@ -65,7 +65,16 @@ def main() -> None:
         f"native={native}, layers={len(idx.layers)}"
     )
 
-    q = rng.standard_normal((args.queries, args.d)).astype(np.float32)
+    if args.clustered:
+        # in-distribution queries: perturbed corpus rows (gaussian
+        # queries sit near the origin, far from every cluster — a
+        # pathological off-distribution set, not a recall benchmark)
+        q = (
+            data[rng.integers(0, args.n, args.queries)]
+            + 0.3 * rng.standard_normal((args.queries, args.d))
+        ).astype(np.float32)
+    else:
+        q = rng.standard_normal((args.queries, args.d)).astype(np.float32)
     # exact oracle in blocks (f64-free is fine: gating is set overlap)
     norms = np.einsum("ij,ij->i", data, data).astype(np.float32)
     oi = np.empty((args.queries, 10), np.int64)

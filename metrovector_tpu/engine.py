@@ -147,7 +147,6 @@ class DeviceSpace:
         dtype: DataType = DataType.FLOAT32,
         name: str = "",
         rowsums: jax.Array | None = None,
-        data_lo: jax.Array | None = None,
         precision: str = "highest",
         host_ids: np.ndarray | None = None,
     ):
@@ -164,8 +163,6 @@ class DeviceSpace:
         # uint8 offset path: per-row sums of the shifted int8 codes
         # (Σ(c−128) over logical dims), consumed as the kernel's bias_row.
         self.rowsums = rowsums
-        # f32 'high' precision: precomputed bf16 lo plane (hi lives in data)
-        self.data_lo = data_lo
         self.precision = precision
         # Host-side stable ID column (u64), used only to translate result
         # row positions back to external IDs — never shipped to the device.
@@ -206,20 +203,18 @@ class DeviceSpace:
             # f32, so values and rankings are bit-identical to the file.
             # (Memory-sensitive deployments should store bf16 instead.)
             block = block.astype(np.float32)
-        data_lo = None
-        if block.dtype == np.float32 and precision in ("high", "default"):
-            # 'high': precompute hi/lo bf16 planes (same total HBM bytes,
-            # ~16 significand bits, 3 MXU passes instead of HIGHEST's 6).
-            # 'default': keep only the hi plane (HALF the HBM bytes and
-            # one MXU pass; near-ties reorder at bf16 resolution).
+        if block.dtype == np.float32 and precision == "default":
+            # 'default': bf16 storage — HALF the HBM bytes and one MXU
+            # pass; near-ties reorder at bf16 resolution. ('high' keeps
+            # the f32 block and runs the kernel's in-kernel bf16x3 split:
+            # ~f32-faithful dots at 3 MXU passes instead of HIGHEST's 6.
+            # The round-2 PRECOMPUTED hi/lo-plane variant was retired in
+            # round 3: measured within noise of HIGHEST at batch 256 with
+            # no memory advantage, while carrying a toolchain-fragility
+            # compile-failure latch — see benchmarks/RESULTS.md.)
             import ml_dtypes
 
-            hi = block.astype(ml_dtypes.bfloat16)
-            if precision == "high":
-                data_lo = put(
-                    (block - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-                )
-            block = hi
+            block = block.astype(ml_dtypes.bfloat16)
         rowsums = None
         if space.dtype == DataType.UINT8:
             shifted = block.astype(np.int16) - 128
@@ -241,7 +236,6 @@ class DeviceSpace:
             dtype=space.dtype,
             name=space.name,
             rowsums=rowsums,
-            data_lo=data_lo,
             precision=precision,
             host_ids=space.ids(),
         )
@@ -342,15 +336,6 @@ class DeviceSpace:
             self.valid_mask = grown(
                 self.valid_mask, np.ones(n_new, np.float32), fill=1.0
             )
-        if self.data_lo is not None:
-            import ml_dtypes
-
-            # data holds the hi plane (block_new, already bf16); the lo
-            # plane is the f32 residual of that cast.
-            lo = (
-                block_f32 - block_new.astype(np.float32)
-            ).astype(ml_dtypes.bfloat16)
-            self.data_lo = grown(self.data_lo, lo)
         if merged_ids is not None:
             self.host_ids = merged_ids
             self._id_lut = None  # invalidate the lazy id→row map
@@ -396,20 +381,6 @@ class DeviceSpace:
         mask = mask.copy()
         mask[np.asarray(idx, np.int64)] = 0.0
         self.valid_mask = jax.device_put(mask)
-
-    def _latch_split_fallback(self) -> None:
-        """One-time recovery when the split-plane kernel cannot compile on
-        the current toolchain (ops.topk_kernel.split_planes_broken): rebuild
-        the f32 corpus from the hi/lo bf16 planes on-device, drop the lo
-        plane, and serve at HIGHEST from then on. Exact — f32 == hi + lo by
-        construction — and avoids per-search reconstruction."""
-        import jax.numpy as _jnp
-
-        self.data = self.data.astype(_jnp.float32) + self.data_lo.astype(
-            _jnp.float32
-        )
-        self.data_lo = None
-        self.precision = "highest"
 
     @property
     def padded_rows(self) -> int:
@@ -622,14 +593,9 @@ class SearchEngine:
             scores, idx = self._search_uint8_dequant(prep.qdev, k_eff, eff_mask)
         elif self.backend == "pallas":
             qdev = prep.qdev
-            if sp.data_lo is not None:
-                from .ops import topk_kernel as _tk
-
-                if _tk.split_planes_broken():
-                    sp._latch_split_fallback()
             kernel_prec = "highest"
-            if sp.data_lo is not None:
-                kernel_prec = "high"  # split planes: kernel re-splits queries
+            if sp.dtype == DataType.FLOAT32 and sp.precision == "high":
+                kernel_prec = "high"  # in-kernel bf16x3 split
             elif sp.dtype == DataType.FLOAT32 and sp.precision == "default":
                 qdev = qdev.astype(sp.data.dtype)  # bf16-only storage
                 kernel_prec = "default"
@@ -639,7 +605,6 @@ class SearchEngine:
                 valid_mask=eff_mask, scale=prep.dot_scale,
                 bias_row=sp.rowsums, bias_scale=prep.bias_scale,
                 interpret=self.interpret, precision=kernel_prec,
-                db_lo=sp.data_lo,
             )
         else:
             q_x, db_x = prep.qdev, sp.data

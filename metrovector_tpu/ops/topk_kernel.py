@@ -49,20 +49,6 @@ _NEG_INF = float("-inf")
 _log = get_logger("ops.topk")
 
 
-# Latched True the first time the split-plane ('high' precision) kernel
-# fails Mosaic compilation on this toolchain, so later calls skip the
-# re-attempt (lowering failures are not jit-cached; remote compiles cost
-# 30s+ each). Engines should consult split_planes_broken() and drop their
-# lo planes permanently (see engine.DeviceSpace._latch_split_fallback).
-_SPLIT_PLANES_BROKEN = False
-
-
-def split_planes_broken() -> bool:
-    """True once the split-plane kernel has failed to compile in this
-    process; the 'high' path will serve via f32 reconstruction instead."""
-    return _SPLIT_PLANES_BROKEN
-
-
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -472,25 +458,23 @@ _PRECISIONS = {
 def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                  scale: float, has_valid: bool, int_path: bool,
                  precision: str, has_bias: bool = False,
-                 split_planes: bool = False, merge: str = "pool",
+                 merge: str = "pool",
                  defer_scale: bool = False, has_seed: bool = False,
                  raw_scores: bool = False):
     metric = DistanceMetric(metric)
     prec = _PRECISIONS[precision]
-    bf16x3 = precision == "high" and not int_path and not split_planes
+    bf16x3 = precision == "high" and not int_path
     lanes = 128
     n_chunks = block_rows // lanes
 
     def kernel(nvalid_ref, *rest):
         # Optional inputs appear in declaration order: bias_scale (SMEM),
-        # queries, db, [db_lo], norms, bias_row, valid_mask, then outputs
+        # queries, db, norms, bias_row, valid_mask, [seeds], then outputs
         # + scratch.
         rest = list(rest)
         bias_scale_ref = rest.pop(0) if has_bias else None
         q_ref, db_ref = rest[:2]
         rest = rest[2:]
-        q_lo_ref = rest.pop(0) if split_planes else None
-        db_lo_ref = rest.pop(0) if split_planes else None
         norms_ref = rest.pop(0)
         bias_ref = rest.pop(0) if has_bias else None
         valid_ref = rest.pop(0) if has_valid else None
@@ -520,27 +504,6 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                 q_ref[:], db_ref[:], dimension_numbers=dims,
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
-        elif split_planes:
-            # Precomputed hi/lo bf16 planes (f32 = hi + lo to ~16
-            # significand bits; same total HBM bytes as f32). The queries
-            # split OUTSIDE the kernel (tiny tensors; in-kernel f32→bf16
-            # casts of matmul operands fail Mosaic layout at wide dims —
-            # "Bad lhs type" at D=1024) — three single-pass bf16 MXU dots,
-            # no per-block VPU casting of the corpus.
-            q_hi = q_ref[:]
-            q_lo = q_lo_ref[:]
-            dots = jax.lax.dot_general(
-                q_hi, db_ref[:], dimension_numbers=dims,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            dots += jax.lax.dot_general(
-                q_hi, db_lo_ref[:], dimension_numbers=dims,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            dots += jax.lax.dot_general(
-                q_lo, db_ref[:], dimension_numbers=dims,
-                preferred_element_type=jnp.float32, precision=prec,
-            )
         elif bf16x3:
             # Manual bf16x3 split: q = q_hi + q_lo exactly captures ~16
             # significand bits; q·x ≈ q_hi·x_hi + q_hi·x_lo + q_lo·x_hi
@@ -671,7 +634,6 @@ def fused_topk(
     precision: str = "highest",
     bias_row=None,
     bias_scale=1.0,
-    db_lo=None,
     merge: str | None = None,
     seed_s=None,
     seed_i=None,
@@ -683,29 +645,6 @@ def fused_topk(
     exactly predictable, e.g. large-``k`` selection), retry with
     successively smaller ``block_rows``. The shrink only triggers on the
     first compile of a shape; steady-state calls hit the jit cache."""
-    global _SPLIT_PLANES_BROKEN
-
-    def _reconstructed_highest():
-        # Split-plane compilation is toolchain-sensitive (a Mosaic "Bad
-        # lhs type" regression appeared mid-cycle on v5e for the two-plane
-        # operand layout). Reconstruct f32 = hi + lo on device and serve
-        # at HIGHEST — exact, just without the bf16x3 speedup. Callers
-        # holding the planes (engine.DeviceSpace) should check
-        # :func:`split_planes_broken` and latch the reconstruction so this
-        # per-call rebuild happens at most once per corpus.
-        db32 = db.astype(jnp.float32) + db_lo.astype(jnp.float32)
-        return _fused_topk(
-            queries, db32, db_norms, num_valid, k, metric,
-            valid_mask=valid_mask, scale=scale, block_rows=None,
-            query_tile=query_tile, interpret=interpret,
-            precision="highest", bias_row=bias_row,
-            bias_scale=bias_scale, db_lo=None,
-        )
-
-    if db_lo is not None and _SPLIT_PLANES_BROKEN:
-        # Latched: skip the (30s+ remote-compile) re-attempt entirely.
-        return _reconstructed_highest()
-
     bn = block_rows
     last_exc = None
     for _ in range(5):
@@ -715,22 +654,13 @@ def fused_topk(
                 valid_mask=valid_mask, scale=scale, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
                 precision=precision, bias_row=bias_row,
-                bias_scale=bias_scale, db_lo=db_lo, merge=merge,
+                bias_scale=bias_scale, merge=merge,
                 seed_s=seed_s, seed_i=seed_i, raw_scores=raw_scores,
                 exclude_stride=exclude_stride,
             )
         except Exception as exc:  # jaxlib runtime error types vary
             msg = str(exc)
             if "vmem" not in msg.lower() and "VMEM" not in msg:
-                if db_lo is not None and (
-                    "Mosaic" in msg or "mosaic" in msg
-                ):
-                    _log.warning(
-                        "split-plane kernel failed to compile (%s); "
-                        "falling back to f32 HIGHEST", msg.splitlines()[0]
-                    )
-                    _SPLIT_PLANES_BROKEN = True
-                    return _reconstructed_highest()
                 raise
             last_exc = exc
             if bn is None:
@@ -772,7 +702,6 @@ def _fused_topk(
     precision: str = "highest",
     bias_row: jax.Array | None = None,
     bias_scale: jax.Array | float = 1.0,
-    db_lo: jax.Array | None = None,
     merge: str | None = None,
     seed_s: jax.Array | None = None,
     seed_i: jax.Array | None = None,
@@ -837,7 +766,6 @@ def _fused_topk(
     n = db.shape[0]
     qt = min(query_tile, _round_up(q, 8))
     k_pad = _round_up(k, LANES)
-    split_planes = db_lo is not None
     int_path_early = db.dtype in (jnp.int8.dtype, jnp.uint8.dtype)
     if merge is None:
         merge = "rounds" if int_path_early and k <= _UNROLL_K_MAX else "pool"
@@ -847,12 +775,9 @@ def _fused_topk(
             "'chunks'"
         )
     if block_rows is None:
-        # split planes stream two bf16 blocks = f32-equivalent bytes
-        eff_itemsize = 4 if split_planes else db.dtype.itemsize
         block_rows = default_block_rows(
-            d, eff_itemsize, qt,
-            bf16x3=precision == "high" and db.dtype.itemsize == 4
-            and not split_planes,
+            d, db.dtype.itemsize, qt,
+            bf16x3=precision == "high" and db.dtype.itemsize == 4,
             k_pad=k_pad, pool_merge=merge == "pool",
         )
     # The lane-fold merge requires whole 128-lane chunks per block.
@@ -861,14 +786,6 @@ def _fused_topk(
     q_pad = _round_up(q, qt)
     if q_pad != q:
         queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
-    queries_lo = None
-    if split_planes:
-        # Host/XLA-side query split (see kernel comment): hi plane rides
-        # the regular query slot, lo plane is an extra input.
-        q_hi = queries.astype(jnp.bfloat16)
-        queries_lo = (queries - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        queries = q_hi
-
     metric = DistanceMetric(metric)
     # Deferred-scale mode: int8 inner product with no bias ranks the
     # unscaled f32-cast dots (monotone positive scale => identical order
@@ -923,15 +840,6 @@ def _fused_topk(
         db_spec,
     ]
     args += [queries, db]
-    if split_planes:
-        # lo query plane first (matches kernel arg order), then lo db plane
-        in_specs.append(
-            pl.BlockSpec((qt, d), lambda qi, ni: (qi, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(queries_lo)
-        in_specs.append(db_spec)
-        args.append(db_lo)
     in_specs.append(row_spec)
     args.append(norms_2d)
     if bias_row is not None:
@@ -955,7 +863,7 @@ def _fused_topk(
         k, k_pad, block_rows, metric, float(scale),
         has_valid=valid_mask is not None, int_path=int_path,
         precision=precision, has_bias=bias_row is not None,
-        split_planes=split_planes, merge=merge, defer_scale=defer_scale,
+        merge=merge, defer_scale=defer_scale,
         has_seed=seed_s is not None, raw_scores=raw_scores,
     )
 

@@ -227,9 +227,10 @@ def test_device_space_nbytes(tmp_path, rng):
 
 @pytest.mark.parametrize("precision", ["high", "default"])
 def test_precision_modes(tmp_path, rng, precision):
-    """'high' (split hi/lo bf16 planes) must match the f32 oracle exactly
-    on well-separated data; 'default' (bf16-only, half HBM) must keep very
-    high overlap."""
+    """'high' (in-kernel bf16x3 split over the f32 corpus; the round-2
+    precomputed-plane variant was retired in round 3) must match the f32
+    oracle exactly on well-separated data; 'default' (bf16-only, half
+    HBM) must keep very high overlap."""
     path, data = _build(tmp_path, rng, n=400, d=64)
     eng = SearchEngine.open(path, backend="pallas", precision=precision)
     queries = rng.standard_normal((5, 64)).astype(np.float32)
@@ -237,13 +238,13 @@ def test_precision_modes(tmp_path, rng, precision):
     _, oi = numpy_oracle(queries, data, 10, DistanceMetric.L2)
     if precision == "high":
         assert np.array_equal(res.indices, oi)
-        assert eng.space.data_lo is not None
-        assert eng.space.data.dtype.name == "bfloat16"
+        # corpus stays f32 (same HBM as HIGHEST; the split happens on
+        # the MXU operands inside the kernel)
+        assert eng.space.data.dtype.name == "float32"
     else:
         overlap = np.mean(
             [len(set(res.indices[r]) & set(oi[r])) / 10 for r in range(5)]
         )
         assert overlap >= 0.9
-        assert eng.space.data_lo is None
         # half the memory of f32
         assert eng.space.data.dtype.itemsize == 2
