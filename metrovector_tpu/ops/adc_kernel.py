@@ -181,7 +181,8 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
         # with actual improvements, not k — this replaced the deferred
         # "merge_every" selection batching, which only divided the k-round
         # frequency by a constant.
-        _pool_merge_block(scores, best_s, best_i, row0, k, k_pad, block_rows)
+        _pool_merge_block(scores, best_s, best_i, row0, k, k_pad, block_rows,
+                          top2=k > 32)
 
         @pl.when(ni == nblocks - 1)
         def _flush():

@@ -48,6 +48,11 @@ from ..utils.log import get_logger
 _NEG_INF = float("-inf")
 _log = get_logger("ops.topk")
 
+# Performance-attribution knob (tests/benchmarks only): skips the
+# full-width collision fallback, making results INEXACT when two
+# pool-beating rows share a lane. Never set in production paths.
+_DEBUG_NO_COLLISION = False
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -203,7 +208,8 @@ def _make_pool_inserter(best_s, best_i, pool_valid, col_iota_k):
 
 
 def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
-                      block_rows: int, skip_test: bool = True):
+                      block_rows: int, skip_test: bool = True,
+                      top2: bool = False):
     """Streaming top-k pool merge for one score block — shared by the
     distance kernel and the ADC kernel.
 
@@ -225,6 +231,16 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
     on the fold maxima — for regimes (large query tiles over many-block
     scans) where the whole-tile skip almost never fires and its full-width
     max pass is pure overhead.
+
+    ``top2=True`` (auto at k > 32): the fold tracks per-lane (max,
+    second-max). At large ``k`` the threshold is loose enough that ~80% of
+    blocks have SOME query with two pool-beating rows in one lane —
+    measured 4.7 ms of the 5.9 ms k=10→k=100 gap at batch 256 went to the
+    resulting full-width fallback inserts. With the lane's top-2 both
+    present, the second-best candidates insert in one cheap extra gated
+    call and the fallback fires only for ≥3 improvements in a lane (rare
+    even at k=100). Exact: ≤2 improvements in a lane are necessarily that
+    lane's top-2 (anything above an improvement is itself ≥ theta).
     """
     lanes = LANES
     n_chunks = block_rows // lanes
@@ -242,26 +258,46 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
     )
     worst = jnp.min(theta)
 
+    neg = jnp.float32(_NEG_INF)
+
     def fold():
         # Lane fold: compress the block to its per-lane maxima — 128
         # candidates per query in ~2 passes. Exact unless one query has two
         # pool-beating rows in the same lane of the same block, which the
         # per-lane improvement count detects; that rare case inserts from
-        # the full-width block instead.
+        # the full-width block instead. In top2 mode the per-lane
+        # second-max (with its chunk argmax) is tracked alongside, so the
+        # fallback threshold moves to three improvements in one lane.
         th_col = theta[:, None]
         fm = scores[:, 0:lanes]
         am = jnp.zeros((qt, lanes), jnp.int32)
+        fm2 = jnp.full((qt, lanes), neg)
+        am2 = jnp.zeros((qt, lanes), jnp.int32)
         imp = (fm >= th_col).astype(jnp.int32)
         for c in range(1, n_chunks):
             sc = scores[:, c * lanes : (c + 1) * lanes]
             gt = sc > fm
+            if top2:
+                # Loser of the top spot challenges the second spot. Ties
+                # keep the earlier (lower-id) holder everywhere, which
+                # only matters below the collision threshold where it is
+                # exact (see docstring).
+                cand = jnp.where(gt, fm, sc)
+                candi = jnp.where(gt, am, c)
+                gt2 = cand > fm2
+                fm2 = jnp.where(gt2, cand, fm2)
+                am2 = jnp.where(gt2, candi, am2)
             fm = jnp.where(gt, sc, fm)
             am = jnp.where(gt, c, am)
             imp += (sc >= th_col).astype(jnp.int32)
-        return fm, am, imp
+        return fm, am, fm2, am2, imp
 
-    def do_inserts(fm, am, imp):
-        collision = jnp.max(imp) >= 2
+    def do_inserts(fm, am, fm2, am2, imp):
+        max_imp = jnp.max(imp)
+        if _DEBUG_NO_COLLISION:  # attribution-only knob: INEXACT
+            collision = jnp.bool_(False)
+        else:
+            collision = max_imp >= (3 if top2 else 2)
         # Upper bound on insert rounds this block: the largest per-query
         # count of candidates ≥ its current k-th best (ties included),
         # capped at k — a block can insert at most k rows (each insert
@@ -277,6 +313,23 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
         @pl.when(jnp.logical_not(collision))
         def _fast():
             insert_candidates(fm, fold_idx, n_rounds)
+            if top2:
+                pair = imp >= 2
+                n2 = jnp.minimum(
+                    jnp.max(jnp.sum(pair.astype(jnp.int32), axis=1)),
+                    jnp.int32(k),
+                )
+
+                @pl.when(max_imp >= 2)
+                def _second():
+                    # Lanes with exactly two improvements: the runner-up
+                    # is a real candidate the single fold would have lost.
+                    s2 = jnp.where(pair, fm2, neg)
+                    i2 = jnp.where(
+                        pair, row0 + am2 * lanes + lane_iota,
+                        jnp.int32(2**31 - 1),
+                    )
+                    insert_candidates(s2, i2, n2)
 
         @pl.when(collision)
         def _slow():
@@ -292,14 +345,13 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
 
         @pl.when(blockmax > worst)
         def _merge():
-            fm, am, imp = fold()
-            do_inserts(fm, am, imp)
+            do_inserts(*fold())
     else:
-        fm, am, imp = fold()
+        fm, am, fm2, am2, imp = fold()
 
         @pl.when(jnp.max(fm) > worst)
         def _merge():
-            do_inserts(fm, am, imp)
+            do_inserts(fm, am, fm2, am2, imp)
 
 
 def _pool_flush(best_s, best_i, out_s_ref, out_i_ref, k: int, k_pad: int,
@@ -460,7 +512,8 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
                  precision: str, has_bias: bool = False,
                  merge: str = "pool",
                  defer_scale: bool = False, has_seed: bool = False,
-                 raw_scores: bool = False):
+                 raw_scores: bool = False,
+                 exclude_stride: int | None = None):
     metric = DistanceMetric(metric)
     prec = _PRECISIONS[precision]
     bf16x3 = precision == "high" and not int_path
@@ -556,19 +609,21 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
 
         row0 = ni * block_rows
 
-        # Unseeded deferred-scale scans drop the whole-tile skip pass
-        # (it almost never fires mid-scan: any query × any row beating the
-        # TILE-min threshold forces a merge, and qt·BN pairs per block add
-        # up); SEEDED scans keep it. Group-granular skips and per-query
-        # normalization were measured 2–3× SLOWER here (branchy per-group
-        # code defeats Mosaic's pipelining) — see benchmarks/RESULTS.md.
-        use_skip = not defer_scale or has_seed
+        # Unseeded deferred-scale scans AND large-k pool scans drop the
+        # whole-tile skip pass (it almost never fires mid-scan: any query
+        # × any row beating the TILE-min threshold forces a merge, qt·BN
+        # pairs per block add up, and at k > 32 the per-query thresholds
+        # are loose on top); SEEDED scans keep it. Group-granular skips
+        # and per-query normalization were measured 2–3× SLOWER here
+        # (branchy per-group code defeats Mosaic's pipelining) — see
+        # benchmarks/RESULTS.md.
+        use_skip = has_seed or (not defer_scale and k <= _UNROLL_K_MAX)
 
         def do_merge(sc):
             if merge == "pool":
                 _pool_merge_block(
                     sc, best_s, best_i, row0, k, k_pad, block_rows,
-                    skip_test=use_skip,
+                    skip_test=use_skip, top2=k > _UNROLL_K_MAX,
                 )
             elif merge == "chunks":
                 _chunked_merge_block(
@@ -595,7 +650,14 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
             rows = row0 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_rows), 1
             )
-            sc = jnp.where(rows < nvalid_ref[0, 0], scores, _NEG_INF)
+            live = rows < nvalid_ref[0, 0]
+            if exclude_stride is not None:
+                # presampled two-phase scan on the general (non-deferred)
+                # path: seeded subsample rows are excluded here so seed ∪
+                # scan partitions the corpus (the deferred-scale path does
+                # the same via its pad-bias row)
+                live = jnp.logical_and(live, rows % exclude_stride != 0)
+            sc = jnp.where(live, scores, _NEG_INF)
             if valid_ref is not None:
                 sc = jnp.where(valid_ref[:] != 0, sc, _NEG_INF)
             do_merge(sc)
@@ -865,6 +927,7 @@ def _fused_topk(
         precision=precision, has_bias=bias_row is not None,
         merge=merge, defer_scale=defer_scale,
         has_seed=seed_s is not None, raw_scores=raw_scores,
+        exclude_stride=None if defer_scale else exclude_stride,
     )
 
     flops_dot = 2 * q_pad * n * d
@@ -922,45 +985,58 @@ def fused_topk_presampled(
     query_tile: int = 128,
     interpret: bool = False,
     merge: str | None = None,
+    precision: str = "highest",
+    valid_mask=None,
+    sub=None,
 ):
-    """Two-phase exact top-k for the deferred-scale regime (int8 inner
-    product, no bias/mask): phase 1 computes the exact top-k of the
+    """Two-phase exact top-k: phase 1 computes the exact top-k of the
     ``[::stride]`` row subsample (~``1/stride`` of the scan) and seeds the
     main kernel's candidate pool with it, so the per-query thresholds
-    start near their final values and the whole-tile skip test eliminates
-    the lane fold on almost every block — the main scan drops to ~3 VPU
-    passes per element (cast + pad-bias + skip max). Phase 2 excludes the
-    subsampled rows via the pad-bias row, so seed ∪ scan partitions the
-    corpus and no row can enter the pool twice. Results are exact and
-    identical to :func:`fused_topk` (both phases share its selection
-    semantics; a subsample row in the global top-k is necessarily in the
-    subsample's top-k).
+    start near their final values from the first block. Phase 2 excludes
+    the subsampled rows (deferred-scale path: via the pad-bias row;
+    general path: via the kernel's liveness mask), so seed ∪ scan
+    partitions the corpus and no row can enter the pool twice. Results
+    are exact and identical to :func:`fused_topk` (both phases share its
+    selection semantics; a subsample row in the global top-k is
+    necessarily in the subsample's top-k).
 
-    Falls back to plain :func:`fused_topk` when the inputs don't qualify
-    for the deferred-scale path."""
-    if not (
-        db.dtype == jnp.int8.dtype
-        and DistanceMetric(metric) == DistanceMetric.INNER_PRODUCT
-        and float(scale) > 0.0
-        and db.shape[0] > 4 * stride
-    ):
+    The payoff is regime-dependent and measured in
+    ``benchmarks/RESULTS.md``: on the int8 deferred-scale scan it lost
+    (the whole-tile skip it feeds almost never fires at qt ≥ 64), while
+    at large ``k`` on matmul-heavy paths it cuts the pool's serialized
+    insert rounds (total inserts fall from ~k·ln(N/k) toward ~k·ln(stride)
+    per query — at k=100 most of the selection overhead over k=10).
+
+    ``sub``: optional pre-sliced ``(db[::stride], db_norms[::stride])``
+    pair so steady-state callers don't re-gather the subsample per call.
+
+    Falls back to plain :func:`fused_topk` for corpora too small for a
+    two-phase scan to make sense."""
+    if db.shape[0] <= 4 * stride:
         return fused_topk(
             queries, db, db_norms, num_valid, k, metric, scale=scale,
             block_rows=block_rows, query_tile=query_tile,
-            interpret=interpret, merge=merge,
+            interpret=interpret, merge=merge, precision=precision,
+            valid_mask=valid_mask,
         )
     n = db.shape[0]
     n_sub = -(-n // stride)
     nv = jnp.asarray(num_valid, jnp.int32)
     nv_sub = -(-nv // stride)  # rows i·stride < num_valid
+    db_sub, norms_sub = sub if sub is not None else (
+        db[::stride], db_norms[::stride]
+    )
     seed_s, seed_i = fused_topk(
-        queries, db[::stride], db_norms[::stride], nv_sub,
+        queries, db_sub, norms_sub, nv_sub,
         min(k, n_sub), metric, scale=scale, query_tile=query_tile,
         interpret=interpret, merge=merge, raw_scores=True,
+        precision=precision,
+        valid_mask=None if valid_mask is None else valid_mask[::stride],
     )
     seed_i = jnp.where(seed_i >= 0, seed_i * stride, seed_i)
     return fused_topk(
         queries, db, db_norms, num_valid, k, metric, scale=scale,
         block_rows=block_rows, query_tile=query_tile, interpret=interpret,
         merge=merge, seed_s=seed_s, seed_i=seed_i, exclude_stride=stride,
+        precision=precision, valid_mask=valid_mask,
     )

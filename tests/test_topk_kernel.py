@@ -187,3 +187,125 @@ def test_chunked_merge_int8_k100(rng):
         q.astype(np.float32), db.astype(np.float64), k, DistanceMetric.L2
     )
     np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def _presampled(queries, db, norms, n, k, metric, **kw):
+    from metrovector_tpu.ops.topk_kernel import fused_topk_presampled
+
+    q = queries
+    if metric == DistanceMetric.COSINE:
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    return fused_topk_presampled(
+        q, db, norms, np.int32(n), k, metric, interpret=True, **kw
+    )
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_presampled_matches_oracle_f32(rng, metric):
+    """The generalized two-phase scan (seed pool from [::stride], exclude
+    seeded rows via the kernel liveness mask) must be bit-for-rank
+    identical to the single-phase kernel on the general f32 path."""
+    queries, db, norms = _case(rng, n=1024, d=64, q=5)
+    s, i = _presampled(queries, db, norms, 1024, 10, metric,
+                       stride=16, block_rows=256)
+    _, oi = numpy_oracle(queries, db, 10, metric)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_presampled_k_exceeds_lanes_and_ragged(rng):
+    """k > 128 (rolled selection) with N not a multiple of block_rows or
+    of the stride."""
+    queries, db, norms = _case(rng, n=900, d=32, q=3)
+    s, i = _presampled(queries, db, norms, 900, 140, DistanceMetric.L2,
+                       stride=32, block_rows=256)
+    _, oi = numpy_oracle(queries, db, 140, DistanceMetric.L2)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_presampled_tombstones_and_duplicates(rng):
+    """Tombstoned rows must vanish from both phases; exact duplicates
+    exercise the seed-vs-scan tie-break (a scan row tying a seeded score
+    with a lower index must win)."""
+    n, d, k = 768, 16, 12
+    base = rng.standard_normal((48, d)).astype(np.float32)
+    db = base[rng.integers(0, 48, n)]
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[rng.choice(n, 60, replace=False)] = 0.0
+    s, i = _presampled(queries, db, norms, n, k, DistanceMetric.L2,
+                       stride=16, block_rows=128, valid_mask=mask)
+    masked = db.copy().astype(np.float64)
+    masked[mask == 0] = np.nan
+    _, oi = numpy_oracle(queries, masked, k, DistanceMetric.L2)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_presampled_int8_deferred_scale(rng):
+    """The original deferred-scale regime (int8 IP, pad-bias exclusion)
+    must still be exact after the generalization."""
+    n, d, k = 640, 32, 10
+    codes = rng.integers(-128, 128, (n, d)).astype(np.int8)
+    q = rng.integers(-128, 128, (3, d)).astype(np.int8)
+    scale = 0.031
+    deq = codes.astype(np.float32) * scale
+    norms = (deq.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    s, i = _presampled(q, codes, norms, n, k,
+                       DistanceMetric.INNER_PRODUCT,
+                       scale=scale * 0.02, stride=16, block_rows=128)
+    _, oi = numpy_oracle(q.astype(np.float32) * 0.02, deq, k,
+                         DistanceMetric.INNER_PRODUCT)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_presampled_presliced_sub_matches(rng):
+    """The steady-state `sub=` fast path must give identical results to
+    the self-sliced one."""
+    queries, db, norms = _case(rng, n=512, d=32, q=2)
+    import jax.numpy as jnp
+
+    sub = (jnp.asarray(db[::8]), jnp.asarray(norms[::8]))
+    s1, i1 = _presampled(queries, db, norms, 512, 9, DistanceMetric.L2,
+                         stride=8, block_rows=128)
+    s2, i2 = _presampled(queries, db, norms, 512, 9, DistanceMetric.L2,
+                         stride=8, block_rows=128, sub=sub)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_pool_top2_duplicates_k100(rng):
+    """k > 32 engages the top-2 lane fold; heavy duplicates force lanes
+    with two and three pool-beating rows (pair insert + full-width
+    fallback paths) while keeping the tie-break contract."""
+    n, d, k = 2048, 16, 100
+    base = rng.standard_normal((96, d)).astype(np.float32)
+    db = base[rng.integers(0, 96, n)]  # ~21 copies of each row
+    queries = rng.standard_normal((5, d)).astype(np.float32)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    s, i = fused_topk(
+        queries, db, norms, np.int32(n), k, DistanceMetric.L2,
+        block_rows=512, interpret=True, merge="pool",
+    )
+    _, oi = numpy_oracle(queries, db, k, DistanceMetric.L2)
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_pool_top2_exact_pair_in_lane(rng):
+    """Plant exactly two pool-beating rows in one 128-lane of one block
+    (ids 128 apart) — the case the single fold dropped and the pair
+    insert must now recover without the full-width fallback."""
+    n, d, k = 1024, 8, 40
+    db = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    q = np.ones((1, d), np.float32)
+    # two huge rows in the same lane (col j, chunks c and c+1 of block 0)
+    db[3 * 128 + 17] = 5.0
+    db[4 * 128 + 17] = 4.0
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    s, i = fused_topk(
+        q, db, norms, np.int32(n), k, DistanceMetric.INNER_PRODUCT,
+        block_rows=1024, interpret=True, merge="pool",
+    )
+    got = set(map(int, np.asarray(i)[0][:2]))
+    assert got == {3 * 128 + 17, 4 * 128 + 17}
+    _, oi = numpy_oracle(q, db, k, DistanceMetric.INNER_PRODUCT)
+    np.testing.assert_array_equal(np.asarray(i), oi)
