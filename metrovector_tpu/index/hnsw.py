@@ -5,7 +5,10 @@ stores ``graph_block_index: 0`` with a TODO and no graph is ever built or
 searched (``src/builder.rs:459``, ``schema/index.fbs:25-30`` in
 thegenem0/metrovector). Here HNSW is implemented for real (Malkov &
 Yashunin 2016: greedy descent through sparse upper layers, beam search at
-layer 0, heuristic-free closest-M neighbor selection).
+layer 0, diversifying neighbor selection per the paper's Algorithm 4 —
+plain closest-M selection fragments clustered corpora into per-cluster
+graph components and measured a flat 0.20 recall@10 at 1M nodes; see
+``benchmarks/RESULTS.md``).
 
 Placement rationale (TPU-first means knowing what NOT to put on the TPU):
 graph traversal is a chain of tiny data-dependent gathers — the exact
@@ -105,9 +108,38 @@ def _beam_build(q, ep, ef, layer_adj, rows, norms, metric):
     )
 
 
+def _select_heuristic(base, cand_ids, cap, rows, norms, metric):
+    """Diversifying neighbor selection (Malkov & Yashunin Algorithm 4
+    with keepPrunedConnections): walk candidates best-first w.r.t.
+    ``base`` and keep one only if it is no farther from the base than
+    from every already-kept neighbor; then backfill remaining slots with
+    the best pruned candidates (without backfill, structureless iid
+    corpora get graphs far sparser than ``cap`` and recall regresses
+    below even closest-M — measured, ``benchmarks/RESULTS.md``). Score
+    asymmetry is fine: at fixed candidate ``e``, ``s_e(x)`` comparisons
+    are distance comparisons."""
+    if len(cand_ids) <= cap:
+        return [int(v) for v in cand_ids]
+    out: list[int] = []
+    pruned: list[int] = []
+    for e in cand_ids:
+        if len(out) >= cap:
+            break
+        e = int(e)
+        sc = _scores(rows[e], rows, norms,
+                     np.asarray([base] + out, np.int64), metric)
+        if np.all(sc[1:] <= sc[0]):
+            out.append(e)
+        elif len(pruned) < cap:
+            pruned.append(e)
+    out += pruned[: cap - len(out)]
+    return out
+
+
 def _connect_build(node, neighbors, layer_adj, cap, rows, norms, metric):
     """Link ``node``↔``neighbors`` in a build-time adjacency dict, pruning
-    over-full neighbor lists back to the best ``cap`` by score."""
+    over-full neighbor lists back to ``cap`` with the diversifying
+    heuristic."""
     layer_adj[int(node)] = np.asarray(neighbors[:cap], np.int32)
     for v in neighbors[:cap]:
         cur = layer_adj.get(int(v))
@@ -119,7 +151,12 @@ def _connect_build(node, neighbors, layer_adj, cap, rows, norms, metric):
         if len(merged) > cap:
             sc = _scores(rows[int(v)], rows, norms,
                          merged.astype(np.int64), metric)
-            merged = merged[np.argsort(-sc, kind="stable")[:cap]]
+            best_first = merged[np.argsort(-sc, kind="stable")]
+            merged = np.asarray(
+                _select_heuristic(int(v), best_first.tolist(), cap, rows,
+                                  norms, metric),
+                np.int32,
+            )
         layer_adj[int(v)] = merged
 
 
@@ -147,7 +184,8 @@ def _insert_nodes(adj, rows, norms, metric, nodes, levels, entry,
                 q, eps, ef_construction, adj[layer], rows, norms, metric
             )
             cap = width0 if layer == 0 else width
-            chosen = [int(v) for v in ids[:cap] if int(v) != node]
+            cand = [int(v) for v in ids if int(v) != node]
+            chosen = _select_heuristic(node, cand, cap, rows, norms, metric)
             _connect_build(node, chosen, adj[layer], cap, rows, norms, metric)
             eps = list(ids[: max(1, len(ids))])
         if lvl > entry_level:

@@ -5,13 +5,22 @@
 // The Python twin (../index/hnsw.py) defines the behavior; this module is
 // the performance path for the host-side graph work that deliberately does
 // NOT run on the TPU (chained data-dependent tiny gathers — the worst
-// shape for XLA). Build is incremental insertion (Malkov & Yashunin 2016,
-// closest-M neighbor selection, no heuristic pruning — matching the
-// Python twin); search is greedy upper-layer descent + layer-0 beam.
+// shape for XLA). Build is incremental insertion (Malkov & Yashunin
+// 2016, matching the Python twin); search is greedy upper-layer descent
+// + layer-0 beam.
 //
 // Scores are the engine's greater-is-better convention:
 //   use_norms=1 (L2):  s(q, x) = 2 q·x − ‖x‖²
 //   use_norms=0 (IP / pre-normalized cosine):  s(q, x) = q·x
+//
+// Neighbor selection uses the diversifying heuristic (Malkov & Yashunin
+// Algorithm 4, no extend-candidates, no backfill — the hnswlib-proven
+// configuration): a candidate is kept only if it is closer to the base
+// point than to every already-kept neighbor. Plain closest-M selection
+// (the round-3 first cut) fragments clustered corpora into per-cluster
+// components — all M closest links stay inside a cluster whenever the
+// cluster has more than M members — and measured a FLAT recall@10 of
+// 0.20 at 1M nodes regardless of ef; see benchmarks/RESULTS.md.
 //
 // The handle BORROWS rows/norms — the Python caller keeps them alive.
 // Adjacency is exported in the Python frozen layout (ids sorted
@@ -152,8 +161,51 @@ void search_layer(const Index& ix, const float* q, const int64_t* eps,
   std::reverse(out.begin(), out.end());  // best-first
 }
 
+// Diversifying neighbor selection (Malkov & Yashunin Alg. 4 with
+// keepPrunedConnections). `cand` must be sorted best-first w.r.t.
+// `base`; the diversity pass keeps e only when s_e(base) >= s_e(r) for
+// every already-kept r, i.e. e is no farther from the base than from any
+// selected neighbor (ties keep, favoring connectivity); remaining slots
+// backfill with the best pruned candidates — without it, iid
+// (structureless) corpora get graphs far sparser than cap and recall
+// REGRESSES below even closest-M (measured: 0.59 → with backfill see
+// benchmarks/RESULTS.md). Score asymmetry is fine:
+// s_e(x) = -d(e,x)^2 + ||e||^2 in L2 mode, so comparisons at fixed e
+// are distance comparisons.
+void select_heuristic(const Index& ix, const std::vector<ScoredNode>& cand,
+                      int64_t base, int32_t cap,
+                      std::vector<ScoredNode>& out) {
+  out.clear();
+  if ((int32_t)cand.size() <= cap) {
+    out = cand;
+    return;
+  }
+  std::vector<ScoredNode> pruned;
+  for (const ScoredNode& e : cand) {
+    if ((int32_t)out.size() >= cap) break;
+    const float* eq = ix.rows + e.second * (int64_t)ix.d;
+    float s_e_base = ix.score(eq, base);
+    bool keep = true;
+    for (const ScoredNode& r : out) {
+      if (ix.score(eq, r.second) > s_e_base) {
+        keep = false;
+        break;
+      }
+    }
+    if (keep)
+      out.push_back(e);
+    else if ((int32_t)pruned.size() < cap)
+      pruned.push_back(e);
+  }
+  for (const ScoredNode& e : pruned) {
+    if ((int32_t)out.size() >= cap) break;
+    out.push_back(e);
+  }
+}
+
 // Link node <-> chosen (best-first), pruning over-full neighbor lists
-// back to the best `cap` by score — the Python _connect_build twin.
+// back to `cap` with the same diversifying heuristic — the Python
+// _connect_build twin.
 void connect(Index& ix, Layer& L, int64_t node,
              const std::vector<ScoredNode>& chosen, int32_t cap) {
   int32_t s = L.slot_for(node);
@@ -181,8 +233,12 @@ void connect(Index& ix, Layer& L, int64_t node,
                      [](const ScoredNode& a, const ScoredNode& b) {
                        return a.first > b.first;
                      });
-    for (int32_t j = 0; j < cap; ++j) vr[j] = (int32_t)cs[j].second;
-    L.cnt[vs] = cap;
+    std::vector<ScoredNode> kept;
+    select_heuristic(ix, cs, v, cap, kept);
+    int32_t nk = (int32_t)kept.size();
+    for (int32_t j = 0; j < nk; ++j) vr[j] = (int32_t)kept[j].second;
+    for (int32_t j = nk; j < L.width; ++j) vr[j] = -1;
+    L.cnt[vs] = nk;
   }
 }
 
@@ -201,12 +257,12 @@ void insert_node(Index& ix, int64_t node, int32_t lvl,
     search_layer(ix, q, eps.data(), (int64_t)eps.size(), ix.ef_c, L,
                  ix.visited, beam);
     int32_t cap = L.width;
+    std::vector<ScoredNode> filtered;
+    filtered.reserve(beam.size());
+    for (const ScoredNode& sn : beam)
+      if (sn.second != node) filtered.push_back(sn);
     std::vector<ScoredNode> chosen;
-    chosen.reserve(cap);
-    for (const ScoredNode& sn : beam) {
-      if (sn.second != node && (int32_t)chosen.size() < cap)
-        chosen.push_back(sn);
-    }
+    select_heuristic(ix, filtered, node, cap, chosen);
     connect(ix, L, node, chosen, cap);
     eps.clear();
     for (const ScoredNode& sn : beam) eps.push_back(sn.second);
