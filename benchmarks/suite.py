@@ -563,6 +563,68 @@ def bench_deep100m_pq(interpret):
     )
 
 
+def bench_deep100m_pq4(interpret):
+    """The 4-bit PQ capacity headline (r3): m=24, ksub=16, nibble-packed
+    — the SAME 12 B/row as the classic m=12/ksub=256 config, but the
+    one-hot expansion the ADC matmul rides shrinks 16× (the measured
+    deep100m bottleneck) and the MAC count 8×. Served via the
+    matmul-expansion one-hot (narrow 16-lane parts measured SLOWER than
+    ksub=256 without it — see RESULTS.md) on the integer MXU.
+    block_rows pinned at 2048: 4096 crosses the silent VMEM cliff."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.index.pq import pack_codes4, reconstruct_pq
+    from metrovector_tpu.ops.adc_kernel import fused_adc_topk
+
+    rng = np.random.default_rng(8)
+    n = 100_000_000 if not interpret else 200_000
+    m, ksub, dsub, k, qb = 24, 16, 4, 10, 256
+    d = m * dsub
+    log(f"synthesizing {n / 1e6:.0f}M 4-bit codes ({n * m / 2 / 1e9:.1f} GB packed) ...")
+    codes = rng.integers(0, ksub, (n, m), dtype=np.uint8)
+    books = (rng.standard_normal((m, ksub, dsub)) * 0.5).astype(np.float32)
+    b_norms = np.einsum("mkd,mkd->mk", books.astype(np.float64),
+                        books.astype(np.float64)).astype(np.float32)
+    rnorms = np.empty(n, np.float32)
+    step = 10_000_000
+    for s in range(0, n, step):
+        blk = codes[s : s + step].astype(np.int64)
+        rnorms[s : s + step] = b_norms[np.arange(m)[None, :], blk].sum(1)
+    packed_d = jax.device_put(pack_codes4(codes))
+    rnorms_d = jax.device_put(rnorms)
+    books_d = jax.device_put(books)
+    jax.block_until_ready((packed_d, rnorms_d, books_d))
+    nv = jnp.int32(n)
+
+    def run(q):
+        return fused_adc_topk(
+            q, packed_d, books_d, rnorms_d, nv, k, DistanceMetric.L2,
+            exact_lut=False, int8_lut=not interpret, packed4=True,
+            block_rows=2048 if not interpret else None, interpret=interpret,
+        )
+
+    planted = rng.integers(0, n, 8)
+    qc = reconstruct_pq(codes[planted], books)
+    got = np.asarray(run(jax.device_put(qc))[1])
+    recall = sum(planted[r] in got[r] for r in range(8)) / 8.0
+
+    def mkq():
+        rows = rng.integers(0, n, qb)
+        return reconstruct_pq(codes[rows], books) + 0.05 * rng.standard_normal(
+            (qb, d)
+        ).astype(np.float32)
+
+    dt = _measure(run, mkq, iters=3 if interpret else 8)
+    _report(
+        f"deep100m-pq4(n={n},m=24,ksub=16,k=10,{qb}q)", qb / dt, dt * 1e3,
+        recall,
+        f"{n * m / 2 / 1e9:.1f} GB nibble-packed codes on one chip; "
+        "planted-row gate; integer-MXU matmul-expansion ADC",
+    )
+
+
 CONFIGS = {
     "sim10k": bench_sim10k,
     "sift1m": bench_sift1m,
@@ -570,6 +632,7 @@ CONFIGS = {
     "sift1m-pq": bench_sift1m_pq,
     "sift1m-ivfpq": bench_sift1m_ivfpq,
     "deep100m-pq": bench_deep100m_pq,
+    "deep100m-pq4": bench_deep100m_pq4,
     "gist1m": bench_gist1m,
     "deep10m": bench_deep10m,
     "stream": bench_stream,

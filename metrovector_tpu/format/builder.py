@@ -106,10 +106,11 @@ class _PendingSpace:
         # Optional trained IVF structure: (centroids f32 [C,D], assignments
         # i32 [N]) persisted as data blocks at build.
         self.ivf_data: tuple[np.ndarray, np.ndarray] | None = None
-        # Optional PQ sidecar: (codebooks f32 [m,ksub,dsub], codes u8 [N,m],
-        # reconstruction squared norms f32 [N], residual flag).
+        # Optional PQ sidecar: (codebooks f32 [m,ksub,dsub], codes u8
+        # [N,m] (or [N,ceil(m/2)] nibble-packed), reconstruction squared
+        # norms f32 [N], residual flag, packed4 flag).
         self.pq_data: (
-            tuple[np.ndarray, np.ndarray, np.ndarray, bool] | None
+            tuple[np.ndarray, np.ndarray, np.ndarray, bool, bool] | None
         ) = None
         # Optional HNSW graph: (layers [(ids i32, adj i32)], entry, m, efc).
         self.hnsw_data: tuple[list, int, int, int] | None = None
@@ -426,13 +427,17 @@ class Builder:
         codes: np.ndarray,
         recon_norms: np.ndarray | None = None,
         residual: bool = False,
+        packed4: bool = False,
     ) -> None:
         """Attach a trained product-quantization sidecar (e.g. from
         :func:`metrovector_tpu.index.train_pq` / ``encode_pq``) so readers
         can ADC-search without retraining or re-encoding. The reference
         declares PQ codebook tables in its extensions schema
         (``schema/extensions.fbs``) but never writes them; MVT persists
-        codebooks, codes and reconstruction norms as real blocks."""
+        codebooks, codes and reconstruction norms as real blocks.
+        ``packed4``: the codes are nibble-packed 4-bit PQ
+        (``[N, ⌈m/2⌉]`` u8, ``ksub ≤ 16`` — half the bytes per row; see
+        :func:`metrovector_tpu.index.pq.pack_codes4`)."""
         sp = self._get_space(space_name)
         codebooks = np.ascontiguousarray(codebooks, dtype="<f4")
         if codebooks.ndim != 3:
@@ -440,17 +445,26 @@ class Builder:
         m, ksub, dsub = codebooks.shape
         if ksub > 256:
             raise BuildError("ksub > 256 does not fit uint8 codes")
+        if packed4 and ksub > 16:
+            raise BuildError("packed4 requires ksub <= 16")
         if sp.dim and m * dsub != sp.dim:
             raise DimensionMismatchError(expected=sp.dim, actual=m * dsub)
         codes = np.ascontiguousarray(codes, dtype=np.uint8)
-        if codes.shape != (sp.num_vectors, m):
+        code_cols = (m + 1) // 2 if packed4 else m
+        if codes.shape != (sp.num_vectors, code_cols):
             raise BuildError(
-                f"codes shape {codes.shape} != ({sp.num_vectors}, {m})"
+                f"codes shape {codes.shape} != ({sp.num_vectors}, {code_cols})"
             )
         if recon_norms is None:
+            dec = codes
+            if packed4:
+                dec = np.empty((codes.shape[0], 2 * codes.shape[1]), np.uint8)
+                dec[:, 0::2] = codes & 15
+                dec[:, 1::2] = codes >> 4
+                dec = dec[:, :m]
             recon = np.empty((codes.shape[0], m * dsub), np.float64)
             for j in range(m):
-                recon[:, j * dsub : (j + 1) * dsub] = codebooks[j, codes[:, j]]
+                recon[:, j * dsub : (j + 1) * dsub] = codebooks[j, dec[:, j]]
             if residual:
                 # Full reconstruction x̂ = centroid + decoded residual: needs
                 # the coarse quantizer persisted via set_ivf_index first.
@@ -467,7 +481,8 @@ class Builder:
             raise BuildError(
                 f"recon_norms shape {recon_norms.shape} != ({sp.num_vectors},)"
             )
-        sp.pq_data = (codebooks, codes, recon_norms, bool(residual))
+        sp.pq_data = (codebooks, codes, recon_norms, bool(residual),
+                      bool(packed4))
 
     def set_hnsw_index(
         self,
@@ -745,7 +760,7 @@ class Builder:
         if sp.pq_data is not None:
             from .manifest import PQInfo
 
-            books, codes, rnorms, residual = sp.pq_data
+            books, codes, rnorms, residual, packed4 = sp.pq_data
             info.pq = PQInfo(
                 m=int(books.shape[0]),
                 ksub=int(books.shape[1]),
@@ -754,6 +769,7 @@ class Builder:
                 codes_block=push_block(codes),
                 recon_norms_block=push_block(rnorms),
                 residual=residual,
+                packed4=packed4,
             )
 
         for col in sp.columns.values():

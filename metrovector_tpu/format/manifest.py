@@ -125,6 +125,10 @@ class PQInfo:
     # space's stored IVF coarse quantizer (IVF-PQ). recon_norms then hold
     # ‖x̂‖² of the FULL reconstruction centroid + decoded residual.
     residual: bool = False
+    # True when the codes block is nibble-packed 4-bit PQ (``ksub ≤ 16``):
+    # ``[N, ⌈m/2⌉]`` u8, even subspaces in low nibbles — half the bytes of
+    # classic byte codes at the same m (see index.pq.pack_codes4).
+    packed4: bool = False
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -135,6 +139,7 @@ class PQInfo:
             "codes_block": self.codes_block,
             "recon_norms_block": self.recon_norms_block,
             "residual": self.residual,
+            "packed4": self.packed4,
         }
 
     @classmethod
@@ -147,6 +152,7 @@ class PQInfo:
             codes_block=int(d.get("codes_block", -1)),
             recon_norms_block=int(d.get("recon_norms_block", -1)),
             residual=bool(d.get("residual", False)),
+            packed4=bool(d.get("packed4", False)),
         )
 
 

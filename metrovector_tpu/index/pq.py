@@ -121,6 +121,32 @@ def encode_pq(data: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return codes.astype(np.uint8)
 
 
+def pack_codes4(codes: np.ndarray) -> np.ndarray:
+    """Nibble-pack 4-bit PQ codes ``[N, m]`` (values < 16) to
+    ``[N, ⌈m/2⌉]`` uint8 — even subspaces in low nibbles, odd in high
+    (the layout :func:`..ops.adc_kernel.fused_adc_topk` unpacks with
+    ``packed4=True``). Odd ``m`` pads a zero high nibble."""
+    codes = np.asarray(codes, np.uint8)
+    if codes.max(initial=0) > 15:
+        raise ValueError("pack_codes4 requires 4-bit codes (ksub <= 16)")
+    n, m = codes.shape
+    if m % 2:
+        codes = np.concatenate(
+            [codes, np.zeros((n, 1), np.uint8)], axis=1
+        )
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_codes4(packed: np.ndarray, m: int) -> np.ndarray:
+    """Inverse of :func:`pack_codes4`: ``[N, ⌈m/2⌉]`` → ``[N, m]``."""
+    packed = np.asarray(packed, np.uint8)
+    n = packed.shape[0]
+    out = np.empty((n, 2 * packed.shape[1]), np.uint8)
+    out[:, 0::2] = packed & 15
+    out[:, 1::2] = packed >> 4
+    return out[:, :m]
+
+
 def reconstruct_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Decode codes back to approximate vectors ``[N, D]`` f32 (host)."""
     m, ksub, dsub = codebooks.shape
@@ -294,7 +320,10 @@ class PQIndex:
     (``4·D/m``× smaller than the f32 rows it stands in for).
 
     ``codebooks``: host ``[m, ksub, dsub]`` f32; ``codes``: device
-    ``[N, m]`` uint8; ``recon_norms``: device ``[N]`` f32
+    ``[N, m]`` uint8 — or nibble-packed ``[N, ⌈m/2⌉]`` when ``packed4``
+    (4-bit PQ, ``ksub ≤ 16``: half the HBM of byte codes at the same m,
+    and a 16× smaller one-hot expansion in the ADC kernel — the measured
+    deep100m bottleneck); ``recon_norms``: device ``[N]`` f32
     squared norms of the *reconstructed* rows; ``db``/``db_norms``:
     optional device originals enabling exact re-ranking."""
 
@@ -307,6 +336,7 @@ class PQIndex:
     db: jax.Array | None = None
     db_norms: jax.Array | None = None
     valid: jax.Array | None = None  # 1 = live, 0 = tombstoned
+    packed4: bool = False
     # Host-side stable u64 ID column (reference ``schema/core.fbs:54``
     # semantics); result positions translate through it so ids stay valid
     # across compaction, like every brute-force surface.
@@ -327,24 +357,45 @@ class PQIndex:
         keep_vectors: bool = True,
         valid_mask: np.ndarray | None = None,
         ids: np.ndarray | None = None,
+        pack4: bool | None = None,
     ) -> "PQIndex":
         """Train (or accept precomputed) codebooks, encode, and upload. With
         ``keep_vectors`` the originals stay on device for re-ranking; without
         it only codes occupy HBM (the capacity-scaling mode). Passing
         everything precomputed (as persisted by ``Builder.set_pq_index``)
-        skips training, encoding and reconstruction."""
+        skips training, encoding and reconstruction. ``pack4``: store the
+        codes nibble-packed (4-bit PQ, requires ``ksub ≤ 16`` — half the
+        HBM and the fast ADC path for narrow subspaces). Opt-in (packing
+        changes the public ``codes`` layout); precomputed codes whose
+        column count is ``⌈m/2⌉`` are recognized as already packed."""
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n, d = vectors.shape
         if codebooks is None:
             codebooks = train_pq(vectors, m=m, ksub=ksub, iters=iters, seed=seed)
         codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
+        m_eff, ksub_eff, _ = codebooks.shape
+        already_packed = False
         if codes is None:
             codes = encode_pq(vectors, codebooks)
+        else:
+            codes = np.asarray(codes, np.uint8)
+            already_packed = (
+                codes.shape[1] == (m_eff + 1) // 2 and codes.shape[1] != m_eff
+            )
+        if pack4 is None:
+            pack4 = already_packed
+        if pack4 and ksub_eff > 16:
+            raise ValueError(f"pack4 requires ksub <= 16, got {ksub_eff}")
         if recon_norms is None:
-            recon = reconstruct_pq(codes, codebooks)
+            recon = reconstruct_pq(
+                unpack_codes4(codes, m_eff) if already_packed else codes,
+                codebooks,
+            )
             recon_norms = np.einsum(
                 "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
             ).astype(np.float32)
+        if pack4 and not already_packed:
+            codes = pack_codes4(codes)
         recon_norms = np.ascontiguousarray(recon_norms, dtype=np.float32)
         db = db_norms = None
         if keep_vectors:
@@ -374,6 +425,7 @@ class PQIndex:
             db_norms=db_norms,
             valid=valid,
             host_ids=ids,
+            packed4=bool(pack4),
         )
 
     @classmethod
@@ -414,6 +466,7 @@ class PQIndex:
                 num_vectors=space.num_vectors,
                 valid=valid,
                 host_ids=space.ids(),
+                packed4=bool(space.info.pq.packed4),
             )
         vectors = np.asarray(space.to_numpy(), dtype=np.float32)
         q = space.quantization
@@ -444,7 +497,7 @@ class PQIndex:
 
     @property
     def code_bytes_per_vector(self) -> int:
-        return self.m
+        return (self.m + 1) // 2 if self.packed4 else self.m
 
     # -- online mutation ------------------------------------------------------
 
@@ -479,6 +532,8 @@ class PQIndex:
         rn_new = np.einsum(
             "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
         ).astype(np.float32)
+        if self.packed4:
+            codes_new = pack_codes4(codes_new)
 
         total = self.num_vectors + n_new
         cap = int(self.codes.shape[0])
@@ -590,14 +645,23 @@ class PQIndex:
                 block_rows=block_rows,
                 interpret=not on_tpu,
                 int8_lut=int8_lut,
+                packed4=self.packed4,
             )
         else:
             flat_books = jnp.asarray(
                 self.codebooks.reshape(-1, self.codebooks.shape[2])
             )
+            codes_xla = self.codes
+            if self.packed4:
+                # the scan formulation wants byte codes; unpack on device
+                # (transient [N, m] u8 — the xla branch is the CPU/serving
+                # fallback, not the capacity path)
+                codes_xla = jnp.stack(
+                    [self.codes & 15, self.codes >> 4], axis=2
+                ).reshape(self.codes.shape[0], -1)[:, : self.m]
             s, i = _adc_search(
                 qdev,
-                self.codes,
+                codes_xla,
                 flat_books,
                 self.recon_norms,
                 jnp.int32(self.num_vectors),

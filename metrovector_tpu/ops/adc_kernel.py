@@ -76,7 +76,7 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
                      metric: DistanceMetric, has_valid: bool,
                      exact_lut: bool, group_rows: int = 0,
                      n_groups: int = 0, has_group_ids: bool = False,
-                     int8_lut: bool = False):
+                     int8_lut: bool = False, packed4: bool = False):
     metric = DistanceMetric(metric)
     oh_dtype = (
         jnp.int8 if int8_lut
@@ -103,16 +103,58 @@ def _make_adc_kernel(k: int, k_pad: int, block_rows: int, m: int, ksub: int,
             best_i[:] = jnp.full_like(best_i, -1)
 
         ni0 = pl.program_id(1)
-        codes = codes_ref[:].astype(jnp.int32)  # [BN, m]
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, ksub), 1)
         dims = (((1,), (1,)), ((), ()))
-        # Concatenate the m per-subspace one-hots along lanes and contract
-        # in ONE K = m·ksub matmul — deep contractions keep the MXU
-        # pipeline full where m separate K=ksub matmuls each pay spin-up.
-        oh_parts = [
-            (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
-            for j in range(m)
-        ]
+        kk = m * ksub
+        cc = (m + 1) // 2 if packed4 else m
+        if ksub <= 16:
+            # Narrow-subspace regime (4-bit PQ): per-part one-hots are
+            # 16-lane slivers far below the native 128-lane register, and
+            # concatenating m of them forces Mosaic relayouts that
+            # measured SLOWER than the 16×-bigger ksub=256 one-hot (303
+            # QPS at br=1024 on deep100m, cliffing at br≥2048). Build the
+            # one-hot full-width instead: one tiny bf16 matmul against a
+            # constant repeat matrix expands codes to
+            # ``expanded[r, l] = byte[r, l // (ksub·per_byte)]`` (integers
+            # ≤ 255 are exact in bf16), nibble extraction is full-width
+            # f32 arithmetic, and a single lane-iota compare finishes —
+            # no sub-register operands anywhere.
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (1, kk), 1)
+            part = l_iota // ksub
+            sym = (l_iota % ksub).astype(jnp.float32)
+            byte_of_lane = part // 2 if packed4 else part
+            expand = (
+                byte_of_lane
+                == jax.lax.broadcasted_iota(jnp.int32, (cc, kk), 0)
+            ).astype(jnp.bfloat16)
+            # (Mosaic has no direct u8→bf16 cast; stage through i32/f32.
+            # Byte values ≤ 255 are exact in bf16.)
+            codes_bf = (
+                codes_ref[:].astype(jnp.int32).astype(jnp.float32)
+                .astype(jnp.bfloat16)
+            )
+            expanded = jax.lax.dot_general(
+                codes_bf, expand,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BN, kk] — the code byte broadcast over its lanes
+            if packed4:
+                hi = jnp.floor(expanded * 0.0625)
+                val = jnp.where(part % 2 == 1, hi, expanded - 16.0 * hi)
+            else:
+                val = expanded
+            oh_parts = [(val == sym).astype(oh_dtype)]
+        else:
+            # Concatenate the m per-subspace one-hots along lanes and
+            # contract in ONE K = m·ksub matmul — deep contractions keep
+            # the MXU pipeline full where m separate K=ksub matmuls each
+            # pay spin-up. Each part is a whole number of 128-lane
+            # registers here, so the concatenation is free.
+            codes = codes_ref[:].astype(jnp.int32)  # [BN, m]
+            oh_parts = [
+                (codes[:, j : j + 1] == iota_k).astype(oh_dtype)
+                for j in range(m)
+            ]
         if n_groups:
             # Gather-free IVF probing: the LUT carries n_groups extra
             # columns of per-(query, bucket) bias (q·centroid on probed
@@ -208,6 +250,7 @@ def fused_adc_topk(
     group_rows: int = 0,
     group_ids=None,
     int8_lut: bool = False,
+    packed4: bool = False,
 ):
     """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
     scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`)."""
@@ -220,7 +263,7 @@ def fused_adc_topk(
                 valid_mask=valid_mask, exact_lut=exact_lut, block_rows=bn,
                 query_tile=query_tile, interpret=interpret,
                 group_bias=group_bias, group_rows=group_rows,
-                group_ids=group_ids, int8_lut=int8_lut,
+                group_ids=group_ids, int8_lut=int8_lut, packed4=packed4,
             )
         except Exception as exc:
             msg = str(exc)
@@ -245,7 +288,7 @@ def fused_adc_topk(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "exact_lut", "block_rows", "query_tile",
-                     "interpret", "group_rows", "int8_lut"),
+                     "interpret", "group_rows", "int8_lut", "packed4"),
 )
 def _fused_adc_topk(
     queries: jax.Array,
@@ -264,12 +307,16 @@ def _fused_adc_topk(
     group_rows: int = 0,
     group_ids: jax.Array | None = None,
     int8_lut: bool = False,
+    packed4: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ADC top-k over a PQ-coded corpus shard.
 
     Args:
       queries: ``[Q, D]`` f32 (pre-normalized for cosine).
-      codes: ``[N, m]`` uint8/int32 PQ codes, HBM-resident.
+      codes: ``[N, m]`` uint8/int32 PQ codes, HBM-resident — or, with
+        ``packed4=True``, ``[N, ⌈m/2⌉]`` nibble-packed 4-bit codes
+        (``ksub ≤ 16``; even subspaces in low nibbles, see
+        :func:`metrovector_tpu.index.pq.pack_codes4`).
       codebooks: ``[m, ksub, dsub]`` f32 (``m·dsub == D``).
       recon_norms: ``[N]`` f32 squared norms of the reconstructions.
       num_valid: scalar int32 — rows ≥ this are padding.
@@ -299,9 +346,19 @@ def _fused_adc_topk(
     Returns ``(scores [Q, k] f32, indices [Q, k] int32)`` best-first.
     """
     q, d = queries.shape
-    n, m = codes.shape
-    mb, ksub, dsub = codebooks.shape
-    assert mb == m and m * dsub == d, (codebooks.shape, codes.shape, d)
+    m, ksub, dsub = codebooks.shape
+    n, code_cols = codes.shape
+    if packed4:
+        if ksub > 16:
+            raise ValueError(f"packed4 requires ksub <= 16, got {ksub}")
+        if code_cols != (m + 1) // 2:
+            raise ValueError(
+                f"packed4 codes must be [N, ceil(m/2)]: m={m}, "
+                f"got {code_cols} columns"
+            )
+    elif code_cols != m:
+        raise ValueError(f"codes [N, {code_cols}] vs codebooks m={m}")
+    assert m * dsub == d, (codebooks.shape, codes.shape, d)
     if int8_lut and (exact_lut or group_bias is not None):
         raise ValueError(
             "int8_lut is mutually exclusive with exact_lut and group_bias"
@@ -381,7 +438,7 @@ def _fused_adc_topk(
         smem_spec,
         pl.BlockSpec((qt, m * ksub + n_groups), lambda qi, ni: (qi, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, m), lambda qi, ni: (ni, 0),
+        pl.BlockSpec((block_rows, code_cols), lambda qi, ni: (ni, 0),
                      memory_space=pltpu.VMEM),
         row_spec,
     ]
@@ -409,6 +466,7 @@ def _fused_adc_topk(
         has_valid=valid_mask is not None, exact_lut=exact_lut,
         group_rows=group_rows, n_groups=n_groups,
         has_group_ids=group_ids is not None, int8_lut=int8_lut,
+        packed4=packed4,
     )
     out_s, out_i = pl.pallas_call(
         kernel,
@@ -430,8 +488,8 @@ def _fused_adc_topk(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * n * m * ksub,
-            bytes_accessed=n * m + q_pad * m * ksub * lut.dtype.itemsize
-            + n * 4,
+            bytes_accessed=n * code_cols
+            + q_pad * m * ksub * lut.dtype.itemsize + n * 4,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -300,7 +300,8 @@ class VectorSpace:
         f32, codes [N, m] u8, recon_norms [N] f32)`` if the builder persisted
         one (``Builder.set_pq_index``), else None. Zero-copy views of the
         mmap (the reference declares PQ tables in ``schema/extensions.fbs``
-        but can neither write nor read them)."""
+        but can neither write nor read them). With ``info.pq.packed4`` the
+        codes view is the nibble-packed ``[N, ⌈m/2⌉]`` block."""
         pq = self._info.pq
         if pq is None or pq.codebooks_block < 0:
             return None
@@ -309,11 +310,12 @@ class VectorSpace:
             dtype="<f4",
             count=pq.m * pq.ksub * pq.dsub,
         ).reshape(pq.m, pq.ksub, pq.dsub)
+        code_cols = (pq.m + 1) // 2 if pq.packed4 else pq.m
         codes = np.frombuffer(
             self._reader.block_bytes(pq.codes_block),
             dtype=np.uint8,
-            count=self.num_vectors * pq.m,
-        ).reshape(self.num_vectors, pq.m)
+            count=self.num_vectors * code_cols,
+        ).reshape(self.num_vectors, code_cols)
         rnorms = np.frombuffer(
             self._reader.block_bytes(pq.recon_norms_block),
             dtype="<f4",

@@ -157,3 +157,48 @@ def test_int8_lut_exclusions(rng):
             q, codes, books, rnorms, np.int32(512), 5, DistanceMetric.L2,
             int8_lut=True, exact_lut=True, block_rows=128, interpret=True,
         )
+
+
+@pytest.mark.parametrize("m", [4, 5])
+def test_packed4_matches_unpacked(rng, m):
+    """Nibble-packed 4-bit codes (packed4=True) must rank identically to
+    the same codes unpacked, including odd m (padded high nibble) and a
+    ragged tail block."""
+    from metrovector_tpu.index.pq import pack_codes4, unpack_codes4
+
+    n, dsub = 700, 4
+    d = m * dsub
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    books = train_pq(data, m=m, ksub=16, iters=4)
+    codes = encode_pq(data, books)
+    assert codes.max() < 16
+    packed = pack_codes4(codes)
+    assert packed.shape == (n, (m + 1) // 2)
+    np.testing.assert_array_equal(unpack_codes4(packed, m), codes)
+    recon = reconstruct_pq(codes, books)
+    rnorms = np.einsum(
+        "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
+    ).astype(np.float32)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    s0, i0 = fused_adc_topk(
+        q, codes, books, rnorms, np.int32(n), 10, DistanceMetric.L2,
+        exact_lut=True, block_rows=256, interpret=True,
+    )
+    s1, i1 = fused_adc_topk(
+        q, packed, books, rnorms, np.int32(n), 10, DistanceMetric.L2,
+        exact_lut=True, block_rows=256, interpret=True, packed4=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    _, oi = numpy_oracle(q, recon, 10, DistanceMetric.L2)
+    np.testing.assert_array_equal(np.asarray(i1), oi)
+
+
+def test_packed4_rejects_wide_ksub(rng):
+    data, books, codes, recon, rnorms = _fixture(rng, ksub=32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    with pytest.raises(ValueError, match="ksub"):
+        fused_adc_topk(
+            q, codes[:, :2], books, rnorms, np.int32(len(codes)), 5,
+            DistanceMetric.L2, interpret=True, packed4=True,
+        )

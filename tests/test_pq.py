@@ -249,3 +249,49 @@ def test_pq_on_quantized_space(tmp_path, rng):
     res = idx.search(q, k=1, rerank=16)
     # nearest neighbor of a stored row is itself (dequant error ≪ row gaps)
     assert np.array_equal(res.indices[:, 0], [0, 1, 2])
+
+
+def test_packed4_index_and_persistence_roundtrip(rng, tmp_path):
+    """PQIndex(pack4=True) must search identically to the unpacked index
+    on both backends, persist through set_pq_index(packed4=True), and
+    reattach code-only from the sidecar with half-width codes."""
+    import jax
+    import numpy as np
+    from metrovector_tpu import Builder, Reader
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.index.pq import PQIndex
+
+    n, d, m = 600, 32, 8
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((5, d)).astype(np.float32)
+    a = PQIndex.build(data, DistanceMetric.L2, m=m, ksub=16, iters=4,
+                      keep_vectors=False)
+    b = PQIndex.build(data, DistanceMetric.L2, m=m, ksub=16, iters=4,
+                      keep_vectors=False, pack4=True)
+    assert not a.packed4 and b.packed4
+    assert b.codes.shape == (n, m // 2)
+    assert b.code_bytes_per_vector == m // 2
+    ra = a.search(q, k=10, rerank=0, backend="xla")
+    rb = b.search(q, k=10, rerank=0, backend="xla")
+    np.testing.assert_array_equal(ra.indices, rb.indices)
+    rp = b.search(q, k=10, rerank=0, backend="pallas")
+    np.testing.assert_array_equal(ra.indices, rp.indices)
+
+    # online mutation keeps the packed layout
+    b.add_rows(data[:5] + 0.01)
+    assert b.codes.shape[1] == m // 2
+
+    # persistence: packed sidecar -> reattach code-only
+    bld = Builder()
+    bld.add_vector_space("e", dim=d, metric=DistanceMetric.L2)
+    bld.add_vectors("e", data)
+    bld.set_pq_index("e", a.codebooks, np.asarray(b.codes)[:n],
+                     packed4=True)
+    path = str(tmp_path / "p4.mvt")
+    bld.build().save(path)
+    sp = Reader.open(path).vector_space("e")
+    assert sp.info.pq.packed4
+    c = PQIndex.from_space(sp, keep_vectors=False)
+    assert c.packed4 and c.codes.shape == (n, m // 2)
+    rc = c.search(q, k=10, rerank=0, backend="xla")
+    np.testing.assert_array_equal(ra.indices, rc.indices)
