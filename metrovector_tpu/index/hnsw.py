@@ -277,11 +277,16 @@ class HNSWIndex:
         seed: int = 0,
         valid_mask: np.ndarray | None = None,
         ids: np.ndarray | None = None,
+        threads: int = 0,
     ) -> "HNSWIndex":
         """Incremental insertion build. ``m``: neighbors per node on upper
         layers (``2m`` at layer 0); ``ef_construction``: beam width during
         construction. Tombstoned rows (``valid_mask`` True) are excluded
-        from the graph entirely."""
+        from the graph entirely. ``threads``: native-path parallel
+        insertion workers (per-node locks, hnswlib-style; 0 = OpenMP
+        default — all cores; 1 = deterministic sequential order). The
+        graph structure is insertion-order dependent, so multithreaded
+        builds are valid but not bit-reproducible."""
         metric = DistanceMetric(metric)
         host_ids = (
             np.ascontiguousarray(ids, np.uint64).reshape(-1)
@@ -305,7 +310,7 @@ class HNSWIndex:
             # its own level RNG). Exports the same frozen layout.
             nh = _nat.NativeHNSW.build(
                 rows, norms, 1 if metric == DistanceMetric.L2 else 0,
-                m, ef_construction, seed, live,
+                m, ef_construction, seed, live, threads=threads,
             )
             if nh is not None:
                 valid = None

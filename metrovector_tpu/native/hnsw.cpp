@@ -14,9 +14,10 @@
 //   use_norms=0 (IP / pre-normalized cosine):  s(q, x) = q·x
 //
 // Neighbor selection uses the diversifying heuristic (Malkov & Yashunin
-// Algorithm 4, no extend-candidates, no backfill — the hnswlib-proven
-// configuration): a candidate is kept only if it is closer to the base
-// point than to every already-kept neighbor. Plain closest-M selection
+// Algorithm 4 with keepPrunedConnections backfill): a candidate is kept
+// only if it is closer to the base point than to every already-kept
+// neighbor; leftover slots refill with the best pruned candidates (iid
+// corpora regress without that). Plain closest-M selection
 // (the round-3 first cut) fragments clustered corpora into per-cluster
 // components — all M closest links stay inside a cluster whenever the
 // cluster has more than M members — and measured a FLAT recall@10 of
@@ -28,10 +29,12 @@
 // numpy fallback interoperate bit-for-bit with graphs built here.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <mutex>
 #include <queue>
 #include <random>
 #include <utility>
@@ -55,16 +58,6 @@ struct Layer {
   int32_t* row(int64_t slot) { return adj.data() + slot * width; }
   const int32_t* row(int64_t slot) const {
     return adj.data() + slot * width;
-  }
-  int32_t slot_for(int64_t node) {
-    int32_t s = slot_of[node];
-    if (s >= 0) return s;
-    s = (int32_t)ids.size();
-    ids.push_back((int32_t)node);
-    cnt.push_back(0);
-    adj.resize(adj.size() + width, -1);
-    slot_of[node] = s;
-    return s;
   }
 };
 
@@ -97,9 +90,11 @@ struct Index {
   int32_t use_norms = 0;
   int32_t m = 16;
   int32_t ef_c = 200;
-  int64_t entry = -1;
+  // Atomic: during parallel builds the entry point is read by every
+  // inserting thread and occasionally replaced (level promotion); a
+  // stale read only lengthens one descent.
+  std::atomic<int64_t> entry{-1};
   std::vector<Layer> layers;
-  VisitedTable visited;  // build-time / single-query table
 
   float score(const float* q, int64_t v) const {
     const float* x = rows + v * (int64_t)d;
@@ -117,9 +112,14 @@ struct WorstOnTop {
   }
 };
 
+// `locks`: per-NODE mutex array used during parallel builds — neighbor
+// rows are copied out under the owning node's lock (writers in
+// `connect` hold the same lock), so concurrent insertion never shows a
+// torn row. Null for read-only (adopted / post-build) searches.
 void search_layer(const Index& ix, const float* q, const int64_t* eps,
                   int64_t n_eps, int32_t ef, const Layer& L,
-                  VisitedTable& vt, std::vector<ScoredNode>& out) {
+                  VisitedTable& vt, std::vector<ScoredNode>& out,
+                  std::mutex* locks = nullptr) {
   vt.reset(ix.n);
   std::priority_queue<ScoredNode> cand;
   std::priority_queue<ScoredNode, std::vector<ScoredNode>, WorstOnTop> res;
@@ -131,13 +131,21 @@ void search_layer(const Index& ix, const float* q, const int64_t* eps,
     res.emplace(s, v);
     if ((int32_t)res.size() > ef) res.pop();
   }
+  std::vector<int32_t> nbbuf;
   while (!cand.empty()) {
     ScoredNode top = cand.top();
     cand.pop();
     if ((int32_t)res.size() >= ef && top.first < res.top().first) break;
     int32_t slot = L.slot_of[top.second];
     if (slot < 0) continue;
-    const int32_t* nb = L.row(slot);
+    const int32_t* nb;
+    if (locks) {
+      std::lock_guard<std::mutex> g(locks[top.second]);
+      nbbuf.assign(L.row(slot), L.row(slot) + L.width);
+      nb = nbbuf.data();
+    } else {
+      nb = L.row(slot);
+    }
     for (int32_t j = 0; j < L.width; ++j) {
       int32_t v = nb[j];
       if (v < 0 || vt.seen(v)) continue;
@@ -205,19 +213,29 @@ void select_heuristic(const Index& ix, const std::vector<ScoredNode>& cand,
 
 // Link node <-> chosen (best-first), pruning over-full neighbor lists
 // back to `cap` with the same diversifying heuristic — the Python
-// _connect_build twin.
+// _connect_build twin. `locks`: per-node mutexes (parallel build); at
+// most one is held at a time, so there is no ordering to deadlock on.
+// Slots are fully preallocated before insertion starts (no reallocation
+// races; see mvt_hnsw_build).
 void connect(Index& ix, Layer& L, int64_t node,
-             const std::vector<ScoredNode>& chosen, int32_t cap) {
-  int32_t s = L.slot_for(node);
+             const std::vector<ScoredNode>& chosen, int32_t cap,
+             std::mutex* locks) {
+  int32_t s = L.slot_of[node];
+  {
+    std::unique_lock<std::mutex> g;
+    if (locks) g = std::unique_lock<std::mutex>(locks[node]);
+    int32_t k = std::min<int32_t>(cap, (int32_t)chosen.size());
+    int32_t* r = L.row(s);
+    for (int32_t i = 0; i < k; ++i) r[i] = (int32_t)chosen[i].second;
+    for (int32_t i = k; i < L.width; ++i) r[i] = -1;
+    L.cnt[s] = k;
+  }
   int32_t k = std::min<int32_t>(cap, (int32_t)chosen.size());
-  int32_t* r = L.row(s);
-  for (int32_t i = 0; i < k; ++i) r[i] = (int32_t)chosen[i].second;
-  for (int32_t i = k; i < L.width; ++i) r[i] = -1;
-  L.cnt[s] = k;
   for (int32_t i = 0; i < k; ++i) {
     int64_t v = chosen[i].second;
-    int32_t vs = L.slot_for(v);
-    // slot_for may reallocate adj; re-derive pointers each iteration
+    std::unique_lock<std::mutex> g;
+    if (locks) g = std::unique_lock<std::mutex>(locks[v]);
+    int32_t vs = L.slot_of[v];
     int32_t* vr = L.row(vs);
     if (L.cnt[vs] < cap) {
       vr[L.cnt[vs]++] = (int32_t)node;
@@ -242,28 +260,34 @@ void connect(Index& ix, Layer& L, int64_t node,
   }
 }
 
-void insert_node(Index& ix, int64_t node, int32_t lvl,
-                 std::vector<ScoredNode>& beam) {
+void insert_node(Index& ix, int64_t node, int32_t lvl, int64_t ep,
+                 std::vector<ScoredNode>& beam, VisitedTable& vt,
+                 std::mutex* locks) {
   const float* q = ix.rows + node * (int64_t)ix.d;
   int32_t max_level = (int32_t)ix.layers.size() - 1;
-  int64_t ep = ix.entry;
   for (int32_t layer = max_level; layer > lvl; --layer) {
-    search_layer(ix, q, &ep, 1, 1, ix.layers[layer], ix.visited, beam);
+    search_layer(ix, q, &ep, 1, 1, ix.layers[layer], vt, beam, locks);
     if (!beam.empty()) ep = beam[0].second;
   }
   std::vector<int64_t> eps{ep};
   for (int32_t layer = std::min(lvl, max_level); layer >= 0; --layer) {
     Layer& L = ix.layers[layer];
     search_layer(ix, q, eps.data(), (int64_t)eps.size(), ix.ef_c, L,
-                 ix.visited, beam);
+                 vt, beam, locks);
     int32_t cap = L.width;
     std::vector<ScoredNode> filtered;
     filtered.reserve(beam.size());
+    // Drop self and non-members: the beam's seed entry points can sit
+    // ABOVE their own level (the global entry seeds every layer during
+    // descent) and have no slot here — the lazy-slot build used to
+    // silently promote them; preallocated slot tables must not link
+    // them (heap overflow via slot −1 otherwise; caught by ASan).
     for (const ScoredNode& sn : beam)
-      if (sn.second != node) filtered.push_back(sn);
+      if (sn.second != node && L.slot_of[sn.second] >= 0)
+        filtered.push_back(sn);
     std::vector<ScoredNode> chosen;
     select_heuristic(ix, filtered, node, cap, chosen);
-    connect(ix, L, node, chosen, cap);
+    connect(ix, L, node, chosen, cap, locks);
     eps.clear();
     for (const ScoredNode& sn : beam) eps.push_back(sn.second);
     if (eps.empty()) eps.push_back(ep);
@@ -299,12 +323,21 @@ int64_t greedy_descend(const Index& ix, const float* q, int64_t ep,
 
 extern "C" {
 
-int mvt_hnsw_abi_version() { return 1; }
+int mvt_hnsw_abi_version() { return 2; }
 
+// Parallel insertion build (hnswlib-style): every layer's slot table is
+// fully preallocated from the pre-drawn levels (no reallocation during
+// insertion), neighbor rows are guarded by one mutex per NODE (held one
+// at a time — no ordering, no deadlock), and the entry point updates
+// under a global mutex. `n_threads` ≤ 0 means the OpenMP default; the
+// sequential result is reproduced exactly at n_threads == 1 (dynamic
+// scheduling degenerates to loop order). Built single-threaded where
+// OpenMP is unavailable.
 void* mvt_hnsw_build(const float* rows, int64_t n, int32_t d,
                      const float* norms, int32_t use_norms, int32_t m,
                      int32_t ef_construction, uint64_t seed,
-                     const int64_t* live, int64_t n_live) {
+                     const int64_t* live, int64_t n_live,
+                     int32_t n_threads) {
   Index* ix = new Index;
   ix->rows = rows;
   ix->norms = norms;
@@ -329,23 +362,48 @@ void* mvt_hnsw_build(const float* rows, int64_t n, int32_t d,
 
   ix->layers.resize(max_live_level + 1);
   for (size_t l = 0; l < ix->layers.size(); ++l) {
-    ix->layers[l].slot_of.assign(n, -1);
-    ix->layers[l].width = (l == 0) ? 2 * m : m;
+    Layer& L = ix->layers[l];
+    L.width = (l == 0) ? 2 * m : m;
+    L.slot_of.assign(n, -1);
+    for (int64_t i = 0; i < n_live; ++i) {
+      int64_t node = live[i];
+      if (levels[node] >= (int32_t)l) {
+        L.slot_of[node] = (int32_t)L.ids.size();
+        L.ids.push_back((int32_t)node);
+      }
+    }
+    L.cnt.assign(L.ids.size(), 0);
+    L.adj.assign((int64_t)L.ids.size() * L.width, -1);
   }
   ix->entry = live[0];
-  int32_t entry_level = levels[ix->entry];
-  std::vector<ScoredNode> beam;
-  for (int64_t i = 1; i < n_live; ++i) {
-    int64_t node = live[i];
-    int32_t lvl = levels[node];
-    insert_node(*ix, node, lvl, beam);
-    if (lvl > entry_level) {
-      ix->entry = node;
-      entry_level = lvl;
+  std::atomic<int32_t> entry_level{levels[live[0]]};
+  std::vector<std::mutex> locks(n);
+  std::mutex entry_mu;
+
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel
+#endif
+  {
+    VisitedTable vt;
+    std::vector<ScoredNode> beam;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 64)
+#endif
+    for (int64_t i = 1; i < n_live; ++i) {
+      int64_t node = live[i];
+      int32_t lvl = levels[node];
+      insert_node(*ix, node, lvl, ix->entry.load(), beam, vt,
+                  locks.data());
+      if (lvl > entry_level.load()) {
+        std::lock_guard<std::mutex> g(entry_mu);
+        if (lvl > entry_level.load()) {
+          ix->entry = node;
+          entry_level = lvl;
+        }
+      }
     }
   }
-  // guarantee the entry a layer-0 slot even when edgeless
-  if (ix->entry >= 0) ix->layers[0].slot_for(ix->entry);
   return ix;
 }
 

@@ -176,3 +176,52 @@ def test_native_graph_survives_append_and_persistence(tmp_path, rng):
     np.testing.assert_array_equal(
         re.search(q, k=5, ef=64).indices, idx.search(q, k=5, ef=64).indices
     )
+
+
+def test_parallel_build_valid_graph(rng):
+    """Multithreaded native build (per-node locks) must produce a valid,
+    searchable graph with recall comparable to the sequential build —
+    structure is insertion-order dependent, so we gate recall, not
+    graph equality."""
+    from metrovector_tpu import native
+
+    if not native.hnsw_available():
+        import pytest
+
+        pytest.skip("native hnsw unavailable")
+    n, d = 5000, 24
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    data = centers[rng.integers(0, 16, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    q = data[rng.integers(0, n, 30)] + 0.1 * rng.standard_normal(
+        (30, d)
+    ).astype(np.float32)
+    norms = (data**2).sum(1)
+    oracle = np.argsort(
+        -(2 * q @ data.T - norms[None, :]), axis=1, kind="stable"
+    )[:, :10]
+
+    recalls = []
+    for threads in (1, 4):
+        idx = HNSWIndex.build(
+            data, DistanceMetric.L2, m=8, ef_construction=60, seed=7,
+            threads=threads,
+        )
+        res = idx.search(q, k=10, ef=80)
+        # structural sanity: every neighbor id in range, no self-loops
+        for ids, adj in idx.layers:
+            live = adj[adj >= 0]
+            assert live.size == 0 or (live < n).all()
+            for r_i, nid in enumerate(ids):
+                assert nid not in set(adj[r_i][adj[r_i] >= 0].tolist())
+        recalls.append(
+            np.mean(
+                [
+                    len(set(res.indices[i]) & set(oracle[i])) / 10
+                    for i in range(30)
+                ]
+            )
+        )
+    assert recalls[0] > 0.85, recalls
+    assert recalls[1] > 0.85, recalls
