@@ -156,7 +156,7 @@ def sharded_topk(
     jax.jit,
     static_argnames=(
         "k", "rerank", "metric", "mesh", "axis", "exact_lut", "backend",
-        "interpret", "block_rows", "int8_lut",
+        "interpret", "block_rows", "int8_lut", "packed4",
     ),
 )
 def sharded_pq_topk(
@@ -178,10 +178,13 @@ def sharded_pq_topk(
     interpret: bool = False,
     block_rows: int | None = None,
     int8_lut: bool = False,
+    packed4: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Global PQ search over a row-sharded coded corpus.
 
-    ``codes`` ``[total_rows, m]`` and ``recon_norms`` ``[total_rows]`` are
+    ``codes`` ``[total_rows, m]`` (or ``[total_rows, ⌈m/2⌉]`` nibble-packed
+    with ``packed4=True`` — pallas backend only) and ``recon_norms``
+    ``[total_rows]`` are
     sharded ``P(axis, None)`` / ``P(axis)``; ``codebooks`` and ``queries``
     replicate. With ``rerank=R`` (requires sharded ``db``/``db_norms``),
     each shard rescores its own top-R ADC candidates exactly — candidate
@@ -191,6 +194,8 @@ def sharded_pq_topk(
     from ..index.pq import _adc_search, _rerank
     from ..ops.adc_kernel import fused_adc_topk
 
+    if packed4 and backend != "pallas":
+        raise ValueError("packed4 codes require the pallas backend")
     total_rows = codes.shape[0]
     n_shards = mesh.shape[axis]
     local_rows = total_rows // n_shards
@@ -216,7 +221,7 @@ def sharded_pq_topk(
             s, i = fused_adc_topk(
                 q, codes_l, codebooks, rnorms_l, nvalid_local, fetch, metric,
                 valid_mask=mask_l, exact_lut=exact_lut, interpret=interpret,
-                block_rows=block_rows, int8_lut=int8_lut,
+                block_rows=block_rows, int8_lut=int8_lut, packed4=packed4,
             )
         else:
             s, i = _adc_search(

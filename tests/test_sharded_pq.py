@@ -148,3 +148,32 @@ def test_sharded_pq_int8_lut(rng):
         for r in range(5)
     ])
     assert overlap >= 0.85, overlap
+
+
+def test_sharded_packed4_matches_unsharded(rng):
+    """Nibble-packed 4-bit codes shard row-wise exactly like byte codes;
+    the 8-way sharded result must match the single-device search."""
+    from metrovector_tpu.index.pq import PQIndex
+    from metrovector_tpu.ops.adc_kernel import fused_adc_topk
+
+    n, d, m, k = 1024, 32, 8, 7
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    idx = PQIndex.build(data, DistanceMetric.L2, m=m, ksub=16, iters=3,
+                        keep_vectors=False, pack4=True)
+    mesh = make_mesh(8)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    s0, i0 = fused_adc_topk(
+        q, np.asarray(idx.codes), jnp.asarray(idx.codebooks),
+        np.asarray(idx.recon_norms), np.int32(n), k, DistanceMetric.L2,
+        interpret=True, packed4=True, block_rows=128,
+    )
+    s1, i1 = sharded_pq_topk(
+        replicate(q, mesh),
+        shard_rows(np.asarray(idx.codes), mesh),
+        jnp.asarray(idx.codebooks),
+        shard_rows(np.asarray(idx.recon_norms), mesh),
+        n, k, DistanceMetric.L2, mesh,
+        interpret=True, block_rows=128, packed4=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
