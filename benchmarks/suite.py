@@ -625,6 +625,116 @@ def bench_deep100m_pq4(interpret):
     )
 
 
+def bench_sift1m_filtered(interpret):
+    """Filtered exact search (the vector-DB 'search within predicate'
+    flow): the metadata row mask rides the kernel's validity plane, so
+    the filter costs one fused select — measured at 50% and 1%
+    selectivity against a masked oracle. Reference analog: none (the
+    reference has no filtering; its tombstone schema is the closest
+    concept, `schema/types.fbs:35-39`)."""
+    import jax
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.ops.topk_kernel import fused_topk
+
+    rng = np.random.default_rng(11)
+    n, d, k, qb = (1_000_000 if not interpret else 20_000), 128, 10, 256
+    db = rng.integers(0, 256, (n, d)).astype(np.float32)
+    norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
+    db_d, norms_d = jax.device_put(db), jax.device_put(norms)
+    jax.block_until_ready((db_d, norms_d))
+
+    for sel in (0.5, 0.01):
+        mask = (rng.random(n) < sel).astype(np.float32)
+        mask_d = jax.device_put(mask)  # = SearchEngine.prepare_filter
+        jax.block_until_ready(mask_d)
+
+        def run(q):
+            return fused_topk(q, db_d, norms_d, np.int32(n), k,
+                              DistanceMetric.L2, valid_mask=mask_d,
+                              interpret=interpret)
+
+        qc = rng.integers(0, 256, (8, d)).astype(np.float32)
+        got = np.asarray(run(jax.device_put(qc))[1])
+        d2 = norms.astype(np.float64)[None] - 2 * (
+            qc.astype(np.float64) @ db.T.astype(np.float64)
+        )
+        d2[:, mask == 0] = np.inf
+        oi = np.argsort(d2, 1, kind="stable")[:, :k]
+        recall = _recall(got, oi, k)
+        dt = _measure(
+            run,
+            lambda: rng.integers(0, 256, (qb, d)).astype(np.float32),
+            iters=5 if interpret else 20,
+        )
+        _report(
+            f"sift1m-filtered(n={n},k={k},{qb}q,sel={sel})",
+            qb / dt, dt * 1e3, recall,
+            "metadata predicate as in-kernel mask (prepared filter)",
+        )
+
+
+def bench_sparse1m(interpret):
+    """Exact search over a SPARSE (CSR) corpus — SPLADE-scale: 1M rows,
+    30k-dim vocabulary, ~48 nnz/row, inner product. The reference
+    declares VectorType::Sparse but cannot encode or search it
+    (`schema/types.fbs:14-17`, SURVEY.md §2 quirks)."""
+    import jax
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.sparse import _sparse_topk
+
+    rng = np.random.default_rng(12)
+    n = 1_000_000 if not interpret else 20_000
+    d, nnz_row, k, qb = 30_522, 48, 10, 256
+    nnz = n * nnz_row
+    cols = rng.integers(0, d, nnz).astype(np.int32)
+    rows = np.repeat(np.arange(n, dtype=np.int32), nnz_row)
+    vals = np.abs(rng.standard_normal(nnz)).astype(np.float32)
+    # squared norms per row (exact segment sums on host)
+    norms = np.add.reduceat(vals * vals, np.arange(0, nnz, nnz_row))
+    norms = norms.astype(np.float32)
+
+    nnz_chunk = 1 << 20 if not interpret else 1 << 16
+    pad = (-nnz) % nnz_chunk
+    cols_p = np.pad(cols, (0, pad))
+    rows_p = np.pad(rows, (0, pad), constant_values=n)
+    vals_p = np.pad(vals, (0, pad))
+    dev = jax.device_put
+    cols_d, rows_d, vals_d, norms_d = (
+        dev(cols_p), dev(rows_p), dev(vals_p), dev(norms)
+    )
+    jax.block_until_ready((cols_d, rows_d, vals_d, norms_d))
+
+    def mk():
+        # dense queries over the sparse vocabulary (the SPLADE serving
+        # shape: query expansion is dense-ish, corpus is sparse)
+        q = np.zeros((qb, d), np.float32)
+        qc = rng.integers(0, d, (qb, 256))
+        q[np.arange(qb)[:, None], qc] = np.abs(
+            rng.standard_normal((qb, 256))
+        ).astype(np.float32)
+        return q
+
+    def run(q):
+        return _sparse_topk(q, cols_d, rows_d, vals_d, norms_d, None, k,
+                            DistanceMetric.INNER_PRODUCT, n, nnz_chunk)
+
+    qc = mk()[:4]
+    got = np.asarray(run(jax.device_put(qc))[1])
+    # host oracle: per-entry contributions reduced per row, f64
+    contrib = qc.astype(np.float64)[:, cols] * vals.astype(np.float64)[None]
+    dots = np.add.reduceat(contrib, np.arange(0, nnz, nnz_row), axis=1)
+    oi = np.argsort(-dots.astype(np.float32), 1, kind="stable")[:, :k]
+    recall = _recall(got, oi, k)
+    dt = _measure(run, mk, iters=3 if interpret else 10)
+    _report(
+        f"sparse1m(n={n},d={d},nnz/row={nnz_row},k={k},{qb}q)",
+        qb / dt, dt * 1e3, recall,
+        f"{nnz * 12 / 1e9:.2f} GB CSR on device; segment-sum scan",
+    )
+
+
 CONFIGS = {
     "sim10k": bench_sim10k,
     "sift1m": bench_sift1m,
@@ -635,6 +745,8 @@ CONFIGS = {
     "deep100m-pq4": bench_deep100m_pq4,
     "gist1m": bench_gist1m,
     "deep10m": bench_deep10m,
+    "sift1m-filtered": bench_sift1m_filtered,
+    "sparse1m": bench_sparse1m,
     "stream": bench_stream,
 }
 

@@ -53,6 +53,7 @@ _LAZY = {
     "DeviceSpace": ".engine",
     "SearchResult": ".engine",
     "SparseSearchEngine": ".sparse",
+    "PreparedFilter": ".engine",
     "PreparedQueries": ".engine",
     "HNSWIndex": ".index",
     "IVFIndex": ".index",
@@ -95,6 +96,7 @@ __all__ = [
     "IndexKind",
     "MvtError",
     "PQIndex",
+    "PreparedFilter",
     "PreparedQueries",
     "Reader",
     "SearchEngine",

@@ -118,6 +118,18 @@ def ids_for_rows(host_ids, idx):
 
 
 @dataclasses.dataclass
+class PreparedFilter:
+    """A row-predicate mask pre-uploaded to the device, reusable across
+    searches (see :meth:`SearchEngine.prepare_filter`). ``mask`` is the
+    padded ``[data_rows]`` f32 validity plane (1.0 = searchable); it is
+    composed with the space's live tombstone mask at launch time, so
+    deletions made after preparation are still honored."""
+
+    mask: jax.Array
+    num_valid: int  # logical row count the mask was prepared against
+
+
+@dataclasses.dataclass
 class PreparedQueries:
     """Device-ready query batch plus the scalars needed to interpret raw
     kernel dots (see :meth:`DeviceSpace.prepare_queries`)."""
@@ -521,9 +533,32 @@ class SearchEngine:
         vector). ``filter_mask``: optional ``[num_vectors]`` boolean/int
         row predicate (e.g. built from a metadata column) — rows with 0 are
         excluded from results exactly, composed with tombstones; when fewer
-        than ``k`` rows qualify, the tail holds ``-1`` sentinels. Returns
-        best-first results for every query."""
+        than ``k`` rows qualify, the tail holds ``-1`` sentinels. A
+        :class:`PreparedFilter` (from :meth:`prepare_filter`) is accepted
+        to skip the per-call host→device mask upload when the same
+        predicate serves many query batches. Returns best-first results
+        for every query."""
         return self._finalize(self._launch(queries, k, filter_mask), k)
+
+    def prepare_filter(self, filter_mask) -> PreparedFilter:
+        """Upload a ``[num_vectors]`` boolean/int row predicate once and
+        return a :class:`PreparedFilter` reusable across :meth:`search`
+        calls — the serving path for a hot predicate (e.g. a tenant or
+        language filter applied to every request). The prepared mask is
+        invalidated by corpus growth (``add_rows`` re-pads the corpus);
+        re-prepare after mutation that changes the row count."""
+        sp = self.space
+        fm = np.asarray(filter_mask)
+        if fm.shape != (sp.num_valid,):
+            raise DimensionMismatchError(
+                expected=sp.num_valid,
+                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+            )
+        full = np.zeros(sp.data.shape[0], np.float32)
+        full[: sp.num_valid] = fm.astype(bool)
+        return PreparedFilter(
+            mask=jax.device_put(full), num_valid=sp.num_valid
+        )
 
     def search_pipelined(self, query_batches, k: int = 10):
         """Iterator of :class:`SearchResult`s over an iterable of query
@@ -556,15 +591,24 @@ class SearchEngine:
         k_eff = min(k, sp.num_valid)
         eff_mask = sp.valid_mask
         if filter_mask is not None:
-            fm = np.asarray(filter_mask)
-            if fm.shape != (sp.num_valid,):
-                raise DimensionMismatchError(
-                    expected=sp.num_valid,
-                    actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-                )
-            full = np.zeros(sp.data.shape[0], np.float32)
-            full[: sp.num_valid] = fm.astype(bool)
-            fdev = jax.device_put(full)
+            if isinstance(filter_mask, PreparedFilter):
+                if filter_mask.num_valid != sp.num_valid or (
+                    filter_mask.mask.shape[0] != sp.data.shape[0]
+                ):
+                    raise DimensionMismatchError(
+                        expected=sp.num_valid, actual=filter_mask.num_valid
+                    )
+                fdev = filter_mask.mask
+            else:
+                fm = np.asarray(filter_mask)
+                if fm.shape != (sp.num_valid,):
+                    raise DimensionMismatchError(
+                        expected=sp.num_valid,
+                        actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+                    )
+                full = np.zeros(sp.data.shape[0], np.float32)
+                full[: sp.num_valid] = fm.astype(bool)
+                fdev = jax.device_put(full)
             eff_mask = fdev if eff_mask is None else eff_mask * fdev
 
         uint8_cosine = (

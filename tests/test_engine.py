@@ -55,6 +55,47 @@ def test_filtered_search_via_metadata(tmp_path=None):
         eng.search(q[:1], k=3, filter_mask=np.ones(10, bool))
 
 
+def test_prepared_filter_matches_raw_mask():
+    """prepare_filter: one upload, many searches — results identical to
+    passing the raw mask, composed with live tombstones, invalidated by
+    corpus growth."""
+    from metrovector_tpu import Builder, SearchEngine
+    from metrovector_tpu.errors import DimensionMismatchError
+    import tempfile, os
+
+    rng = np.random.default_rng(21)
+    data = rng.standard_normal((257, 16)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=16)
+    b.add_vectors("v", data)
+    path = os.path.join(tempfile.mkdtemp(), "pf.mvt")
+    b.build().save(path)
+
+    for backend in ("xla", "pallas"):
+        eng = SearchEngine.open(path, backend=backend)
+        mask = rng.random(257) < 0.4
+        pf = eng.prepare_filter(mask)
+        q = rng.standard_normal((6, 16)).astype(np.float32)
+        raw = eng.search(q, k=8, filter_mask=mask)
+        prepped = eng.search(q, k=8, filter_mask=pf)
+        np.testing.assert_array_equal(prepped.indices, raw.indices)
+        np.testing.assert_array_equal(prepped.scores, raw.scores)
+
+        # composes with a deletion made AFTER preparation
+        victim = int(raw.indices[0, 0])
+        eng.space.delete_rows([victim])
+        res = eng.search(q, k=8, filter_mask=pf)
+        assert victim not in res.indices
+
+        # corpus growth invalidates the prepared mask (row count changed)
+        eng.space.add_rows(rng.standard_normal((3, 16)).astype(np.float32))
+        with pytest.raises(DimensionMismatchError):
+            eng.search(q, k=8, filter_mask=pf)
+        # wrong-shape prepare raises up front
+        with pytest.raises(DimensionMismatchError):
+            eng.prepare_filter(np.ones(10, bool))
+
+
 def test_search_pipelined_matches_search(rng_engine_fixtureless=None):
     """Pipelined batches must return the same results, in order, as
     sequential search() calls."""
