@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--clustered", action="store_true",
                     help="clustered corpus (realistic embedding structure) "
                          "instead of iid gaussian (the hardest case)")
+    ap.add_argument("--selection", default="heuristic",
+                    choices=["heuristic", "closest"],
+                    help="neighbor selection strategy")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -51,12 +54,13 @@ def main() -> None:
         data = rng.standard_normal((args.n, args.d)).astype(np.float32)
     print(
         f"n={args.n} d={args.d} m={args.m} ef_construction={args.ef_c} "
-        f"clustered={args.clustered}"
+        f"clustered={args.clustered} selection={args.selection}"
     )
 
     t0 = time.perf_counter()
     idx = HNSWIndex.build(
-        data, DistanceMetric.L2, m=args.m, ef_construction=args.ef_c
+        data, DistanceMetric.L2, m=args.m, ef_construction=args.ef_c,
+        selection=args.selection,
     )
     t1 = time.perf_counter()
     native = idx._native_handle() is not None

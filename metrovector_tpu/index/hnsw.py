@@ -136,10 +136,11 @@ def _select_heuristic(base, cand_ids, cap, rows, norms, metric):
     return out
 
 
-def _connect_build(node, neighbors, layer_adj, cap, rows, norms, metric):
+def _connect_build(node, neighbors, layer_adj, cap, rows, norms, metric,
+                   heuristic=True):
     """Link ``node``↔``neighbors`` in a build-time adjacency dict, pruning
-    over-full neighbor lists back to ``cap`` with the diversifying
-    heuristic."""
+    over-full neighbor lists back to ``cap`` — with the diversifying
+    heuristic, or plain closest-``cap`` when ``heuristic`` is False."""
     layer_adj[int(node)] = np.asarray(neighbors[:cap], np.int32)
     for v in neighbors[:cap]:
         cur = layer_adj.get(int(v))
@@ -152,16 +153,19 @@ def _connect_build(node, neighbors, layer_adj, cap, rows, norms, metric):
             sc = _scores(rows[int(v)], rows, norms,
                          merged.astype(np.int64), metric)
             best_first = merged[np.argsort(-sc, kind="stable")]
-            merged = np.asarray(
-                _select_heuristic(int(v), best_first.tolist(), cap, rows,
-                                  norms, metric),
-                np.int32,
-            )
+            if heuristic:
+                merged = np.asarray(
+                    _select_heuristic(int(v), best_first.tolist(), cap,
+                                      rows, norms, metric),
+                    np.int32,
+                )
+            else:
+                merged = best_first[:cap].astype(np.int32)
         layer_adj[int(v)] = merged
 
 
 def _insert_nodes(adj, rows, norms, metric, nodes, levels, entry,
-                  entry_level, m, ef_construction):
+                  entry_level, m, ef_construction, heuristic=True):
     """Run HNSW insertion for ``nodes`` (id order) against existing
     adjacency dicts, extending ``adj`` with new top layers as needed.
     Returns the (possibly new) entry node."""
@@ -185,8 +189,13 @@ def _insert_nodes(adj, rows, norms, metric, nodes, levels, entry,
             )
             cap = width0 if layer == 0 else width
             cand = [int(v) for v in ids if int(v) != node]
-            chosen = _select_heuristic(node, cand, cap, rows, norms, metric)
-            _connect_build(node, chosen, adj[layer], cap, rows, norms, metric)
+            if heuristic:
+                chosen = _select_heuristic(node, cand, cap, rows, norms,
+                                           metric)
+            else:
+                chosen = cand[:cap]
+            _connect_build(node, chosen, adj[layer], cap, rows, norms,
+                           metric, heuristic=heuristic)
             eps = list(ids[: max(1, len(ids))])
         if lvl > entry_level:
             entry = node
@@ -237,6 +246,11 @@ class HNSWIndex:
     # semantics); node ids are row positions, translated through this at
     # result time so ids survive compaction.
     host_ids: np.ndarray | None = None
+    # Neighbor selection strategy: "heuristic" (Alg. 4 + backfill — the
+    # default; clustered corpora fragment without it) or "closest"
+    # (plain closest-M — measured better on structureless iid corpora;
+    # benchmarks/RESULTS.md). Affects build and add_rows, not search.
+    selection: str = "heuristic"
 
     def __post_init__(self):
         n = self.rows.shape[0]
@@ -278,6 +292,7 @@ class HNSWIndex:
         valid_mask: np.ndarray | None = None,
         ids: np.ndarray | None = None,
         threads: int = 0,
+        selection: str = "heuristic",
     ) -> "HNSWIndex":
         """Incremental insertion build. ``m``: neighbors per node on upper
         layers (``2m`` at layer 0); ``ef_construction``: beam width during
@@ -286,8 +301,17 @@ class HNSWIndex:
         insertion workers (per-node locks, hnswlib-style; 0 = OpenMP
         default — all cores; 1 = deterministic sequential order). The
         graph structure is insertion-order dependent, so multithreaded
-        builds are valid but not bit-reproducible."""
+        builds are valid but not bit-reproducible. ``selection``:
+        neighbor selection — "heuristic" (diversifying, the default) or
+        "closest" (plain closest-M; better on structureless iid corpora,
+        fragments clustered ones — see the dataclass field note)."""
         metric = DistanceMetric(metric)
+        if selection not in ("heuristic", "closest"):
+            raise ValueError(
+                f"selection must be 'heuristic' or 'closest', got "
+                f"{selection!r}"
+            )
+        heuristic = selection == "heuristic"
         host_ids = (
             np.ascontiguousarray(ids, np.uint64).reshape(-1)
             if ids is not None
@@ -301,7 +325,7 @@ class HNSWIndex:
             live = live[~np.asarray(valid_mask, dtype=bool)]
         if len(live) == 0:
             return cls(rows, norms, [], _SENTINEL, metric, m, ef_construction,
-                       valid=None, host_ids=host_ids)
+                       valid=None, host_ids=host_ids, selection=selection)
 
         from .. import native as _nat
 
@@ -311,6 +335,7 @@ class HNSWIndex:
             nh = _nat.NativeHNSW.build(
                 rows, norms, 1 if metric == DistanceMetric.L2 else 0,
                 m, ef_construction, seed, live, threads=threads,
+                heuristic=heuristic,
             )
             if nh is not None:
                 valid = None
@@ -318,7 +343,7 @@ class HNSWIndex:
                     valid = ~np.asarray(valid_mask, dtype=bool)
                 return cls(rows, norms, nh.export_layers(), nh.entry,
                            metric, m, ef_construction, valid=valid,
-                           host_ids=host_ids)
+                           host_ids=host_ids, selection=selection)
 
         ml = 1.0 / np.log(max(m, 2))
         levels = np.minimum(
@@ -330,14 +355,15 @@ class HNSWIndex:
         ]
         entry, _ = _insert_nodes(
             adj, rows, norms, metric, live[1:], levels, entry,
-            int(levels[entry]), m, ef_construction,
+            int(levels[entry]), m, ef_construction, heuristic=heuristic,
         )
         layers_out = _freeze_adj(adj, entry, m)
         valid = None
         if valid_mask is not None:
             valid = ~np.asarray(valid_mask, dtype=bool)
         return cls(rows, norms, layers_out, entry, metric, m,
-                   ef_construction, valid=valid, host_ids=host_ids)
+                   ef_construction, valid=valid, host_ids=host_ids,
+                   selection=selection)
 
     # -- online mutation ------------------------------------------------------
 
@@ -402,6 +428,7 @@ class HNSWIndex:
         entry, _ = _insert_nodes(
             adj, rows, norms, self.metric, new_nodes, levels, entry,
             entry_level, self.m, self.ef_construction,
+            heuristic=self.selection == "heuristic",
         )
         self.rows = rows
         self.norms = norms
@@ -439,6 +466,7 @@ class HNSWIndex:
         m: int = 16,
         ef_construction: int = 200,
         seed: int = 0,
+        selection: str = "heuristic",
     ) -> "HNSWIndex":
         """Reattach the persisted graph (``Builder.set_hnsw_index``) or
         build one from the space's rows."""
@@ -460,6 +488,7 @@ class HNSWIndex:
         return cls.build(
             vectors, metric, m=m, ef_construction=ef_construction, seed=seed,
             valid_mask=space.tombstone_mask(), ids=space.ids(),
+            selection=selection,
         )
 
     @property

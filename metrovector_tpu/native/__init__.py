@@ -229,13 +229,13 @@ def load_hnsw():
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.mvt_hnsw_abi_version.restype = ctypes.c_int
-        if lib.mvt_hnsw_abi_version() != 2:
+        if lib.mvt_hnsw_abi_version() != 3:
             return None
         lib.mvt_hnsw_build.restype = ctypes.c_void_p
         lib.mvt_hnsw_build.argtypes = [
             f32p, ctypes.c_int64, ctypes.c_int32, f32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64, i64p,
-            ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ]
         lib.mvt_hnsw_new.restype = ctypes.c_void_p
         lib.mvt_hnsw_new.argtypes = [
@@ -300,11 +300,12 @@ class NativeHNSW:
 
     @classmethod
     def build(cls, rows, norms, use_norms, m, ef_construction, seed, live,
-              threads: int = 0):
+              threads: int = 0, heuristic: bool = True):
         """Build by incremental insertion over the ``live`` row ids.
         ``threads``: parallel insertion workers (hnswlib-style per-node
         locking; 0 = the OpenMP default, 1 = deterministic sequential).
-        Returns None when the native library is unavailable."""
+        ``heuristic``: diversifying neighbor selection (False = plain
+        closest-M). Returns None when the native library is unavailable."""
         lib = load_hnsw()
         if lib is None:
             return None
@@ -316,7 +317,7 @@ class NativeHNSW:
             int(use_norms), int(m), int(ef_construction),
             ctypes.c_uint64(int(seed) & (2**64 - 1)),
             live.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            live.shape[0], int(threads),
+            live.shape[0], int(threads), int(bool(heuristic)),
         )
         if not h:
             return None

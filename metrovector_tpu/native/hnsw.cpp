@@ -90,6 +90,11 @@ struct Index {
   int32_t use_norms = 0;
   int32_t m = 16;
   int32_t ef_c = 200;
+  // Neighbor selection: 1 = diversifying heuristic (Alg. 4 + backfill,
+  // the default — clustered corpora fragment without it), 0 = plain
+  // closest-M (measured better on structureless iid corpora at 1M
+  // scale; see benchmarks/RESULTS.md for the comparison).
+  int32_t heuristic = 1;
   // Atomic: during parallel builds the entry point is read by every
   // inserting thread and occasionally replaced (level promotion); a
   // stale read only lengthens one descent.
@@ -186,6 +191,10 @@ void select_heuristic(const Index& ix, const std::vector<ScoredNode>& cand,
   out.clear();
   if ((int32_t)cand.size() <= cap) {
     out = cand;
+    return;
+  }
+  if (!ix.heuristic) {  // plain closest-M: best-first prefix
+    out.assign(cand.begin(), cand.begin() + cap);
     return;
   }
   std::vector<ScoredNode> pruned;
@@ -323,7 +332,7 @@ int64_t greedy_descend(const Index& ix, const float* q, int64_t ep,
 
 extern "C" {
 
-int mvt_hnsw_abi_version() { return 2; }
+int mvt_hnsw_abi_version() { return 3; }
 
 // Parallel insertion build (hnswlib-style): every layer's slot table is
 // fully preallocated from the pre-drawn levels (no reallocation during
@@ -337,7 +346,7 @@ void* mvt_hnsw_build(const float* rows, int64_t n, int32_t d,
                      const float* norms, int32_t use_norms, int32_t m,
                      int32_t ef_construction, uint64_t seed,
                      const int64_t* live, int64_t n_live,
-                     int32_t n_threads) {
+                     int32_t n_threads, int32_t heuristic) {
   Index* ix = new Index;
   ix->rows = rows;
   ix->norms = norms;
@@ -346,6 +355,7 @@ void* mvt_hnsw_build(const float* rows, int64_t n, int32_t d,
   ix->use_norms = use_norms;
   ix->m = m;
   ix->ef_c = ef_construction;
+  ix->heuristic = heuristic;
   if (n_live == 0) return ix;
 
   std::mt19937_64 rng(seed);

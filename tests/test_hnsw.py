@@ -225,3 +225,38 @@ def test_parallel_build_valid_graph(rng):
         )
     assert recalls[0] > 0.85, recalls
     assert recalls[1] > 0.85, recalls
+
+
+@pytest.mark.parametrize("native_path", [True, False])
+def test_selection_strategies(rng, native_path, monkeypatch):
+    """Both selection strategies build searchable graphs with good
+    recall on iid data; 'closest' is rejected nowhere but validated."""
+    if native_path:
+        from metrovector_tpu import native
+
+        if not native.hnsw_available():
+            pytest.skip("native hnsw unavailable")
+    else:
+        monkeypatch.setenv("MVT_NO_NATIVE", "1")
+        import metrovector_tpu.native as native_mod
+
+        monkeypatch.setattr(native_mod, "_hnsw_lib", None)
+        monkeypatch.setattr(native_mod, "_hnsw_tried", False)
+    data = _data(rng, n=1500, d=16)
+    q = _data(rng, n=20, d=16)
+    _, oi = numpy_oracle(q, data, 10, DistanceMetric.L2)
+    for sel in ("heuristic", "closest"):
+        idx = HNSWIndex.build(
+            data, DistanceMetric.L2, m=12, ef_construction=80, seed=3,
+            selection=sel,
+        )
+        assert idx.selection == sel
+        res = idx.search(q, k=10, ef=150)
+        hits = sum(len(set(res.indices[i]) & set(oi[i])) for i in range(20))
+        assert hits / 200 >= 0.85, (sel, hits / 200)
+        # add_rows keeps using the chosen strategy (smoke: inserts work)
+        idx.add_rows(data[:5] + 0.01)
+        assert idx.rows.shape[0] == 1505
+
+    with pytest.raises(ValueError):
+        HNSWIndex.build(data, DistanceMetric.L2, selection="weird")
