@@ -729,9 +729,45 @@ def bench_sparse1m(interpret):
     recall = _recall(got, oi, k)
     dt = _measure(run, mk, iters=3 if interpret else 10)
     _report(
-        f"sparse1m(n={n},d={d},nnz/row={nnz_row},k={k},{qb}q)",
+        f"sparse1m(n={n},d={d},nnz/row={nnz_row},k={k},{qb}q,coo)",
         qb / dt, dt * 1e3, recall,
         f"{nnz * 12 / 1e9:.2f} GB CSR on device; segment-sum scan",
+    )
+
+    # Scatter-free ELL formulation (the serving default): fixed-width
+    # rows, embedding-style gather from queriesT, regular reduction.
+    from metrovector_tpu.sparse import _ELL_ROW_PAD, _sparse_topk_ell
+
+    del cols_d, rows_d, vals_d
+    n_pad = -(-n // _ELL_ROW_PAD) * _ELL_ROW_PAD
+    cols_ell = np.zeros((n_pad, nnz_row), np.int32)
+    vals_ell = np.zeros((n_pad, nnz_row), np.float32)
+    cols_ell[:n] = cols.reshape(n, nnz_row)
+    vals_ell[:n] = vals.reshape(n, nnz_row)
+    norms_pad = np.zeros(n_pad, np.float32)
+    norms_pad[:n] = norms
+    empty_i = np.zeros(256, np.int32)
+    empty_f = np.zeros(256, np.float32)
+    ce, ve, npd = dev(cols_ell), dev(vals_ell), dev(norms_pad)
+    ei, ef = dev(empty_i), dev(empty_f)
+    jax.block_until_ready((ce, ve, npd))
+    b = _ELL_ROW_PAD
+    while b > 1024 and b * nnz_row * qb * 4 > 400e6:
+        b //= 2
+
+    def run_ell(q):
+        return _sparse_topk_ell(
+            q, ce, ve, ei, ei, ef, npd, None, k,
+            DistanceMetric.INNER_PRODUCT, n, b, 256, False,
+        )
+
+    got = np.asarray(run_ell(jax.device_put(qc))[1])
+    recall = _recall(got, oi, k)
+    dt = _measure(run_ell, mk, iters=3 if interpret else 10)
+    _report(
+        f"sparse1m(n={n},d={d},nnz/row={nnz_row},k={k},{qb}q,ell)",
+        qb / dt, dt * 1e3, recall,
+        f"{nnz * 8 / 1e9:.2f} GB ELL on device; scatter-free",
     )
 
 

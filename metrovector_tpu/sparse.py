@@ -3,16 +3,32 @@
 The reference declares ``VectorType::Sparse`` in its schema but can neither
 encode nor search it (SURVEY.md §2 quirks). MVT stores real CSR blocks
 (:class:`~metrovector_tpu.format.manifest.SparseInfo`) and searches them
-with a TPU-friendly scatter formulation:
+on device with one of two formulations:
 
-    contrib[q, e] = queries[q, cols[e]] · values[e]          (gather, VPU)
-    scores[q, :]  = scatter-add of contrib over rows[e]      (segment sum)
+**ELL + overflow (default).** XLA TPU scatters are scalar-slow (the same
+finding that drove the gather-free IVF-PQ scan — the CSR segment-sum
+measured 176 QPS on a 1M×30k-dim SPLADE-scale corpus), so the serving
+layout pads each row to a fixed width R (covering ~all entries) and the
+per-row reduction becomes a REGULAR sum — no scatter anywhere:
 
-Memory is O(nnz) — no densified corpus ever exists. nnz is processed in
-fixed-size chunks so the transient ``[Q, nnz_chunk]`` contribution tile
-stays bounded; the ``[Q, N]`` score matrix is materialized (fine up to a
-few million rows at serving batch sizes — the regime where exact sparse
-brute force makes sense at all).
+    g[e, q]       = queries[q, cols_ell[n, r]]    (embedding-style row
+                                                   gather from queriesᵀ —
+                                                   the one gather TPUs run
+                                                   at HBM bandwidth)
+    dots[n, q]    = Σ_r g · vals_ell[n, r]        (fixed-width VPU sum)
+
+Rows with more than R entries spill their tail into a small COO overflow
+handled by the segment-sum path (exact; typically empty). Measured 26×
+the CSR scan on the SPLADE-scale config (``benchmarks/RESULTS.md``).
+
+**CSR segment-sum scan** (``formulation="coo"``): the O(nnz)-memory
+fallback with no padding overhead — right when the nnz/row distribution
+is so skewed that ELL padding would dominate memory.
+
+Memory is O(nnz) either way — no densified corpus ever exists. The
+``[Q, N]`` score matrix is materialized (fine up to a few million rows at
+serving batch sizes — the regime where exact sparse brute force makes
+sense at all).
 """
 
 from __future__ import annotations
@@ -79,42 +95,200 @@ def _sparse_topk(
     return s, i
 
 
-class SparseSearchEngine:
-    """Exact top-k over one SPARSE space, corpus resident on device in CSR
-    form (values + cols + row ids, O(nnz) HBM)."""
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "num_rows", "block_rows", "ovf_chunk", "has_ovf"
+    ),
+)
+def _sparse_topk_ell(
+    queries,          # [Q, dim] f32
+    cols_ell,         # [n_pad, R] i32 (pad entries: column 0, value 0)
+    vals_ell,         # [n_pad, R] f32
+    ovf_cols,         # [ovf_pad] i32 (overflow tail entries; may be empty)
+    ovf_rows,         # [ovf_pad] i32 (pad entries point at row n_pad)
+    ovf_vals,         # [ovf_pad] f32
+    norms,            # [n_pad] f32 squared norms (0 on pad rows)
+    valid_mask,       # [n_pad] f32 or None
+    k: int,
+    metric: DistanceMetric,
+    num_rows: int,
+    block_rows: int,
+    ovf_chunk: int,
+    has_ovf: bool,
+):
+    """Scatter-free sparse scoring: fixed-width ELL rows reduce with a
+    regular sum; the only gather is an embedding-style row lookup from
+    ``queriesᵀ`` (full [Q]-wide rows — the TPU-friendly gather shape).
+    Overflow entries (rows wider than R) go through one small
+    segment-sum pass. Bit-exact vs :func:`_sparse_topk` up to f32
+    addition order."""
+    metric = DistanceMetric(metric)
+    qn = queries.shape[0]
+    n_pad, r = cols_ell.shape
+    nb = n_pad // block_rows
+    qt = queries.T  # [dim, Q]
 
-    def __init__(self, space, nnz_chunk: int = 1 << 20, device=None):
+    def body(_, xs):
+        cb, vb = xs  # [B, R] each
+        g = jnp.take(qt, cb.reshape(-1), axis=0)        # [B·R, Q]
+        contrib = g * vb.reshape(-1)[:, None]
+        return None, contrib.reshape(block_rows, r, qn).sum(1)  # [B, Q]
+
+    _, blocks = jax.lax.scan(
+        body,
+        None,
+        (
+            cols_ell.reshape(nb, block_rows, r),
+            vals_ell.reshape(nb, block_rows, r),
+        ),
+    )
+    dots = blocks.reshape(n_pad, qn).T  # [Q, n_pad]
+
+    if has_ovf:
+        nchunks = ovf_cols.shape[0] // ovf_chunk
+
+        def obody(carry, xs):
+            c_cols, c_rows, c_vals = xs
+            contrib = jnp.take(qt, c_cols, axis=0) * c_vals[:, None]
+            partial = jax.ops.segment_sum(
+                contrib, c_rows, num_segments=n_pad + 1
+            )  # [n_pad+1, Q] (last row collects padding)
+            return carry + partial[:n_pad].T, None
+
+        dots, _ = jax.lax.scan(
+            obody,
+            dots,
+            (
+                ovf_cols.reshape(nchunks, ovf_chunk),
+                ovf_rows.reshape(nchunks, ovf_chunk),
+                ovf_vals.reshape(nchunks, ovf_chunk),
+            ),
+        )
+
+    if metric == DistanceMetric.L2:
+        scores = 2.0 * dots - norms[None, :]
+    elif metric == DistanceMetric.COSINE:
+        scores = dots * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))[None, :]
+    else:
+        scores = dots
+    row_ok = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
+    if valid_mask is not None:
+        row_ok = row_ok & (valid_mask != 0)
+    scores = jnp.where(row_ok[None, :], scores, _NEG_INF)
+    s, i = jax.lax.top_k(scores, k)
+    i = jnp.where(jnp.isneginf(s), -1, i)
+    return s, i
+
+
+_ELL_ROW_PAD = 8192  # ELL row count padded to a multiple (block divisor)
+
+
+class SparseSearchEngine:
+    """Exact top-k over one SPARSE space, corpus resident on device —
+    ELL + overflow layout by default (scatter-free scoring; see module
+    docstring), or CSR/COO with ``formulation="coo"``. Both O(nnz) HBM.
+
+    ``formulation="auto"`` picks ELL unless the nnz/row distribution is
+    so skewed that ELL padding would more than triple the entry count
+    (then the segment-sum scan's compactness wins)."""
+
+    def __init__(self, space, nnz_chunk: int = 1 << 20, device=None,
+                 formulation: str = "auto"):
         if space.info.vector_type != VectorType.SPARSE:
             raise InvalidVectorTypeError(
                 f"space {space.name!r} is dense; use SearchEngine"
+            )
+        if formulation not in ("auto", "ell", "coo"):
+            raise ValueError(
+                f"formulation must be 'auto', 'ell' or 'coo', got "
+                f"{formulation!r}"
             )
         indptr, cols, vals = space.sparse_csr()
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         ip = indptr.astype(np.int64)
         counts = np.diff(ip)
-        rows = np.repeat(np.arange(space.num_vectors, dtype=np.int32), counts)
+        n = space.num_vectors
         nnz = int(cols.size)
-        self.nnz_chunk = min(nnz_chunk, max(256, nnz)) if nnz else 256
-        pad = (-nnz) % self.nnz_chunk if nnz else self.nnz_chunk
-        # padded entries: column 0, sentinel row num_vectors, value 0
-        self._cols = put(
-            np.pad(cols.astype(np.int32), (0, pad)).astype(np.int32)
-        )
-        self._rows = put(
-            np.pad(rows, (0, pad), constant_values=space.num_vectors)
-        )
-        self._vals = put(np.pad(vals.astype(np.float32), (0, pad)))
-        self._norms = put(
-            np.asarray(space.norms()[: space.num_vectors], np.float32)
-        )
-        host_mask = space.tombstone_mask()
-        if host_mask is not None:
-            self._valid = put((~host_mask).astype(np.float32))
+        cols = cols.astype(np.int32)
+        vals = vals.astype(np.float32)
+
+        if formulation == "auto":
+            # R covering 95% of rows; ELL unless padding explodes entries
+            if nnz == 0:
+                formulation = "ell"
+            else:
+                r95 = int(np.percentile(counts, 95))
+                r_cap = int(min(counts.max(initial=1), max(8, -(-r95 // 8) * 8)))
+                padded_entries = n * r_cap + int(
+                    np.maximum(counts - r_cap, 0).sum()
+                )
+                formulation = "ell" if padded_entries <= 3 * nnz else "coo"
+        self.formulation = formulation
+
+        if formulation == "ell":
+            if nnz == 0:
+                r_cap = 1
+            else:
+                r95 = int(np.percentile(counts, 95))
+                r_cap = int(min(counts.max(initial=1), max(8, -(-r95 // 8) * 8)))
+            n_pad = max(_ELL_ROW_PAD, -(-max(n, 1) // _ELL_ROW_PAD) * _ELL_ROW_PAD)
+            cols_ell = np.zeros((n_pad, r_cap), np.int32)
+            vals_ell = np.zeros((n_pad, r_cap), np.float32)
+            if nnz:
+                ranks = np.arange(nnz, dtype=np.int64) - np.repeat(
+                    ip[:-1], counts
+                )
+                rows_all = np.repeat(np.arange(n, dtype=np.int64), counts)
+                in_ell = ranks < r_cap
+                cols_ell[rows_all[in_ell], ranks[in_ell]] = cols[in_ell]
+                vals_ell[rows_all[in_ell], ranks[in_ell]] = vals[in_ell]
+                ovf = ~in_ell
+            else:
+                ovf = np.zeros(0, bool)
+            n_ovf = int(ovf.sum())
+            self._has_ovf = n_ovf > 0
+            self.ovf_chunk = min(1 << 13, max(256, n_ovf)) if n_ovf else 256
+            opad = (-n_ovf) % self.ovf_chunk if n_ovf else self.ovf_chunk
+            self._ovf_cols = put(np.pad(cols[ovf] if nnz else cols, (0, opad)))
+            self._ovf_rows = put(
+                np.pad(
+                    rows_all[ovf].astype(np.int32) if nnz
+                    else np.zeros(0, np.int32),
+                    (0, opad), constant_values=n_pad,
+                )
+            )
+            self._ovf_vals = put(np.pad(vals[ovf] if nnz else vals, (0, opad)))
+            self._cols_ell = put(cols_ell)
+            self._vals_ell = put(vals_ell)
+            self.r_cap = r_cap
+            nrm = np.zeros(n_pad, np.float32)
+            nrm[:n] = np.asarray(space.norms()[:n], np.float32)
+            self._norms = put(nrm)
+            host_mask = space.tombstone_mask()
+            if host_mask is not None:
+                v = np.zeros(n_pad, np.float32)
+                v[:n] = ~host_mask
+                self._valid = put(v)
+            else:
+                self._valid = None
         else:
-            self._valid = None
+            rows = np.repeat(np.arange(n, dtype=np.int32), counts)
+            self.nnz_chunk = min(nnz_chunk, max(256, nnz)) if nnz else 256
+            pad = (-nnz) % self.nnz_chunk if nnz else self.nnz_chunk
+            # padded entries: column 0, sentinel row num_vectors, value 0
+            self._cols = put(np.pad(cols, (0, pad)))
+            self._rows = put(np.pad(rows, (0, pad), constant_values=n))
+            self._vals = put(np.pad(vals, (0, pad)))
+            self._norms = put(np.asarray(space.norms()[:n], np.float32))
+            host_mask = space.tombstone_mask()
+            if host_mask is not None:
+                self._valid = put((~host_mask).astype(np.float32))
+            else:
+                self._valid = None
         self.metric = space.metric
         self.dim = space.dim
-        self.num_vectors = space.num_vectors
+        self.num_vectors = n
         self.name = space.name
         self.host_ids = space.ids()
 
@@ -145,11 +319,23 @@ class SparseSearchEngine:
                 metric=self.metric,
             )
         k_eff = min(k, self.num_vectors)
-        s, i = _sparse_topk(
-            jax.device_put(qk), self._cols, self._rows, self._vals,
-            self._norms, self._valid, k_eff, self.metric,
-            self.num_vectors, self.nnz_chunk,
-        )
+        if self.formulation == "ell":
+            # block size: bound the [B·R, Q] gather tile to ~400 MB
+            b = _ELL_ROW_PAD
+            while b > 1024 and b * self.r_cap * nq * 4 > 400e6:
+                b //= 2
+            s, i = _sparse_topk_ell(
+                jax.device_put(qk), self._cols_ell, self._vals_ell,
+                self._ovf_cols, self._ovf_rows, self._ovf_vals,
+                self._norms, self._valid, k_eff, self.metric,
+                self.num_vectors, b, self.ovf_chunk, self._has_ovf,
+            )
+        else:
+            s, i = _sparse_topk(
+                jax.device_put(qk), self._cols, self._rows, self._vals,
+                self._norms, self._valid, k_eff, self.metric,
+                self.num_vectors, self.nnz_chunk,
+            )
         s, i = np.asarray(s), np.asarray(i)
         dist = distances_np(s, self.metric, qnorms)
         if k_eff < k:

@@ -165,3 +165,69 @@ def test_sparse_search_carries_ids(tmp_path, rng):
         res.ids[res.indices >= 0],
         (np.arange(30, dtype=np.uint64) * 3 + 11)[res.indices[res.indices >= 0]],
     )
+
+
+@pytest.mark.parametrize("formulation", ["ell", "coo"])
+@pytest.mark.parametrize(
+    "metric", [DistanceMetric.L2, DistanceMetric.INNER_PRODUCT]
+)
+def test_sparse_formulations_match_oracle(tmp_path, rng, formulation, metric):
+    """Both device formulations (scatter-free ELL+overflow and the CSR
+    segment-sum scan) rank exactly like the dense oracle — including a
+    heavily skewed nnz distribution that forces the ELL overflow path."""
+    rows = _random_sparse(rng, n=150, dim=300, nnz_per_row=8)
+    # skew: a few very wide rows (>> the 95th-percentile ELL cap)
+    for i in (3, 77):
+        cols = rng.choice(300, size=120, replace=False)
+        rows[i] = (cols, rng.standard_normal(120).astype(np.float32))
+    b = Builder()
+    b.add_vector_space("s", dim=300, vector_type=VectorType.SPARSE,
+                       metric=metric)
+    b.add_sparse_vectors("s", rows)
+    path = tmp_path / f"f-{formulation}.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    eng = SparseSearchEngine(sp, formulation=formulation)
+    assert eng.formulation == formulation
+    if formulation == "ell":
+        assert eng._has_ovf  # the wide rows must spill
+        assert eng.r_cap < 120
+    q = rng.standard_normal((5, 300)).astype(np.float32)
+    # make one query target a wide row so overflow entries matter
+    dense = sp.to_numpy()
+    q[0] = dense[3] + 0.01 * rng.standard_normal(300).astype(np.float32)
+    res = eng.search(q, k=10)
+    _, oi = numpy_oracle(q, dense, 10, metric)
+    assert np.array_equal(res.indices, oi)
+    if formulation == "ell":
+        assert 3 in res.indices[0]
+
+
+def test_sparse_auto_formulation_routes_by_skew(tmp_path, rng):
+    """auto: ELL for regular distributions, COO when padding would
+    dominate (one huge row amid tiny ones)."""
+    regular = _random_sparse(rng, n=64, dim=200, nnz_per_row=6)
+    b = Builder()
+    b.add_vector_space("s", dim=200, vector_type=VectorType.SPARSE)
+    b.add_sparse_vectors("s", regular)
+    p1 = tmp_path / "reg.mvt"
+    b.build().save(p1)
+    assert SparseSearchEngine(
+        Reader.open(p1).vector_space("s")
+    ).formulation == "ell"
+
+    skewed = [([int(i % 200)], [1.0]) for i in range(64)]
+    cols = rng.choice(200, size=190, replace=False)
+    skewed[10] = (cols, np.ones(190, np.float32))
+    b2 = Builder()
+    b2.add_vector_space("s", dim=200, vector_type=VectorType.SPARSE)
+    b2.add_sparse_vectors("s", skewed)
+    p2 = tmp_path / "skw.mvt"
+    b2.build().save(p2)
+    eng = SparseSearchEngine(Reader.open(p2).vector_space("s"))
+    # whichever routing auto picks, results stay exact
+    dense = Reader.open(p2).vector_space("s").to_numpy()
+    q = rng.standard_normal((3, 200)).astype(np.float32)
+    res = eng.search(q, k=5)
+    _, oi = numpy_oracle(q, dense, 5, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
