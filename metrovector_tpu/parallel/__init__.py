@@ -18,6 +18,10 @@ from .sharded_search import (
     sharded_pq_topk,
     sharded_topk,
 )
+from .sparse_sharded import (
+    ShardedSparseSearchEngine,
+    sharded_sparse_topk,
+)
 from .streaming import ShardedStreamingSearcher, StreamingSearcher
 
 __all__ = [
@@ -25,6 +29,7 @@ __all__ = [
     "SHARD_AXIS",
     "DistributedSearcher",
     "ShardedDeviceSpace",
+    "ShardedSparseSearchEngine",
     "ShardedStreamingSearcher",
     "StreamingSearcher",
     "dim_sharded_topk",
@@ -38,5 +43,6 @@ __all__ = [
     "rows_per_shard",
     "shard_rows",
     "sharded_pq_topk",
+    "sharded_sparse_topk",
     "sharded_topk",
 ]

@@ -95,6 +95,67 @@ def _sparse_topk(
     return s, i
 
 
+def _ell_dots(qt, cols_ell, vals_ell, block_rows):
+    """``dots[q, n] = Σ_r qt[cols_ell[n, r], q] · vals_ell[n, r]`` — the
+    scatter-free ELL contraction, scanned in ``block_rows`` row blocks to
+    bound the gathered ``[B·R, Q]`` tile. Shared by the single-chip and
+    sharded kernels."""
+    qn = qt.shape[1]
+    n_pad, r = cols_ell.shape
+    nb = n_pad // block_rows
+
+    def body(_, xs):
+        cb, vb = xs  # [B, R] each
+        g = jnp.take(qt, cb.reshape(-1), axis=0)        # [B·R, Q]
+        contrib = g * vb.reshape(-1)[:, None]
+        return None, contrib.reshape(block_rows, r, qn).sum(1)  # [B, Q]
+
+    _, blocks = jax.lax.scan(
+        body,
+        None,
+        (
+            cols_ell.reshape(nb, block_rows, r),
+            vals_ell.reshape(nb, block_rows, r),
+        ),
+    )
+    return blocks.reshape(n_pad, qn).T  # [Q, n_pad]
+
+
+def _ovf_add(dots, qt, ovf_cols, ovf_rows, ovf_vals, ovf_chunk):
+    """Add the ELL overflow tail (rows wider than the cap) via one small
+    segment-sum pass. Padded entries carry row id ``n_pad`` (dropped)."""
+    n_pad = dots.shape[1]
+    nchunks = ovf_cols.shape[0] // ovf_chunk
+
+    def obody(carry, xs):
+        c_cols, c_rows, c_vals = xs
+        contrib = jnp.take(qt, c_cols, axis=0) * c_vals[:, None]
+        partial = jax.ops.segment_sum(
+            contrib, c_rows, num_segments=n_pad + 1
+        )  # [n_pad+1, Q] (last row collects padding)
+        return carry + partial[:n_pad].T, None
+
+    dots, _ = jax.lax.scan(
+        obody,
+        dots,
+        (
+            ovf_cols.reshape(nchunks, ovf_chunk),
+            ovf_rows.reshape(nchunks, ovf_chunk),
+            ovf_vals.reshape(nchunks, ovf_chunk),
+        ),
+    )
+    return dots
+
+
+def _ell_scores(dots, norms, metric):
+    """Metric epilogue over raw dots (shared single-chip / sharded)."""
+    if metric == DistanceMetric.L2:
+        return 2.0 * dots - norms[None, :]
+    if metric == DistanceMetric.COSINE:
+        return dots * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))[None, :]
+    return dots
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -124,54 +185,13 @@ def _sparse_topk_ell(
     segment-sum pass. Bit-exact vs :func:`_sparse_topk` up to f32
     addition order."""
     metric = DistanceMetric(metric)
-    qn = queries.shape[0]
-    n_pad, r = cols_ell.shape
-    nb = n_pad // block_rows
+    n_pad = cols_ell.shape[0]
     qt = queries.T  # [dim, Q]
-
-    def body(_, xs):
-        cb, vb = xs  # [B, R] each
-        g = jnp.take(qt, cb.reshape(-1), axis=0)        # [B·R, Q]
-        contrib = g * vb.reshape(-1)[:, None]
-        return None, contrib.reshape(block_rows, r, qn).sum(1)  # [B, Q]
-
-    _, blocks = jax.lax.scan(
-        body,
-        None,
-        (
-            cols_ell.reshape(nb, block_rows, r),
-            vals_ell.reshape(nb, block_rows, r),
-        ),
-    )
-    dots = blocks.reshape(n_pad, qn).T  # [Q, n_pad]
-
+    dots = _ell_dots(qt, cols_ell, vals_ell, block_rows)
     if has_ovf:
-        nchunks = ovf_cols.shape[0] // ovf_chunk
+        dots = _ovf_add(dots, qt, ovf_cols, ovf_rows, ovf_vals, ovf_chunk)
 
-        def obody(carry, xs):
-            c_cols, c_rows, c_vals = xs
-            contrib = jnp.take(qt, c_cols, axis=0) * c_vals[:, None]
-            partial = jax.ops.segment_sum(
-                contrib, c_rows, num_segments=n_pad + 1
-            )  # [n_pad+1, Q] (last row collects padding)
-            return carry + partial[:n_pad].T, None
-
-        dots, _ = jax.lax.scan(
-            obody,
-            dots,
-            (
-                ovf_cols.reshape(nchunks, ovf_chunk),
-                ovf_rows.reshape(nchunks, ovf_chunk),
-                ovf_vals.reshape(nchunks, ovf_chunk),
-            ),
-        )
-
-    if metric == DistanceMetric.L2:
-        scores = 2.0 * dots - norms[None, :]
-    elif metric == DistanceMetric.COSINE:
-        scores = dots * jax.lax.rsqrt(jnp.maximum(norms, 1e-30))[None, :]
-    else:
-        scores = dots
+    scores = _ell_scores(dots, norms, metric)
     row_ok = jnp.arange(n_pad, dtype=jnp.int32) < num_rows
     if valid_mask is not None:
         row_ok = row_ok & (valid_mask != 0)
