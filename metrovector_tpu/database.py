@@ -83,7 +83,10 @@ class Database:
     @property
     def resident_bytes(self) -> int:
         """Summed device footprint of the currently resident engines."""
-        return sum(e.space.nbytes for e in self._engines.values())
+        return sum(
+            e.space.nbytes if hasattr(e, "space") else e.nbytes
+            for e in self._engines.values()
+        )
 
     def _estimate_nbytes(self, space: str) -> int:
         """Device footprint of a space BEFORE uploading it (the budget
@@ -92,7 +95,29 @@ class Database:
         vector type), int8/uint8 stay 1 byte, plus f32 norms and an
         optional f32 validity mask."""
         sp = self._reader.vector_space(space)
-        from .format.constants import DataType
+        from .format.constants import DataType, VectorType
+
+        if sp.info.vector_type == VectorType.SPARSE:
+            # ELL layout estimate (the sparse engine's default): padded
+            # rows × cap × (i32 col + f32 val) + norms; overflow and an
+            # optional validity plane are second-order.
+            from .sparse import _ELL_ROW_PAD
+
+            indptr, _, _ = sp.sparse_csr()
+            counts = np.diff(indptr.astype(np.int64))
+            nnz = int(counts.sum())
+            if nnz == 0:
+                r_cap = 1
+            else:
+                r95 = int(np.percentile(counts, 95))
+                r_cap = int(
+                    min(counts.max(initial=1), max(8, -(-r95 // 8) * 8))
+                )
+            n_pad = max(
+                _ELL_ROW_PAD,
+                -(-max(sp.num_vectors, 1) // _ELL_ROW_PAD) * _ELL_ROW_PAD,
+            )
+            return n_pad * r_cap * 8 + n_pad * 4
 
         elem = {
             DataType.INT8: 1,
@@ -128,7 +153,7 @@ class Database:
             oldest = next(iter(self._engines))
             del self._engines[oldest]
 
-    def engine(self, space: str | None = None) -> SearchEngine:
+    def engine(self, space: str | None = None):
         """The (lazily built) engine for one space. With a single-space
         file the name may be omitted. Under an ``hbm_budget``, building a
         new engine may evict least-recently-used ones."""
@@ -141,12 +166,22 @@ class Database:
             space = names[0]
         if space not in self._engines:
             self._admit(space)
-            kw = {}
-            if self._interpret is not None:
-                kw["interpret"] = self._interpret
-            self._engines[space] = SearchEngine(
-                self._reader.vector_space(space), backend=self._backend, **kw
-            )
+            sp = self._reader.vector_space(space)
+            from .format.constants import VectorType
+
+            if sp.info.vector_type == VectorType.SPARSE:
+                # sparse spaces route to the (XLA-only) sparse engine;
+                # backend/interpret knobs don't apply there
+                from .sparse import SparseSearchEngine
+
+                self._engines[space] = SparseSearchEngine(sp)
+            else:
+                kw = {}
+                if self._interpret is not None:
+                    kw["interpret"] = self._interpret
+                self._engines[space] = SearchEngine(
+                    sp, backend=self._backend, **kw
+                )
         else:
             self._engines[space] = self._engines.pop(space)  # LRU touch
         return self._engines[space]

@@ -312,9 +312,28 @@ class SparseSearchEngine:
         self.name = space.name
         self.host_ids = space.ids()
 
-    def search(self, queries, k: int = 10):
+    @property
+    def nbytes(self) -> int:
+        """Summed device footprint of the resident corpus arrays (used by
+        the :class:`~metrovector_tpu.database.Database` HBM budget)."""
+        arrs = (
+            (self._cols_ell, self._vals_ell, self._ovf_cols,
+             self._ovf_rows, self._ovf_vals)
+            if self.formulation == "ell"
+            else (self._cols, self._rows, self._vals)
+        )
+        total = sum(a.size * a.dtype.itemsize for a in arrs)
+        total += self._norms.size * 4
+        if self._valid is not None:
+            total += self._valid.size * 4
+        return total
+
+    def search(self, queries, k: int = 10, filter_mask=None):
         """Batched exact top-k over the sparse corpus. ``queries`` are
-        dense ``[Q, dim]`` float vectors (or a single vector)."""
+        dense ``[Q, dim]`` float vectors (or a single vector).
+        ``filter_mask``: optional ``[num_vectors]`` boolean/int row
+        predicate (metadata filtering), composed with tombstones —
+        excluded rows can never surface; short results pad with ``-1``."""
         from .engine import SearchResult
 
         q = np.asarray(queries, np.float32)
@@ -339,6 +358,22 @@ class SparseSearchEngine:
                 metric=self.metric,
             )
         k_eff = min(k, self.num_vectors)
+        eff_valid = self._valid
+        if filter_mask is not None:
+            fm = np.asarray(filter_mask)
+            if fm.shape != (self.num_vectors,):
+                raise DimensionMismatchError(
+                    expected=self.num_vectors,
+                    actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+                )
+            mask_len = (
+                self._norms.shape[0] if self.formulation == "ell"
+                else self.num_vectors
+            )
+            full = np.zeros(mask_len, np.float32)
+            full[: self.num_vectors] = fm.astype(bool)
+            fdev = jax.device_put(full)
+            eff_valid = fdev if eff_valid is None else eff_valid * fdev
         if self.formulation == "ell":
             # block size: bound the [B·R, Q] gather tile to ~400 MB
             b = _ELL_ROW_PAD
@@ -347,13 +382,13 @@ class SparseSearchEngine:
             s, i = _sparse_topk_ell(
                 jax.device_put(qk), self._cols_ell, self._vals_ell,
                 self._ovf_cols, self._ovf_rows, self._ovf_vals,
-                self._norms, self._valid, k_eff, self.metric,
+                self._norms, eff_valid, k_eff, self.metric,
                 self.num_vectors, b, self.ovf_chunk, self._has_ovf,
             )
         else:
             s, i = _sparse_topk(
                 jax.device_put(qk), self._cols, self._rows, self._vals,
-                self._norms, self._valid, k_eff, self.metric,
+                self._norms, eff_valid, k_eff, self.metric,
                 self.num_vectors, self.nnz_chunk,
             )
         s, i = np.asarray(s), np.asarray(i)

@@ -156,3 +156,40 @@ def test_estimate_matches_actual_footprint(db_file, rng):
     est = db._estimate_nbytes("docs")
     eng = db.engine("docs")
     assert est == eng.space.nbytes
+
+
+def test_database_routes_sparse_spaces(tmp_path, rng):
+    """A sparse space in a multi-space file serves through the facade:
+    routed to SparseSearchEngine, metadata predicates become exact row
+    masks, the HBM budget counts its device bytes."""
+    from metrovector_tpu import VectorType
+    from metrovector_tpu.ops import numpy_oracle
+    from metrovector_tpu.sparse import SparseSearchEngine
+
+    b = Builder()
+    b.add_vector_space("dense", dim=16)
+    b.add_vectors("dense", rng.standard_normal((50, 16)).astype(np.float32))
+    b.add_vector_space("sp", dim=64, vector_type=VectorType.SPARSE)
+    rows = []
+    for i in range(120):
+        nz = int(rng.integers(2, 8))
+        cols = rng.choice(64, size=nz, replace=False)
+        rows.append((cols, rng.standard_normal(nz).astype(np.float32)))
+    b.add_sparse_vectors("sp", rows)
+    b.add_metadata_column("sp", "lang",
+                          ["en" if i % 2 else "de" for i in range(120)])
+    path = tmp_path / "mix.mvt"
+    b.build().save(path)
+
+    db = Database.open(path, backend="xla")
+    eng = db.engine("sp")
+    assert isinstance(eng, SparseSearchEngine)
+    dense_rows = db.reader.vector_space("sp").to_numpy()
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    res = db.search("sp", q, k=5, where=("lang", "==", "en"))
+    mask = np.asarray([i % 2 == 1 for i in range(120)])
+    _, oi = numpy_oracle(q, dense_rows, 5, DistanceMetric.L2,
+                         valid_mask=mask.astype(np.float32))
+    assert np.array_equal(res.indices, oi)
+    # budget accounting sees the sparse engine's bytes
+    assert db.resident_bytes >= eng.nbytes > 0
