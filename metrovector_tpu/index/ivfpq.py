@@ -68,17 +68,20 @@ def train_ivfpq(
     return centroids, assignments, codebooks, codes
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "packed4")
+)
 def _ivfpq_search(
     q,
     centroids,     # [C', D] f32 per-bucket (split cells duplicate theirs)
-    buckets,       # [C', B, m] uint8 codes
+    buckets,       # [C', B, m] uint8 codes ([C', B, ⌈m/2⌉] when packed4)
     bucket_ids,    # [C', B] i32 (−1 padding)
     bucket_norms,  # [C', B] f32 ‖x̂‖² of full reconstructions
     books,         # [m, ksub, dsub] f32 residual codebooks
     k: int,
     nprobe: int,
     metric: DistanceMetric,
+    packed4: bool = False,
 ):
     """Device-side IVF-PQ probe: coarse scoring → ``lax.scan`` over probe
     ranks, each step gathering one code bucket per query and looking up the
@@ -127,7 +130,13 @@ def _ivfpq_search(
 
     def step(carry, p_col):  # p_col: [Q] bucket id at this probe rank
         best_s, best_i = carry
-        gc = buckets[p_col].astype(jnp.int32)  # [Q, B, m]
+        gc = buckets[p_col].astype(jnp.int32)  # [Q, B, m] (or [Q, B, cc])
+        if packed4:
+            # nibble-unpack to [Q, B, m]: even subspaces in low nibbles,
+            # odd in high (the pack_codes4 layout)
+            rep = jnp.repeat(gc, 2, axis=2)[..., :m]
+            parity = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2) % 2
+            gc = jnp.where(parity == 1, rep // 16, rep % 16)
         gi = bucket_ids[p_col]                 # [Q, B]
         gn = bucket_norms[p_col]               # [Q, B]
         qc = jnp.take_along_axis(cdots, p_col[:, None], axis=1)  # [Q, 1]
@@ -204,6 +213,10 @@ class IVFPQIndex:
     # scatters instead of O(N) layout rebuilds.
     row_bucket_host: np.ndarray | None = None
     row_slot_host: np.ndarray | None = None
+    # Codes stored nibble-packed ([.., ⌈m/2⌉] bytes; requires ksub ≤ 16).
+    # Half the code memory AND the faster ADC formulation (16× smaller
+    # one-hot, 8× fewer MACs — benchmarks/RESULTS.md deep100m-pq4).
+    packed4: bool = False
 
     @classmethod
     def build(
@@ -223,6 +236,7 @@ class IVFPQIndex:
         keep_vectors: bool = True,
         valid_mask: np.ndarray | None = None,
         ids: np.ndarray | None = None,
+        pack4: bool | None = None,
     ) -> "IVFPQIndex":
         """Train (or accept precomputed) coarse + residual structure and lay
         codes out into uniform buckets. With everything precomputed
@@ -230,7 +244,10 @@ class IVFPQIndex:
         ``Builder.set_ivf_index`` + ``set_pq_index(residual=True)``) no
         training, encoding or reconstruction runs — O(1)-open. Tombstoned
         rows (``valid_mask`` True) are excluded from the buckets
-        entirely."""
+        entirely. ``pack4``: store codes nibble-packed (requires
+        ksub ≤ 16) — half the code bytes and the faster 4-bit ADC path
+        on both serving modes; default keeps whatever packing the
+        provided ``codes`` already have."""
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n, d = vectors.shape
         host_ids = (
@@ -254,13 +271,30 @@ class IVFPQIndex:
                 codes = encode_pq(residuals, codebooks)
         codebooks = np.ascontiguousarray(codebooks, dtype=np.float32)
         m = codebooks.shape[0]
+        ksub_eff = codebooks.shape[1]
+
+        from .pq import pack_codes4, unpack_codes4
+
+        codes = np.asarray(codes, np.uint8)
+        already_packed = codes.shape[1] == (m + 1) // 2 and codes.shape[1] != m
+        if pack4 is None:
+            pack4 = already_packed
+        if pack4 and ksub_eff > 16:
+            raise ValueError(f"pack4 requires ksub <= 16, got {ksub_eff}")
 
         if recon_norms is None:
-            recon = reconstruct_pq(codes, codebooks) + centroids[assignments]
+            unpacked = unpack_codes4(codes, m) if already_packed else codes
+            recon = (
+                reconstruct_pq(unpacked, codebooks) + centroids[assignments]
+            )
             recon_norms = np.einsum(
                 "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
             ).astype(np.float32)
         recon_norms = np.ascontiguousarray(recon_norms, dtype=np.float32)
+        if pack4 and not already_packed:
+            codes = pack_codes4(codes)
+        elif already_packed and not pack4:
+            codes = unpack_codes4(codes, m)
 
         keep = (
             np.ones(n, bool)
@@ -273,7 +307,7 @@ class IVFPQIndex:
             assignments, keep, num_clusters
         )
         nb = len(cells)
-        bcodes = np.zeros((nb, bucket_rows, m), np.uint8)
+        bcodes = np.zeros((nb, bucket_rows, codes.shape[1]), np.uint8)
         ids = np.full((nb, bucket_rows), -1, np.int32)
         bnorms = np.zeros((nb, bucket_rows), np.float32)
         b_of_row = np.full(n, -1, np.int32)
@@ -316,6 +350,7 @@ class IVFPQIndex:
             host_ids=host_ids,
             row_bucket_host=b_of_row,
             row_slot_host=s_of_row,
+            packed4=bool(pack4),
         )
 
     @classmethod
@@ -328,10 +363,12 @@ class IVFPQIndex:
         iters: int = 10,
         seed: int = 0,
         keep_vectors: bool = True,
+        pack4: bool | None = None,
     ) -> "IVFPQIndex":
         """Build the probe-ready structure for a host ``VectorSpace``,
         reusing the persisted coarse quantizer (IVF blocks) and residual PQ
-        sidecar when both are present — no retraining, no re-encoding."""
+        sidecar when both are present — no retraining, no re-encoding.
+        ``pack4`` defaults to the persisted sidecar's packing."""
         stored_ivf = space.ivf_arrays()
         centroids = assignments = codebooks = codes = recon_norms = None
         if stored_ivf is not None:
@@ -343,6 +380,8 @@ class IVFPQIndex:
             and stored_ivf is not None
         ):
             codebooks, codes, recon_norms = stored_pq
+            if pack4 is None:
+                pack4 = bool(space.info.pq.packed4)
         if num_clusters is None:
             num_clusters = int(
                 space.info.index.params.get(
@@ -369,6 +408,7 @@ class IVFPQIndex:
             keep_vectors=keep_vectors,
             valid_mask=space.tombstone_mask(),
             ids=space.ids(),
+            pack4=pack4,
         )
 
     @property
@@ -483,6 +523,10 @@ class IVFPQIndex:
         rn_new = np.einsum(
             "ij,ij->i", recon.astype(np.float64), recon.astype(np.float64)
         ).astype(np.float32)
+        if self.packed4:
+            from .pq import pack_codes4
+
+            codes_new = pack_codes4(codes_new)
 
         b_idx, s_idx, new_cells, fill, fills_new = _plan_placements(
             self.cells, self.fill, self.bucket_rows, assign_new
@@ -650,7 +694,7 @@ class IVFPQIndex:
             self.rnorms_row, jnp.int32(self.num_vectors), fetch,
             self.metric, valid_mask=self.row_valid, group_bias=bias,
             group_ids=self.row_bucket, interpret=interpret,
-            exact_lut=exact_lut,
+            exact_lut=exact_lut, packed4=self.packed4,
         )
         if shift_ok:
             mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
@@ -719,6 +763,7 @@ class IVFPQIndex:
                 k=fetch,
                 nprobe=nprobe,
                 metric=self.metric,
+                packed4=self.packed4,
             )
         if rerank:
             if self.db is None:

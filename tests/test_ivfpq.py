@@ -289,3 +289,68 @@ def test_auto_mode_routes_by_batch(rng):
     # nprobe == all buckets → both modes see the whole corpus: results of
     # the large batch's first rows must match the small batch's rows
     np.testing.assert_array_equal(small.indices, big.indices[:4])
+
+
+def test_ivfpq_packed4_both_modes_and_lifecycle(tmp_path, rng):
+    """4-bit nibble-packed codes on IVF-PQ: both serving modes (bucket
+    traversal and gather-free masked scan) rank like the reconstruction
+    algebra; persistence round-trips the packed width; online mutation
+    keeps packing. Half the code bytes of the 8-bit layout."""
+    data = _clustered(rng, n_clusters=6, per=80)
+    cents, assign, books, codes = train_ivfpq(data, 6, m=4, ksub=16, iters=5)
+
+    packed = IVFPQIndex.build(
+        data, DistanceMetric.L2, 6, centroids=cents, assignments=assign,
+        codebooks=books, codes=codes, pack4=True,
+    )
+    plain = IVFPQIndex.build(
+        data, DistanceMetric.L2, 6, centroids=cents, assignments=assign,
+        codebooks=books, codes=codes,
+    )
+    assert packed.packed4 and not plain.packed4
+    assert packed.codes_row.shape[1] == 2  # ceil(4/2)
+    assert packed.buckets.shape[2] == 2 and plain.buckets.shape[2] == 4
+
+    q = rng.standard_normal((40, 16)).astype(np.float32)
+    _, oi = numpy_oracle(q, data, 5, DistanceMetric.L2)
+    for mode in ("probe", "scan"):
+        # exact after re-rank: candidates from 4-bit ADC, scores from the
+        # original vectors
+        res = packed.search(q, k=5, nprobe=6, rerank=240, mode=mode)
+        assert np.array_equal(res.indices, oi), mode
+        # without re-rank both widths score the same reconstructions —
+        # rankings agree up to ADC formulation rounding (gate on overlap)
+        rp = packed.search(q, k=5, nprobe=6, mode=mode)
+        ru = plain.search(q, k=5, nprobe=6, mode=mode)
+        overlap = np.mean([
+            len(set(rp.indices[i]) & set(ru.indices[i])) / 5
+            for i in range(q.shape[0])
+        ])
+        assert overlap >= 0.95, (mode, overlap)
+
+    # persistence: packed sidecar reattaches packed
+    b = Builder()
+    b.add_vector_space("s", dim=16)
+    b.add_vectors("s", data)
+    b.set_ivf_index("s", cents, assign, nprobe=2)
+    from metrovector_tpu.index.pq import pack_codes4
+
+    b.set_pq_index("s", books, pack_codes4(codes), residual=True,
+                   packed4=True)
+    path = tmp_path / "p4.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    idx = IVFPQIndex.from_space(sp)
+    assert idx.packed4 and idx.codes_row.shape[1] == 2
+    res = idx.search(q, k=5, nprobe=6, rerank=240)
+    assert np.array_equal(res.indices, oi)
+
+    # online mutation keeps the packed layout and stays searchable
+    new = data[:7] + 0.01
+    idx.add_rows(new)
+    assert idx.codes_row.shape[1] == 2
+    r3 = idx.search(new[:2], k=1, nprobe=6, rerank=60)
+    assert (r3.distances[:, 0] < 0.1).all()
+    idx.delete_rows([int(r3.indices[0, 0])])
+    r4 = idx.search(new[:1], k=1, nprobe=6, rerank=60)
+    assert r4.indices[0, 0] != r3.indices[0, 0]
