@@ -488,6 +488,61 @@ def bench_sift1m_ivfpq(interpret):
         )
 
 
+def bench_sift1m_ivfpq4(interpret):
+    """IVF-PQ with 4-bit nibble-packed residual codes (m=32, ksub=16 —
+    the same 16 B/row as the 8-bit m=16/ksub=256 config): the masked
+    scan rides the matmul-expansion 4-bit ADC kernel with the gather-free
+    bucket bias."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.index.ivfpq import IVFPQIndex
+    from metrovector_tpu.index.pq import _rerank
+
+    rng = np.random.default_rng(7)
+    n, d, k = (1_000_000 if not interpret else 10_000), 128, 10
+    ncl, nprobe = (1024, 16) if not interpret else (32, 8)
+    m = 32 if not interpret else 16
+    db = _clustered_u8_corpus(rng, n, d)
+    log(f"training IVF-PQ4 C={ncl} m={m} ksub=16 ...")
+    idx = IVFPQIndex.build(
+        db, DistanceMetric.L2, num_clusters=ncl, m=m, ksub=16,
+        iters=4 if not interpret else 2, keep_vectors=True, pack4=True,
+    )
+    assert idx.packed4
+
+    def mkq(nq):
+        base = db[rng.integers(0, n, nq)]
+        return np.clip(
+            base + rng.normal(0, 8, base.shape), 0, 255
+        ).astype(np.float32)
+
+    qc = mkq(8)
+    d2 = (db.astype(np.float64) ** 2).sum(1)[None] - 2 * (
+        qc.astype(np.float64) @ db.T.astype(np.float64)
+    )
+    oi = np.argsort(d2, 1, kind="stable")[:, :k]
+    qb = 256 if not interpret else 64
+
+    for label, rr in (("scan", 100), ("scan-recall1", 400)):
+        def run(q, rr=rr):
+            _, cand = idx._masked_scan(q, rr, nprobe, interpret)
+            return _rerank(q, idx.db, idx.db_norms, cand, k,
+                           DistanceMetric.L2)
+
+        got = np.asarray(run(jax.device_put(qc))[1])
+        recall = _recall(got, oi, k)
+        dt = _measure(run, lambda: mkq(qb), iters=5 if interpret else 15)
+        _report(
+            f"sift1m-ivfpq4[{label}](n={n},C={ncl},m={m},ksub=16,"
+            f"nprobe={nprobe},rerank={rr},k=10,{qb}q)",
+            qb / dt, dt * 1e3, recall,
+            f"{m // 2} B/row nibble-packed residual codes; 4-bit ADC "
+            "masked scan",
+        )
+
+
 def bench_deep100m_pq(interpret):
     """Capacity headline: 100M-row PQ-coded corpus resident on ONE chip
     (12 B/row → 1.2 GB codes + 0.4 GB norms; the same corpus as f32 would
@@ -777,6 +832,7 @@ CONFIGS = {
     "sift1m-u8": bench_sift1m_u8,
     "sift1m-pq": bench_sift1m_pq,
     "sift1m-ivfpq": bench_sift1m_ivfpq,
+    "sift1m-ivfpq4": bench_sift1m_ivfpq4,
     "deep100m-pq": bench_deep100m_pq,
     "deep100m-pq4": bench_deep100m_pq4,
     "gist1m": bench_gist1m,

@@ -642,7 +642,8 @@ class IVFPQIndex:
         self._rebuild_layouts(*self._host_row_state())
 
     def _masked_scan(self, qdev, fetch: int, nprobe: int, interpret: bool,
-                     exact_lut: bool = False):
+                     exact_lut: bool = False,
+                     block_rows: int | None = None):
         """Gather-free probing: dense ADC over the corpus in ORIGINAL row
         order with a per-(query, bucket) bias — ``q·centroid`` on the
         ``nprobe`` best coarse buckets (residual ADC: q·x̂ = q·c + q·r̂),
@@ -695,6 +696,7 @@ class IVFPQIndex:
             self.metric, valid_mask=self.row_valid, group_bias=bias,
             group_ids=self.row_bucket, interpret=interpret,
             exact_lut=exact_lut, packed4=self.packed4,
+            block_rows=block_rows,
         )
         if shift_ok:
             mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
@@ -710,6 +712,7 @@ class IVFPQIndex:
         mode: str = "auto",
         interpret: bool | None = None,
         exact_lut: bool = False,
+        block_rows: int | None = None,
     ):
         """Approximate top-k: ADC over the ``nprobe`` best-scoring buckets'
         residual codes (split cells count one bucket each); ``rerank=R``
@@ -750,7 +753,8 @@ class IVFPQIndex:
         qdev = jax.device_put(q)
         if mode == "scan":
             s, i = self._masked_scan(
-                qdev, fetch, nprobe, interpret, exact_lut=exact_lut
+                qdev, fetch, nprobe, interpret, exact_lut=exact_lut,
+                block_rows=block_rows,
             )
         else:
             s, i = _ivfpq_search(

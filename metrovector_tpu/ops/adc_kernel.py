@@ -47,7 +47,8 @@ _log = get_logger("ops.adc")
 
 def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
                            k_pad: int = 128, exact_lut: bool = False,
-                           extra_cols: int = 0) -> int:
+                           extra_cols: int = 0,
+                           packed4: bool = False) -> int:
     """Code-block rows per grid step. Live VMEM per step ≈ double-buffered
     codes (``2·BN·m``), the full-width one-hot (``BN·m·ksub·esz`` — the
     m per-subspace one-hots concatenate into one ``[BN, m·ksub]`` operand
@@ -67,7 +68,18 @@ def default_adc_block_rows(m: int, ksub: int, query_tile: int = 128,
     # 12·qt per code row: the f32 score tile (4·qt) plus the pool merge's
     # collision-path full-width (scores, ids) loop carries (8·qt).
     denom = 2 * m + k_cols * esz + 12 * query_tile + 32
+    if packed4:
+        # The matmul-expansion nibble path materializes two full-width
+        # f32 intermediates per row (``expanded`` and the nibble values,
+        # 8·m·ksub B) before the one-hot compare — omitting them lands in
+        # the silent-spill regime. Measured cliffs pin the caps: plain
+        # 4-bit spills at br=4096 (deep100m-pq4, 2048 best); with bias
+        # columns the auto 3072 ran 77× slower than 1024
+        # (benchmarks/RESULTS.md).
+        denom += 8 * m * ksub
     bn = budget // max(denom, 1)
+    if packed4:
+        bn = min(bn, 1024 if extra_cols else 2048)
     bn = max(256, min(8192, bn))
     return (bn // 256) * 256
 
@@ -274,7 +286,8 @@ def fused_adc_topk(
                 m, ksub, _ = codebooks.shape
                 qt = min(query_tile, _round_up(queries.shape[0], 8))
                 bn = default_adc_block_rows(
-                    m, ksub, qt, _round_up(k, LANES), exact_lut
+                    m, ksub, qt, _round_up(k, LANES), exact_lut,
+                    packed4=packed4,
                 )
             new_bn = max(LANES, _round_up(bn // 2, LANES))
             _log.warning(
@@ -382,7 +395,8 @@ def _fused_adc_topk(
         n_groups_pad = _round_up(int(group_bias.shape[1]), LANES)
     if block_rows is None:
         block_rows = default_adc_block_rows(
-            m, ksub, qt, k_pad, exact_lut, extra_cols=n_groups_pad
+            m, ksub, qt, k_pad, exact_lut, extra_cols=n_groups_pad,
+            packed4=packed4,
         )
     block_rows = max(LANES, _round_up(block_rows, LANES))
 
