@@ -703,6 +703,10 @@ class Builder:
         sq = np.square(vals.astype(np.float64))
         norms = np.zeros(max(sp.num_vectors, 1), dtype="<f4")
         if vals.size and sp.num_vectors:
+            # sentinel keeps reduceat in-bounds when TRAILING rows are
+            # empty (their start index == nnz); empty-row slots are
+            # zeroed below either way (fuzzer finding, seed 2009)
+            sq = np.append(sq, 0.0)
             sums = np.add.reduceat(sq, indptr[:-1].astype(np.int64))
             sums[np.diff(indptr.astype(np.int64)) == 0] = 0.0
             norms[: sp.num_vectors] = sums.astype(np.float32)

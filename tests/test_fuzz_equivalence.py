@@ -95,3 +95,63 @@ def test_fuzz_int8_paths(trial):
         scale=scale * scale, block_rows=128, interpret=True, merge=merge,
     )
     assert np.array_equal(np.asarray(i), oi), (trial, merge)
+
+
+@pytest.mark.parametrize("seed", [2000 + t for t in range(10)])
+def test_fuzz_sparse_formulations(seed, tmp_path):
+    """Randomized sparse configs: ELL+overflow, the CSR segment-sum scan
+    and the dense oracle must agree bit-for-rank — shapes, nnz skew
+    (including planted wide rows that force the overflow path and empty
+    rows), metric and tombstones all drawn per seed. L2/IP only: exact
+    cosine ties between proportional sparse rows legitimately round
+    differently in the rsqrt epilogue (the sub-ulp contract)."""
+    from metrovector_tpu import Builder, Reader, VectorType
+    from metrovector_tpu.sparse import SparseSearchEngine
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 400))
+    dim = int(rng.integers(32, 500))
+    k = int(rng.integers(1, 25))
+    metric = DistanceMetric(int(rng.choice([0, 1])))  # L2, IP
+    wide = set(
+        rng.choice(n, size=int(rng.integers(0, 4)), replace=False).tolist()
+    )
+    rows = []
+    for i in range(n):
+        if i in wide:
+            nz = int(rng.integers(dim // 2, dim))
+        elif rng.random() < 0.05:
+            nz = 0  # empty row
+        else:
+            nz = int(rng.integers(1, min(12, dim)))
+        cols = rng.choice(dim, size=nz, replace=False)
+        rows.append((cols, rng.standard_normal(nz).astype(np.float32)))
+    b = Builder()
+    b.add_vector_space("s", dim=dim, vector_type=VectorType.SPARSE,
+                       metric=metric)
+    b.add_sparse_vectors("s", rows)
+    tombs = rng.choice(n, size=int(rng.integers(0, max(1, n // 10))),
+                       replace=False)
+    for t in tombs:
+        b.delete_vector("s", int(t))
+    path = tmp_path / "fz.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    dense = sp.to_numpy()
+    mask = np.ones(n, bool)
+    mask[tombs.astype(np.int64)] = False
+    q = rng.standard_normal((int(rng.integers(1, 9)), dim)).astype(
+        np.float32
+    )
+    _, oi = numpy_oracle(q, dense, min(k, n), metric,
+                         valid_mask=mask.astype(np.float32))
+    results = {}
+    for f in ("ell", "coo"):
+        res = SparseSearchEngine(sp, formulation=f).search(q, k=k)
+        assert np.array_equal(res.indices[:, : oi.shape[1]], oi), (
+            seed, f, metric,
+        )
+        results[f] = res
+    np.testing.assert_array_equal(
+        results["ell"].indices, results["coo"].indices
+    )
