@@ -64,7 +64,23 @@ def main() -> None:
     rng = np.random.default_rng(7)
     db = rng.integers(0, 256, size=(n, d)).astype(np.float32)
     norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
-    db_dev = jax.device_put(db)
+    # chunked upload (≤256 MB pieces + on-device concat): single
+    # multi-GB device_puts have wedged this dev environment's loopback
+    # relay mid-handshake (r3 session); small pieces are gentle and the
+    # transient 2× allocation is trivial at this corpus size
+    import jax.numpy as jnp
+
+    chunk = max(1, (256 << 20) // (db.shape[1] * 4))
+    if n > chunk:
+        parts = []
+        for s in range(0, n, chunk):
+            p = jax.device_put(db[s : s + chunk])
+            jax.block_until_ready(p)
+            parts.append(p)
+        db_dev = jnp.concatenate(parts)
+        del parts
+    else:
+        db_dev = jax.device_put(db)
     norms_dev = jax.device_put(norms)
     jax.block_until_ready((db_dev, norms_dev))
     nvalid = np.int32(n)

@@ -176,7 +176,20 @@ def bench_gist1m(interpret):
     db = np.zeros((n, pd), np.float32)
     db[:, :d] = rng.standard_normal((n, d)).astype(np.float32)
     norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
-    db_d, norms_d = jax.device_put(db), jax.device_put(norms)
+    # chunked upload: one 3.9 GB device_put has twice wedged this dev
+    # environment's loopback relay mid-transfer (r3 session; recovery
+    # costs ~30 min); four 1 GB pieces + an on-device concat are gentle
+    # and cost one transient 2× allocation
+    import jax.numpy as jnp
+
+    parts = []
+    for i in range(4):
+        p = jax.device_put(db[i * (n // 4): (i + 1) * (n // 4)])
+        jax.block_until_ready(p)
+        parts.append(p)
+    db_d = jnp.concatenate(parts)
+    del parts
+    norms_d = jax.device_put(norms)
     jax.block_until_ready((db_d, norms_d))
 
     def mk():
@@ -220,6 +233,24 @@ def bench_gist1m(interpret):
         _report(
             f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=1024)",
             qb2 / dt2, dt2 * 1e3, recall, "throughput config",
+        )
+
+        # In-kernel bf16x3 'high' (3 MXU passes vs HIGHEST's 6, same
+        # HBM): within noise at D=128, but at D=960 the matmul dominates
+        # and it measured +26% (500k-row probe, r3). Recall-gated — the
+        # mode is sub-ulp-exact, not bit-exact, on float data.
+        def run3(q):
+            return fused_topk(q, db_d, norms_d, np.int32(n), k,
+                              DistanceMetric.COSINE, block_rows=1024,
+                              precision="high")
+
+        got3 = np.asarray(run3(jax.device_put(qc))[1])
+        recall3 = _recall(got3, oi, k)
+        dt3 = _measure(run3, mk2, iters=15)
+        _report(
+            f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=1024,high)",
+            qb2 / dt3, dt3 * 1e3, recall3,
+            "in-kernel bf16x3 'high' precision (3 MXU passes)",
         )
 
 
