@@ -219,11 +219,14 @@ class DeviceSpace:
             # 'default': bf16 storage — HALF the HBM bytes and one MXU
             # pass; near-ties reorder at bf16 resolution. ('high' keeps
             # the f32 block and runs the kernel's in-kernel bf16x3 split:
-            # ~f32-faithful dots at 3 MXU passes instead of HIGHEST's 6.
-            # The round-2 PRECOMPUTED hi/lo-plane variant was retired in
-            # round 3: measured within noise of HIGHEST at batch 256 with
-            # no memory advantage, while carrying a toolchain-fragility
-            # compile-failure latch — see benchmarks/RESULTS.md.)
+            # ~f32-faithful dots at 3 MXU passes instead of HIGHEST's 6 —
+            # within noise of HIGHEST at D=128 but measured +26% at D=960
+            # where the matmul dominates; recommended for wide dims when
+            # sub-ulp tie order doesn't matter. The round-2 PRECOMPUTED
+            # hi/lo-plane variant was retired in round 3: within noise of
+            # HIGHEST with no memory advantage, while carrying a
+            # toolchain-fragility compile-failure latch — see
+            # benchmarks/RESULTS.md.)
             import ml_dtypes
 
             block = block.astype(ml_dtypes.bfloat16)
