@@ -54,6 +54,7 @@ _LAZY = {
     "SearchResult": ".engine",
     "SparseSearchEngine": ".sparse",
     "PreparedFilter": ".engine",
+    "RadiusResult": ".engine",
     "PreparedQueries": ".engine",
     "HNSWIndex": ".index",
     "IVFIndex": ".index",
@@ -97,6 +98,7 @@ __all__ = [
     "MvtError",
     "PQIndex",
     "PreparedFilter",
+    "RadiusResult",
     "PreparedQueries",
     "Reader",
     "SearchEngine",

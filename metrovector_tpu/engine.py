@@ -74,6 +74,50 @@ class SearchResult:
         ]
 
 
+@dataclasses.dataclass
+class RadiusResult:
+    """Variable-length range-query results (``search_radius``): per query,
+    every row within the threshold, best-first. ``truncated[q]`` is True
+    when the capped candidate list filled up with rows that ALL met the
+    threshold — more matches may exist; retry with a larger
+    ``max_results``."""
+
+    indices: list[np.ndarray]
+    distances: list[np.ndarray]
+    ids: list[np.ndarray] | None
+    metric: DistanceMetric
+    truncated: np.ndarray  # [Q] bool
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+
+def radius_from_topk(res: SearchResult, radius: float,
+                     max_results: int) -> RadiusResult:
+    """Cut a best-first top-``max_results`` result down to the rows within
+    ``radius``. Thresholds follow each metric's user-facing distance
+    convention: L2 keeps ``distance <= radius`` (ascending), cosine/IP
+    keep ``similarity >= radius`` (descending). Shared by the dense and
+    sparse engines."""
+    ascending = res.metric == DistanceMetric.L2
+    idx, dist, ids = [], [], ([] if res.ids is not None else None)
+    nq = res.indices.shape[0]
+    truncated = np.zeros(nq, bool)
+    for q in range(nq):
+        live = res.indices[q] >= 0
+        ok = live & (
+            (res.distances[q] <= radius) if ascending
+            else (res.distances[q] >= radius)
+        )
+        idx.append(res.indices[q][ok])
+        dist.append(res.distances[q][ok])
+        if ids is not None:
+            ids.append(res.ids[q][ok])
+        truncated[q] = bool(ok.all()) and int(ok.sum()) == max_results
+    return RadiusResult(indices=idx, distances=dist, ids=ids,
+                        metric=res.metric, truncated=truncated)
+
+
 
 def merged_append_ids(host_ids, ids, n_new: int, num_valid: int):
     """Validate and merge the ID column for an append of ``n_new`` rows.
@@ -542,6 +586,17 @@ class SearchEngine:
         predicate serves many query batches. Returns best-first results
         for every query."""
         return self._finalize(self._launch(queries, k, filter_mask), k)
+
+    def search_radius(self, queries, radius: float, max_results: int = 128,
+                      filter_mask=None) -> RadiusResult:
+        """Exact range query: every row within ``radius`` of each query
+        (L2: Euclidean distance ≤ radius; cosine/IP: similarity ≥ radius),
+        best-first, via a capped top-``max_results`` pass — check
+        ``result.truncated`` and widen the cap when a query saturates it.
+        Reference analog: none (its only search is the example's top-k)."""
+        k = min(max_results, max(self.space.num_valid, 1))
+        res = self.search(queries, k=k, filter_mask=filter_mask)
+        return radius_from_topk(res, radius, k)
 
     def prepare_filter(self, filter_mask) -> PreparedFilter:
         """Upload a ``[num_vectors]`` boolean/int row predicate once and

@@ -328,6 +328,16 @@ class SparseSearchEngine:
             total += self._valid.size * 4
         return total
 
+    def search_radius(self, queries, radius: float, max_results: int = 128,
+                      filter_mask=None):
+        """Exact range query over the sparse corpus (same semantics as
+        :meth:`SearchEngine.search_radius`)."""
+        from .engine import radius_from_topk
+
+        k = min(max_results, max(self.num_vectors, 1))
+        res = self.search(queries, k=k, filter_mask=filter_mask)
+        return radius_from_topk(res, radius, k)
+
     def search(self, queries, k: int = 10, filter_mask=None):
         """Batched exact top-k over the sparse corpus. ``queries`` are
         dense ``[Q, dim]`` float vectors (or a single vector).

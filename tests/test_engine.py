@@ -289,3 +289,59 @@ def test_precision_modes(tmp_path, rng, precision):
         assert overlap >= 0.9
         # half the memory of f32
         assert eng.space.data.dtype.itemsize == 2
+
+
+def test_search_radius_matches_bruteforce():
+    """Range queries return exactly the rows within the threshold
+    (best-first), flag saturation, compose with filters, and work on
+    the sparse engine too."""
+    from metrovector_tpu import Builder, RadiusResult, SearchEngine, VectorType
+    from metrovector_tpu.sparse import SparseSearchEngine
+    import tempfile, os
+
+    rng = np.random.default_rng(17)
+    data = rng.standard_normal((400, 12)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=12)
+    b.add_vectors("v", data)
+    b.add_vector_space("s", dim=12, vector_type=VectorType.SPARSE,
+                       metric=DistanceMetric.INNER_PRODUCT)
+    b.add_sparse_vectors(
+        "s", [(np.nonzero(row > 0.8)[0], row[row > 0.8]) for row in data]
+    )
+    path = os.path.join(tempfile.mkdtemp(), "r.mvt")
+    b.build().save(path)
+
+    eng = SearchEngine.open(path, space_name="v", backend="xla")
+    q = rng.standard_normal((4, 12)).astype(np.float32)
+    r = 4.0
+    res = eng.search_radius(q, radius=r, max_results=400)
+    assert isinstance(res, RadiusResult) and not res.truncated.any()
+    d = np.linalg.norm(q[:, None] - data[None], axis=-1)
+    for i in range(4):
+        expected = np.sort(np.nonzero(d[i] <= r)[0])
+        assert np.array_equal(np.sort(res.indices[i]), expected)
+        assert (np.diff(res.distances[i]) >= -1e-6).all()  # best-first
+    # saturation flag: a cap smaller than the match count
+    counts = (d[0] <= r).sum()
+    small = eng.search_radius(q[:1], radius=r, max_results=max(1, counts // 2))
+    assert small.truncated[0]
+    # filter composition
+    mask = np.arange(400) % 2 == 0
+    resf = eng.search_radius(q[:1], radius=r, max_results=400,
+                             filter_mask=mask)
+    assert all(i % 2 == 0 for i in resf.indices[0])
+
+    # sparse engine: similarity >= threshold semantics (IP descending)
+    ssp = SearchEngine.open  # noqa: F841 (namespacing clarity)
+    from metrovector_tpu import Reader
+
+    sp = Reader.open(path).vector_space("s")
+    seng = SparseSearchEngine(sp)
+    dense = sp.to_numpy()
+    sim = q @ dense.T
+    thr = np.quantile(sim, 0.98)
+    sres = seng.search_radius(q, radius=float(thr), max_results=400)
+    for i in range(4):
+        expected = np.sort(np.nonzero(sim[i] >= thr)[0])
+        assert np.array_equal(np.sort(sres.indices[i]), expected)
