@@ -32,6 +32,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+
+def _put_chunked(arr, max_bytes=256 << 20):
+    """device_put in <=max_bytes row pieces + on-device concat. Single
+    transfers past ~1 GB wedge this dev environment's loopback relay at
+    the client handshake (measured r3: 512 MB fine, 1 GB+ wedges);
+    small pieces are reliable and the transient 2x allocation is cheap."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    arr = np.asarray(arr)
+    row_bytes = max(1, arr[0:1].nbytes if arr.ndim > 1 else arr.itemsize)
+    chunk = max(1, max_bytes // row_bytes)
+    if arr.shape[0] <= chunk:
+        out = jax.device_put(arr)
+        jax.block_until_ready(out)
+        return out
+    parts = []
+    for s0 in range(0, arr.shape[0], chunk):
+        piece = jax.device_put(arr[s0 : s0 + chunk])
+        jax.block_until_ready(piece)
+        parts.append(piece)
+    out = jnp.concatenate(parts)
+    jax.block_until_ready(out)
+    return out
+
+
 def _measure(run, make_queries, iters=20):
     import jax
 
@@ -110,7 +137,7 @@ def bench_sift1m(interpret):
     n, d, k, qb = (1_000_000 if not interpret else 20_000), 128, 100, 128
     db = rng.integers(0, 256, (n, d)).astype(np.float32)
     norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
-    db_d, norms_d = jax.device_put(db), jax.device_put(norms)
+    db_d, norms_d = _put_chunked(db), jax.device_put(norms)
     jax.block_until_ready((db_d, norms_d))
 
     def run(q):
@@ -176,19 +203,7 @@ def bench_gist1m(interpret):
     db = np.zeros((n, pd), np.float32)
     db[:, :d] = rng.standard_normal((n, d)).astype(np.float32)
     norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
-    # chunked upload: one 3.9 GB device_put has twice wedged this dev
-    # environment's loopback relay mid-transfer (r3 session; recovery
-    # costs ~30 min); four 1 GB pieces + an on-device concat are gentle
-    # and cost one transient 2× allocation
-    import jax.numpy as jnp
-
-    parts = []
-    for i in range(4):
-        p = jax.device_put(db[i * (n // 4): (i + 1) * (n // 4)])
-        jax.block_until_ready(p)
-        parts.append(p)
-    db_d = jnp.concatenate(parts)
-    del parts
+    db_d = _put_chunked(db)
     norms_d = jax.device_put(norms)
     jax.block_until_ready((db_d, norms_d))
 
@@ -267,7 +282,7 @@ def bench_deep10m(interpret):
     codes[:, :d] = rng.integers(-128, 128, (n, d)).astype(np.int8)
     sc = 0.02
     norms = ((codes.astype(np.float32) * sc) ** 2).sum(1)
-    db_d, norms_d = jax.device_put(codes), jax.device_put(norms)
+    db_d, norms_d = _put_chunked(codes), jax.device_put(norms)
     jax.block_until_ready((db_d, norms_d))
 
     def mk():
