@@ -98,26 +98,37 @@ class Database:
         from .format.constants import DataType, VectorType
 
         if sp.info.vector_type == VectorType.SPARSE:
-            # ELL layout estimate (the sparse engine's default): padded
-            # rows × cap × (i32 col + f32 val) + norms; overflow and an
-            # optional validity plane are second-order.
+            # Mirror SparseSearchEngine's "auto" pick: ELL (padded rows ×
+            # cap × (i32 col + f32 val) + overflow triples + norms) unless
+            # padding explodes entries past 3× nnz, in which case the
+            # engine falls back to COO (nnz triples of i32 col + i32 row +
+            # f32 val + norms) and the ELL figure would over-charge the
+            # budget 2×+. Optional validity plane is second-order.
             from .sparse import _ELL_ROW_PAD
 
             indptr, _, _ = sp.sparse_csr()
             counts = np.diff(indptr.astype(np.int64))
             nnz = int(counts.sum())
+            n = max(sp.num_vectors, 1)
             if nnz == 0:
                 r_cap = 1
+                n_ovf = 0
             else:
                 r95 = int(np.percentile(counts, 95))
                 r_cap = int(
                     min(counts.max(initial=1), max(8, -(-r95 // 8) * 8))
                 )
-            n_pad = max(
-                _ELL_ROW_PAD,
-                -(-max(sp.num_vectors, 1) // _ELL_ROW_PAD) * _ELL_ROW_PAD,
-            )
-            return n_pad * r_cap * 8 + n_pad * 4
+                n_ovf = int(np.maximum(counts - r_cap, 0).sum())
+            if nnz and n * r_cap + n_ovf > 3 * nnz:
+                # COO fallback: padded nnz triples (i32 col + i32 row +
+                # f32 val) + unpadded f32 norms
+                chunk = min(1 << 20, max(256, nnz))
+                padded = nnz + ((-nnz) % chunk)
+                return padded * 12 + sp.num_vectors * 4
+            n_pad = max(_ELL_ROW_PAD, -(-n // _ELL_ROW_PAD) * _ELL_ROW_PAD)
+            ovf_chunk = min(1 << 13, max(256, n_ovf)) if n_ovf else 256
+            ovf_padded = (n_ovf + ((-n_ovf) % ovf_chunk)) if n_ovf else ovf_chunk
+            return n_pad * r_cap * 8 + ovf_padded * 12 + n_pad * 4
 
         elem = {
             DataType.INT8: 1,

@@ -93,16 +93,22 @@ class RadiusResult:
 
 
 def radius_from_topk(res: SearchResult, radius: float,
-                     max_results: int) -> RadiusResult:
+                     max_results: int, num_valid: int | None = None) -> RadiusResult:
     """Cut a best-first top-``max_results`` result down to the rows within
     ``radius``. Thresholds follow each metric's user-facing distance
     convention: L2 keeps ``distance <= radius`` (ascending), cosine/IP
     keep ``similarity >= radius`` (descending). Shared by the dense and
-    sparse engines."""
+    sparse engines.
+
+    ``num_valid`` is the searchable (non-tombstoned) row count: when the
+    capped candidate list already covered the whole corpus
+    (``max_results >= num_valid``), no further matches can exist and
+    ``truncated`` stays False even if every row met the threshold."""
     ascending = res.metric == DistanceMetric.L2
     idx, dist, ids = [], [], ([] if res.ids is not None else None)
     nq = res.indices.shape[0]
     truncated = np.zeros(nq, bool)
+    capped = num_valid is None or max_results < num_valid
     for q in range(nq):
         live = res.indices[q] >= 0
         ok = live & (
@@ -113,7 +119,7 @@ def radius_from_topk(res: SearchResult, radius: float,
         dist.append(res.distances[q][ok])
         if ids is not None:
             ids.append(res.ids[q][ok])
-        truncated[q] = bool(ok.all()) and int(ok.sum()) == max_results
+        truncated[q] = capped and bool(ok.all()) and int(ok.sum()) == max_results
     return RadiusResult(indices=idx, distances=dist, ids=ids,
                         metric=res.metric, truncated=truncated)
 
@@ -596,7 +602,7 @@ class SearchEngine:
         Reference analog: none (its only search is the example's top-k)."""
         k = min(max_results, max(self.space.num_valid, 1))
         res = self.search(queries, k=k, filter_mask=filter_mask)
-        return radius_from_topk(res, radius, k)
+        return radius_from_topk(res, radius, k, self.space.num_valid)
 
     def prepare_filter(self, filter_mask) -> PreparedFilter:
         """Upload a ``[num_vectors]`` boolean/int row predicate once and

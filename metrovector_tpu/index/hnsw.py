@@ -469,7 +469,14 @@ class HNSWIndex:
         selection: str = "heuristic",
     ) -> "HNSWIndex":
         """Reattach the persisted graph (``Builder.set_hnsw_index``) or
-        build one from the space's rows."""
+        build one from the space's rows. ``selection`` also applies on
+        reattach: it sets the strategy later ``add_rows`` calls evolve the
+        stored graph with."""
+        if selection not in ("heuristic", "closest"):
+            raise ValueError(
+                f"selection must be 'heuristic' or 'closest', got "
+                f"{selection!r}"
+            )
         metric = DistanceMetric(space.metric)
         vectors = np.asarray(space.to_numpy(), np.float32)
         q = space.quantization
@@ -484,7 +491,8 @@ class HNSWIndex:
             if mask is not None:
                 valid = ~mask
             return cls(rows, norms, layers, entry, metric, sm, sef,
-                       valid=valid, host_ids=space.ids())
+                       valid=valid, host_ids=space.ids(),
+                       selection=selection)
         return cls.build(
             vectors, metric, m=m, ef_construction=ef_construction, seed=seed,
             valid_mask=space.tombstone_mask(), ids=space.ids(),

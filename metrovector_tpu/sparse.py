@@ -226,6 +226,9 @@ class SparseSearchEngine:
             )
         indptr, cols, vals = space.sparse_csr()
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+        # Per-call uploads (queries, filter masks) must land on the same
+        # device as the resident corpus on multi-device hosts.
+        self._put = put
         ip = indptr.astype(np.int64)
         counts = np.diff(ip)
         n = space.num_vectors
@@ -309,6 +312,12 @@ class SparseSearchEngine:
         self.metric = space.metric
         self.dim = space.dim
         self.num_vectors = n
+        # Searchable rows (tombstones excluded) — bounds search_radius's
+        # "more matches may exist" truncation flag.
+        self.num_valid = (
+            int(n - np.count_nonzero(host_mask[:n]))
+            if host_mask is not None else n
+        )
         self.name = space.name
         self.host_ids = space.ids()
 
@@ -336,7 +345,7 @@ class SparseSearchEngine:
 
         k = min(max_results, max(self.num_vectors, 1))
         res = self.search(queries, k=k, filter_mask=filter_mask)
-        return radius_from_topk(res, radius, k)
+        return radius_from_topk(res, radius, k, self.num_valid)
 
     def search(self, queries, k: int = 10, filter_mask=None):
         """Batched exact top-k over the sparse corpus. ``queries`` are
@@ -382,7 +391,7 @@ class SparseSearchEngine:
             )
             full = np.zeros(mask_len, np.float32)
             full[: self.num_vectors] = fm.astype(bool)
-            fdev = jax.device_put(full)
+            fdev = self._put(full)
             eff_valid = fdev if eff_valid is None else eff_valid * fdev
         if self.formulation == "ell":
             # block size: bound the [B·R, Q] gather tile to ~400 MB
@@ -390,14 +399,14 @@ class SparseSearchEngine:
             while b > 1024 and b * self.r_cap * nq * 4 > 400e6:
                 b //= 2
             s, i = _sparse_topk_ell(
-                jax.device_put(qk), self._cols_ell, self._vals_ell,
+                self._put(qk), self._cols_ell, self._vals_ell,
                 self._ovf_cols, self._ovf_rows, self._ovf_vals,
                 self._norms, eff_valid, k_eff, self.metric,
                 self.num_vectors, b, self.ovf_chunk, self._has_ovf,
             )
         else:
             s, i = _sparse_topk(
-                jax.device_put(qk), self._cols, self._rows, self._vals,
+                self._put(qk), self._cols, self._rows, self._vals,
                 self._norms, eff_valid, k_eff, self.metric,
                 self.num_vectors, self.nnz_chunk,
             )

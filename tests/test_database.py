@@ -193,3 +193,33 @@ def test_database_routes_sparse_spaces(tmp_path, rng):
     assert np.array_equal(res.indices, oi)
     # budget accounting sees the sparse engine's bytes
     assert db.resident_bytes >= eng.nbytes > 0
+    # pre-upload estimate mirrors the engine's actual ELL footprint
+    assert db._estimate_nbytes("sp") == eng.nbytes
+
+
+def test_sparse_estimate_tracks_coo_fallback(tmp_path, rng):
+    """When the nnz/row skew makes the sparse engine's 'auto' pick COO,
+    the budget estimate must follow it — the ELL figure over-charges 2×+
+    and forces needless evictions (regression: advisor r3)."""
+    from metrovector_tpu import VectorType
+    from metrovector_tpu.sparse import SparseSearchEngine
+
+    b = Builder()
+    b.add_vector_space("sk", dim=512, vector_type=VectorType.SPARSE)
+    rows = []
+    for i in range(1000):
+        # 990 rows with 1 entry, 10 rows with 100: ELL pads 1,990 entries
+        # to ~8,920 (>3×) → engine picks COO
+        nz = 100 if i % 100 == 0 else 1
+        cols = rng.choice(512, size=nz, replace=False)
+        rows.append((cols, rng.standard_normal(nz).astype(np.float32)))
+    b.add_sparse_vectors("sk", rows)
+    path = tmp_path / "skew.mvt"
+    b.build().save(path)
+
+    db = Database.open(path, backend="xla")
+    est = db._estimate_nbytes("sk")
+    eng = db.engine("sk")
+    assert isinstance(eng, SparseSearchEngine)
+    assert eng.formulation == "coo"
+    assert est == eng.nbytes

@@ -345,3 +345,14 @@ def test_search_radius_matches_bruteforce():
     for i in range(4):
         expected = np.sort(np.nonzero(sim[i] >= thr)[0])
         assert np.array_equal(np.sort(sres.indices[i]), expected)
+
+    # full coverage: when the cap already spans the whole corpus and every
+    # row meets the threshold, "more matches may exist" is impossible —
+    # truncated must stay False (regression: advisor r3)
+    full = eng.search_radius(q, radius=1e9, max_results=400)
+    assert all(len(ix) == 400 for ix in full.indices)
+    assert not full.truncated.any()
+    sfull = seng.search_radius(q, radius=float(sim.min()) - 1.0,
+                               max_results=400)
+    assert all(len(ix) == 400 for ix in sfull.indices)
+    assert not sfull.truncated.any()

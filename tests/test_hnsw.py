@@ -100,6 +100,16 @@ def test_hnsw_persistence_roundtrip(tmp_path, rng):
     c = idx.search(q, k=5, ef=64)
     np.testing.assert_array_equal(a.indices, c.indices)
 
+    # selection survives reattach so add_rows keeps evolving the stored
+    # graph with the strategy the caller asked for (regression: advisor r3)
+    rc = HNSWIndex.from_space(sp, selection="closest")
+    assert rc.selection == "closest"
+    assert HNSWIndex.from_space(sp).selection == "heuristic"
+    import pytest
+
+    with pytest.raises(ValueError, match="selection"):
+        HNSWIndex.from_space(sp, selection="bogus")
+
 
 def test_hnsw_excludes_tombstones(tmp_path, rng):
     data = _data(rng, n=150, d=8)

@@ -109,6 +109,34 @@ def test_sparse_search_tombstones(tmp_path, rng):
     assert 42 not in res.indices
 
 
+def test_sparse_engine_honors_device_for_per_call_uploads(tmp_path, rng):
+    """device= pins the resident corpus AND per-call uploads (queries,
+    filter masks) to the same device — a bare default-device device_put
+    would error or silently copy on multi-device hosts (regression:
+    advisor r3). The conftest mesh exposes 8 virtual CPU devices."""
+    import jax
+
+    dev = jax.devices()[3]
+    rows = _random_sparse(rng, n=200, dim=128, nnz_per_row=8)
+    b = Builder()
+    b.add_vector_space("s", dim=128, vector_type=VectorType.SPARSE)
+    b.add_sparse_vectors("s", rows)
+    path = tmp_path / "dev.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("s")
+    dense = sp.to_numpy()
+    eng = SparseSearchEngine(sp, device=dev)
+    queries = rng.standard_normal((4, 128)).astype(np.float32)
+    mask = (np.arange(200) % 3 == 0)
+    res = eng.search(queries, k=7, filter_mask=mask)
+    _, oi = numpy_oracle(queries, dense, 7, DistanceMetric.L2,
+                         valid_mask=mask.astype(np.float32))
+    assert np.array_equal(res.indices, oi)
+    # radius path reuses search; full-coverage cap must not flag truncation
+    rres = eng.search_radius(queries, radius=1e9, max_results=200)
+    assert not rres.truncated.any()
+
+
 def test_sparse_dim_inference(tmp_path, rng):
     b = Builder()
     b.add_vector_space("s", dim=0, vector_type=VectorType.SPARSE)
