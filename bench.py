@@ -44,6 +44,14 @@ def main() -> None:
 
     from metrovector_tpu.format.constants import DistanceMetric
     from metrovector_tpu.ops.topk_kernel import fused_topk
+    from metrovector_tpu.utils import enable_compilation_cache
+
+    # Persistent compile cache: identical shapes in a later process load
+    # the serialized executable instead of recompiling (the r3 cold start
+    # was 223 s). Opt out with MVT_COMPILE_CACHE=off.
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        log(f"compilation cache: {cache_dir}")
 
     backend = jax.default_backend()
     interpret = backend != "tpu"

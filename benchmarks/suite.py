@@ -892,6 +892,11 @@ CONFIGS = {
 def main():
     import jax
 
+    from metrovector_tpu.utils import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    if cache_dir:
+        log(f"compilation cache: {cache_dir}")
     interpret = jax.default_backend() != "tpu"
     names = sys.argv[1:] or list(CONFIGS)
     for name in names:

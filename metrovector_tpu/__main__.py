@@ -120,6 +120,9 @@ def cmd_head(args) -> int:
 
 
 def cmd_search(args) -> int:
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat CLI searches skip recompiles
     r = _open(args.file)
     name = _pick_space(r, args.space)
     sp = r.vector_space(name)

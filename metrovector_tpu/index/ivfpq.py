@@ -41,7 +41,10 @@ from ..ops.distances import distances_np
 from .ivf import train_kmeans
 from .pq import _rerank, encode_pq, reconstruct_pq, train_pq
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# Plain Python float: a module-level jnp scalar would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize
+# in multi-process programs. Weak-typed, so traced uses are identical.
+_NEG_INF = float("-inf")
 
 
 def train_ivfpq(

@@ -51,7 +51,10 @@ from ..format.constants import DistanceMetric
 from ..ops.distances import distances_np
 from .ivf import train_kmeans
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# Plain Python float: a module-level jnp scalar would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize
+# in multi-process programs. Weak-typed, so traced uses are identical.
+_NEG_INF = float("-inf")
 
 
 # ------------------------------------------------------------- training ---

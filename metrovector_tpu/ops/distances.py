@@ -44,7 +44,10 @@ import jax.numpy as jnp
 
 from ..format.constants import DistanceMetric
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# Plain Python float: a module-level jnp scalar would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize
+# in multi-process programs. Weak-typed, so traced uses are identical.
+_NEG_INF = float("-inf")
 
 
 def scores_block(

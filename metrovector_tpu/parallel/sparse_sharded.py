@@ -26,7 +26,10 @@ from ..format.constants import DistanceMetric, VectorType
 from ..sparse import _ELL_ROW_PAD, _ell_dots, _ell_scores, _ovf_add
 from .mesh import SHARD_AXIS, replicate
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# Plain Python float: a module-level jnp scalar would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize
+# in multi-process programs. Weak-typed, so traced uses are identical.
+_NEG_INF = float("-inf")
 
 
 @functools.partial(
