@@ -706,6 +706,35 @@ class IVFPQIndex:
             s = s + mult * b0  # −inf slots stay −inf
         return s, i
 
+    def recommended_rerank(self, k: int = 10, recall_target: float = 1.0) -> int:
+        """Rerank depth expected to reach ``recall_target`` at this ``k``.
+
+        4-bit codes (``pack4=True``) trade pre-rerank recall for scan
+        speed: at the same bytes/row the raw 4-bit ADC scan recalls ~0.66
+        vs ~0.74 for 8-bit (measured on a 1M×128 clustered corpus at
+        nprobe=16, k=10 — ``benchmarks/RESULTS.md`` §4-bit IVF-PQ), because
+        each subspace has only 16 centroids. Exact reranking recovers it:
+        ``rerank = 40·k`` measured recall 1.000 on BOTH code widths, and
+        the 4-bit path is then a strict win (6,963 vs 5,947 QPS).
+
+        Factors are anchored at those measurements and interpolated
+        between; they are guidance for corpora of similar difficulty, not
+        a guarantee — validate against a held-out oracle for your data.
+        Returns 0 when the raw ADC scan alone is expected to meet the
+        target (never for ``pack4`` above ~0.6)."""
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+        raw = 0.63 if self.packed4 else 0.70  # conservative scan-only recall
+        if recall_target <= raw:
+            return 0
+        if recall_target >= 0.99:
+            factor = 40
+        elif recall_target >= 0.9:
+            factor = 20
+        else:
+            factor = 12 if self.packed4 else 10
+        return factor * k
+
     def search(
         self,
         queries: np.ndarray,
@@ -720,6 +749,11 @@ class IVFPQIndex:
         """Approximate top-k: ADC over the ``nprobe`` best-scoring buckets'
         residual codes (split cells count one bucket each); ``rerank=R``
         rescores the top-R survivors exactly against the original vectors.
+
+        With 4-bit codes (``pack4=True``) pre-rerank recall dips (~0.66 vs
+        ~0.74 for 8-bit at equal bytes/row) — pair pack4 with reranking;
+        :meth:`recommended_rerank` maps a recall target to a depth
+        (``rerank=40·k`` measured recall 1.000 on both code widths).
 
         ``mode``: ``"probe"`` walks the probed buckets (scan over probe
         ranks — O(nprobe·B) work, best at tiny batches), ``"scan"`` runs

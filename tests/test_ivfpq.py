@@ -354,3 +354,37 @@ def test_ivfpq_packed4_both_modes_and_lifecycle(tmp_path, rng):
     idx.delete_rows([int(r3.indices[0, 0])])
     r4 = idx.search(new[:1], k=1, nprobe=6, rerank=60)
     assert r4.indices[0, 0] != r3.indices[0, 0]
+
+
+def test_recommended_rerank_guidance(rng):
+    """pack4 recall guidance (benchmarks/RESULTS.md §4-bit IVF-PQ) is
+    surfaced in code: recall-1.0 target maps to 40·k on both code widths,
+    low targets fall back to scan-only recall where 8-bit suffices."""
+    data = rng.standard_normal((400, 16)).astype(np.float32)
+    i8 = IVFPQIndex.build(
+        data, DistanceMetric.L2, num_clusters=8, m=4, ksub=16, pack4=False
+    )
+    i4 = IVFPQIndex.build(
+        data, DistanceMetric.L2, num_clusters=8, m=4, ksub=16, pack4=True
+    )
+
+    assert i4.recommended_rerank(k=10) == 400
+    assert i8.recommended_rerank(k=10, recall_target=1.0) == 400
+    # 8-bit raw scan (~0.74 measured) meets a 0.7 target; 4-bit does not
+    assert i8.recommended_rerank(k=10, recall_target=0.7) == 0
+    assert i4.recommended_rerank(k=10, recall_target=0.7) > 0
+    # monotone in target, scales with k
+    assert (
+        i4.recommended_rerank(k=10, recall_target=0.8)
+        <= i4.recommended_rerank(k=10, recall_target=0.95)
+        <= i4.recommended_rerank(k=10, recall_target=1.0)
+    )
+    assert i4.recommended_rerank(k=100) == 10 * i4.recommended_rerank(k=10)
+    with pytest.raises(ValueError):
+        i4.recommended_rerank(k=10, recall_target=0.0)
+
+    # the recommended depth actually reaches recall 1.0 on this corpus
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    _, oi = numpy_oracle(q, data, 10, DistanceMetric.L2)
+    res = i4.search(q, k=10, nprobe=8, rerank=i4.recommended_rerank(k=10))
+    assert np.array_equal(res.indices, oi)
