@@ -25,6 +25,10 @@
 #include <cstdint>
 #include <cstring>
 
+#ifdef __F16C__
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------- crc32 ---
@@ -315,6 +319,78 @@ size_t mvt_lz4_decompress(const uint8_t* src, size_t n, uint8_t* dst,
     return (size_t)(op - dst);
 }
 
-int mvt_abi_version() { return 2; }
+// ----------------------------------------------------------- chunk prep ---
+//
+// Fused host-side chunk preparation for the >HBM streaming searcher
+// (parallel/streaming.py slice_chunk). The numpy twin needs 3-5 full
+// passes per chunk (astype temp, recenter, zero, rowsum, np.pad copy) on
+// one thread; these do one cache-hot pass each, write directly into the
+// PADDED destination (so no np.pad copy exists at all) and parallelize
+// across rows with OpenMP on multi-core hosts. Reference analog: chunked
+// iteration src/vectors/iterator.rs:62-81 (which only yields raw bytes —
+// the prep itself has no reference counterpart).
+
+// f16 -> f32 upcast of n elements; dst[n..n_out) is zero-filled.
+// Exact IEEE conversion (F16C hardware when available, else the same
+// software path mvt_sq_norms uses) — bit-identical to numpy's astype.
+void mvt_prep_f16_to_f32(const uint16_t* __restrict src,
+                         float* __restrict dst, size_t n, size_t n_out) {
+    size_t i = 0;
+#ifdef __F16C__
+#pragma omp parallel for schedule(static)
+    for (ptrdiff_t b = 0; b < (ptrdiff_t)(n / 8); b++) {
+        __m128i h = _mm_loadu_si128((const __m128i*)(src + b * 8));
+        _mm256_storeu_ps(dst + b * 8, _mm256_cvtph_ps(h));
+    }
+    i = (n / 8) * 8;
+#endif
+    for (; i < n; i++) dst[i] = half_to_float(src[i]);
+    std::memset(dst + n, 0, (n_out - n) * sizeof(float));
+}
+
+// u8 -> (c - zp) * scale in f32 (numpy-matching f32 arithmetic order);
+// dst[n..n_out) is zero-filled.
+// __restrict: u8 (char-family) pointers otherwise legally alias the f32
+// output, which blocks auto-vectorization (measured 11x slower).
+void mvt_prep_u8_dequant(const uint8_t* __restrict src,
+                         float* __restrict dst, float scale, float zp,
+                         size_t n, size_t n_out) {
+#pragma omp parallel for schedule(static)
+    for (ptrdiff_t i = 0; i < (ptrdiff_t)n; i++)
+        dst[i] = ((float)src[i] - zp) * scale;
+    std::memset(dst + n, 0, (n_out - n) * sizeof(float));
+}
+
+// offset-u8 path: per-row recenter c' = c - 128 over the logical dim
+// columns into int8 plus the per-row code sum as f32 bias. src is
+// [nrows, dimp] u8; dst is [nrows_out, dimp] i8 and bias [nrows_out] f32,
+// where rows >= nvalid (tombstone tail) and rows >= nrows (static-shape
+// padding) are all-zero with bias 0, and columns >= dim are zero.
+void mvt_prep_u8_offset(const uint8_t* __restrict src,
+                        int8_t* __restrict dst, float* __restrict bias,
+                        size_t nrows, size_t dimp, size_t dim, size_t nvalid,
+                        size_t nrows_out) {
+    if (nvalid > nrows) nvalid = nrows;
+#pragma omp parallel for schedule(static)
+    for (ptrdiff_t i = 0; i < (ptrdiff_t)nvalid; i++) {
+        const uint8_t* s = src + (size_t)i * dimp;
+        int8_t* d = dst + (size_t)i * dimp;
+        int32_t sum = 0;
+        size_t j = 0;
+        for (; j < dim; j++) {
+            int v = (int)s[j] - 128;
+            sum += v;
+            d[j] = (int8_t)v;
+        }
+        for (; j < dimp; j++) d[j] = 0;
+        bias[i] = (float)sum;
+    }
+    if (nrows_out > nvalid) {
+        std::memset(dst + nvalid * dimp, 0, (nrows_out - nvalid) * dimp);
+        std::memset(bias + nvalid, 0, (nrows_out - nvalid) * sizeof(float));
+    }
+}
+
+int mvt_abi_version() { return 3; }
 
 }  // extern "C"

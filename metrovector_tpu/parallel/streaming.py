@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..format.constants import DataType, DistanceMetric
 from ..ops.topk_kernel import fused_topk
 from ..vectors.space import VectorSpace
@@ -155,37 +156,58 @@ class StreamingSearcher:
         # Pre-issue the first upload, then pipeline: while the kernel chews
         # chunk j, the (async) H2D copy of chunk j+1 is in flight.
         def slice_chunk(j):
+            # Per-chunk host prep is the streamed pipeline's critical path
+            # on prep-bound hosts, so each transform has a fused native
+            # single-pass (OpenMP/F16C, writes the padded output directly)
+            # with the original numpy twin as fallback — bit-identical,
+            # both covered by test_streaming.py.
             lo = j * cr
             hi = min(lo + cr, total)
             blk = self._block[lo:hi]
-            if blk.dtype == np.float16:
-                # host-side upcast: device-side f16 casts are ~3 MB/s on
-                # TPU (see fused_topk); numpy does this at memory speed
-                blk = blk.astype(np.float32)
-            if uint8_cosine:
-                blk = (blk.astype(np.float32) - zp) * self.scale
-            nrm = self._norms[lo:hi]
-            msk = self._mask[lo:hi] if self._mask is not None else None
-            bias = None
             pad = cr - (hi - lo)
             nvalid_here = int(np.clip(sp.num_vectors - lo, 0, hi - lo))
+            bias = None
+            blk_done = False  # native prep already produced [cr, D]
+            if blk.dtype == np.float16:
+                # host-side upcast: device-side f16 casts are ~3 MB/s on
+                # TPU (see fused_topk); F16C/numpy do this at memory speed
+                out = native.prep_f16_to_f32(blk, cr)
+                if out is not None:
+                    blk, blk_done = out, True
+                else:
+                    blk = blk.astype(np.float32)
+            if uint8_cosine:
+                out = native.prep_u8_dequant(
+                    blk, cr, float(self.scale), float(zp)
+                )
+                if out is not None:
+                    blk, blk_done = out, True
+                else:
+                    blk = (blk.astype(np.float32) - zp) * self.scale
             if uint8_offset:
                 # Re-center this chunk's codes (c' = c − 128 over the
                 # logical region) and compute the per-row code sums.
-                shifted = blk.astype(np.int16) - 128
-                shifted[:, sp.dim :] = 0
-                shifted[nvalid_here:, :] = 0
-                bias = shifted[:, : sp.dim].sum(
-                    axis=1, dtype=np.int32
-                ).astype(np.float32)
-                blk = shifted.astype(np.int8)
+                out = native.prep_u8_offset(blk, cr, sp.dim, nvalid_here)
+                if out is not None:
+                    (blk, bias), blk_done = out, True
+                else:
+                    shifted = blk.astype(np.int16) - 128
+                    shifted[:, sp.dim :] = 0
+                    shifted[nvalid_here:, :] = 0
+                    bias = shifted[:, : sp.dim].sum(
+                        axis=1, dtype=np.int32
+                    ).astype(np.float32)
+                    blk = shifted.astype(np.int8)
+            nrm = self._norms[lo:hi]
+            msk = self._mask[lo:hi] if self._mask is not None else None
             if pad:  # keep shapes static for the jitted kernel
-                blk = np.pad(blk, ((0, pad), (0, 0)))
+                if not blk_done:
+                    blk = np.pad(blk, ((0, pad), (0, 0)))
+                    if bias is not None:
+                        bias = np.pad(bias, (0, pad))
                 nrm = np.pad(nrm, (0, pad))
                 if msk is not None:
                     msk = np.pad(msk, (0, pad))
-                if bias is not None:
-                    bias = np.pad(bias, (0, pad))
             return blk, nrm, msk, bias
 
         def upload(j):
@@ -427,19 +449,41 @@ class ShardedStreamingSearcher:
         the multi-shard mirror of ``StreamingSearcher``'s chunk prep."""
         sp = self.space
         bias = None
+        n = piece.shape[0]
         if piece.dtype == np.float16:
-            piece = piece.astype(np.float32)
+            out = native.prep_f16_to_f32(piece, n) if n else None
+            piece = out if out is not None else piece.astype(np.float32)
         if uint8_cosine:
-            piece = (piece.astype(np.float32) - self.zero_point) * self.scale
+            out = (
+                native.prep_u8_dequant(
+                    piece, n, float(self.scale), float(self.zero_point)
+                )
+                if n
+                else None
+            )
+            if out is not None:
+                piece = out
+            else:
+                piece = (
+                    piece.astype(np.float32) - self.zero_point
+                ) * self.scale
         if uint8_offset:
-            shifted = piece.astype(np.int16) - 128
-            shifted[:, sp.dim:] = 0
-            local_valid = int(np.clip(sp.num_vectors - lo, 0, piece.shape[0]))
-            shifted[local_valid:, :] = 0
-            bias = shifted[:, : sp.dim].sum(
-                axis=1, dtype=np.int32
-            ).astype(np.float32)
-            piece = shifted.astype(np.int8)
+            local_valid = int(np.clip(sp.num_vectors - lo, 0, n))
+            out = (
+                native.prep_u8_offset(piece, n, sp.dim, local_valid)
+                if n
+                else None
+            )
+            if out is not None:
+                piece, bias = out
+            else:
+                shifted = piece.astype(np.int16) - 128
+                shifted[:, sp.dim:] = 0
+                shifted[local_valid:, :] = 0
+                bias = shifted[:, : sp.dim].sum(
+                    axis=1, dtype=np.int32
+                ).astype(np.float32)
+                piece = shifted.astype(np.int8)
         return piece, bias
 
     def _assemble(self, host_array, spec_cols: int, j: int, transform):

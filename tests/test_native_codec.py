@@ -105,3 +105,54 @@ def test_native_and_python_builds_identical(rng, monkeypatch):
     assert img_native == img_py
     r = Reader.from_bytes(img_py)
     r.validate_with_checksum()
+
+
+# ------------------------------------------------------ streaming prep ---
+# Fused chunk-prep twins (parallel/streaming.py slice_chunk): the native
+# single pass must match the numpy multi-pass bit-for-bit, including the
+# zero pad tail, the tombstone tail and the dim->padded_dim column strip.
+
+
+@needs_native
+def test_prep_f16_to_f32_parity(rng):
+    src = rng.standard_normal((513, 40)).astype(np.float16)
+    src[0, :4] = [np.inf, -np.inf, 0.0, -0.0]
+    src[1, 0] = np.float16(6e-8)  # subnormal
+    got = native.prep_f16_to_f32(src, 640)
+    ref = np.pad(src.astype(np.float32), ((0, 127), (0, 0)))
+    assert got.dtype == np.float32 and got.shape == (640, 40)
+    assert np.array_equal(got, ref)
+    # no padding
+    assert np.array_equal(native.prep_f16_to_f32(src, 513)[:513],
+                          src.astype(np.float32))
+
+
+@needs_native
+def test_prep_u8_dequant_parity(rng):
+    u = rng.integers(0, 256, (301, 24)).astype(np.uint8)
+    scale, zp = 0.031, 117.0
+    got = native.prep_u8_dequant(u, 384, scale, zp)
+    ref = np.pad((u.astype(np.float32) - zp) * scale, ((0, 83), (0, 0)))
+    assert np.array_equal(got, ref)
+
+
+@needs_native
+def test_prep_u8_offset_parity(rng):
+    u = rng.integers(0, 256, (300, 32)).astype(np.uint8)
+    dim, nvalid = 27, 211  # padded cols stripped, tombstone tail zeroed
+    got_c, got_b = native.prep_u8_offset(u, 320, dim, nvalid)
+    shifted = u.astype(np.int16) - 128
+    shifted[:, dim:] = 0
+    shifted[nvalid:, :] = 0
+    ref_b = shifted[:, :dim].sum(axis=1, dtype=np.int32).astype(np.float32)
+    assert np.array_equal(got_c, np.pad(shifted.astype(np.int8),
+                                        ((0, 20), (0, 0))))
+    assert np.array_equal(got_b, np.pad(ref_b, (0, 20)))
+    # nvalid beyond the chunk is clipped
+    c2, b2 = native.prep_u8_offset(u, 300, dim, 10_000)
+    shifted = u.astype(np.int16) - 128
+    shifted[:, dim:] = 0
+    assert np.array_equal(c2, shifted.astype(np.int8))
+    assert np.array_equal(
+        b2, shifted[:, :dim].sum(axis=1, dtype=np.int32).astype(np.float32)
+    )

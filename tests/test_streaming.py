@@ -189,3 +189,41 @@ def test_sharded_streaming_ids_and_small_corpus(tmp_path, rng):
     from metrovector_tpu.engine import SearchResult
 
     assert (res.ids[~valid] == SearchResult.ID_SENTINEL).all()
+
+
+@pytest.mark.parametrize("dtype,metric", [
+    (DataType.FLOAT16, DistanceMetric.L2),
+    (DataType.UINT8, DistanceMetric.L2),       # offset-int8 path
+    (DataType.UINT8, DistanceMetric.COSINE),   # host-dequant path
+])
+def test_streaming_native_prep_matches_fallback(tmp_path, rng, monkeypatch,
+                                                dtype, metric):
+    """The fused native chunk prep (codec.cpp mvt_prep_*) and the numpy
+    twins must produce identical streamed results on every transform path
+    — padding chunk, tombstone tail and stripped pad columns included."""
+    from metrovector_tpu import native
+
+    data = (
+        rng.standard_normal((900, 20)).astype(np.float16).astype(np.float32)
+        if dtype == DataType.FLOAT16
+        else rng.integers(0, 256, (900, 20)).astype(np.float32)
+    )
+    b = Builder()
+    b.add_vector_space("v", dim=20, dtype=dtype, metric=metric)
+    b.add_vectors("v", data)
+    b.delete_vector("v", 875)
+    path = tmp_path / f"np_{int(dtype)}_{int(metric)}.mvt"
+    b.build().save(path)
+    sp = Reader.open(path).vector_space("v")
+    queries = rng.standard_normal((3, 20)).astype(np.float32)
+
+    res_native = StreamingSearcher(sp, chunk_rows=256).search(queries, k=7)
+    monkeypatch.setattr(native, "prep_f16_to_f32", lambda *a, **k: None)
+    monkeypatch.setattr(native, "prep_u8_dequant", lambda *a, **k: None)
+    monkeypatch.setattr(native, "prep_u8_offset", lambda *a, **k: None)
+    res_numpy = StreamingSearcher(sp, chunk_rows=256).search(queries, k=7)
+
+    assert np.array_equal(res_native.indices, res_numpy.indices)
+    assert np.array_equal(res_native.scores, res_numpy.scores)
+    res_resident = SearchEngine(sp).search(queries, k=7)
+    assert np.array_equal(res_native.indices, res_resident.indices)
