@@ -44,7 +44,66 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX512F__) || defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
+
+// SIMD dot product (FMA, two accumulators for ILP). The beam spends
+// ~all its time in candidate scoring; the strict-FP scalar loop cannot
+// vectorize (additions would reorder), so this is explicit. Score *bits*
+// may differ from the scalar/numpy twins (different summation order) —
+// HNSW graphs are score-rank structures and the tests are recall-based,
+// so cross-implementation bit-equality was never promised (the numpy
+// twin's BLAS dot already ordered differently).
+inline float dot_f32(const float* __restrict a, const float* __restrict b,
+                     int32_t d) {
+  int32_t i = 0;
+  float dot = 0.f;
+#if defined(__AVX512F__)
+  __m512 acc0 = _mm512_setzero_ps(), acc1 = _mm512_setzero_ps();
+  for (; i + 32 <= d; i += 32) {
+    acc0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i),
+                           acc0);
+    acc1 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i + 16),
+                           _mm512_loadu_ps(b + i + 16), acc1);
+  }
+  for (; i + 16 <= d; i += 16)
+    acc0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i),
+                           acc0);
+  dot = _mm512_reduce_add_ps(_mm512_add_ps(acc0, acc1));
+#elif defined(__AVX2__) && defined(__FMA__)
+  __m256 acc0 = _mm256_setzero_ps(), acc1 = _mm256_setzero_ps();
+  for (; i + 16 <= d; i += 16) {
+    acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i),
+                           acc0);
+    acc1 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 8),
+                           _mm256_loadu_ps(b + i + 8), acc1);
+  }
+  for (; i + 8 <= d; i += 8)
+    acc0 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i),
+                           acc0);
+  __m256 acc = _mm256_add_ps(acc0, acc1);
+  __m128 lo = _mm256_castps256_ps128(acc);
+  __m128 hi = _mm256_extractf128_ps(acc, 1);
+  __m128 s = _mm_add_ps(lo, hi);
+  s = _mm_add_ps(s, _mm_movehl_ps(s, s));
+  s = _mm_add_ss(s, _mm_shuffle_ps(s, s, 1));
+  dot = _mm_cvtss_f32(s);
+#endif
+  for (; i < d; ++i) dot += a[i] * b[i];
+  return dot;
+}
+
+// Prefetch the leading cache lines of a row (beam neighbor rows are
+// effectively random HBM/DRAM lines; prefetching the NEXT candidate's
+// row while scoring the current one hides most of that latency).
+inline void prefetch_row(const float* row, int32_t d) {
+  __builtin_prefetch(row);
+  if (d > 16) __builtin_prefetch(row + 16);
+  if (d > 32) __builtin_prefetch(row + 32);
+}
 
 using ScoredNode = std::pair<float, int64_t>;
 
@@ -102,9 +161,7 @@ struct Index {
   std::vector<Layer> layers;
 
   float score(const float* q, int64_t v) const {
-    const float* x = rows + v * (int64_t)d;
-    float dot = 0.f;
-    for (int32_t i = 0; i < d; ++i) dot += q[i] * x[i];
+    float dot = dot_f32(q, rows + v * (int64_t)d, d);
     return use_norms ? 2.f * dot - norms[v] : dot;
   }
 };
@@ -137,6 +194,7 @@ void search_layer(const Index& ix, const float* q, const int64_t* eps,
     if ((int32_t)res.size() > ef) res.pop();
   }
   std::vector<int32_t> nbbuf;
+  std::vector<int32_t> unseen;
   while (!cand.empty()) {
     ScoredNode top = cand.top();
     cand.pop();
@@ -151,9 +209,22 @@ void search_layer(const Index& ix, const float* q, const int64_t* eps,
     } else {
       nb = L.row(slot);
     }
+    // Batched candidate evaluation: dedup + issue row prefetches first,
+    // then score with two-row lookahead — the heap/visited bookkeeping
+    // comes off the DRAM load-latency path of the scattered row gathers.
+    for (int32_t j = 0; j < L.width; ++j)
+      if (nb[j] >= 0) __builtin_prefetch(&vt.mark[nb[j]]);
+    unseen.clear();
     for (int32_t j = 0; j < L.width; ++j) {
       int32_t v = nb[j];
       if (v < 0 || vt.seen(v)) continue;
+      prefetch_row(ix.rows + (int64_t)v * ix.d, ix.d);
+      unseen.push_back(v);
+    }
+    for (size_t u = 0; u < unseen.size(); ++u) {
+      int32_t v = unseen[u];
+      if (u + 2 < unseen.size())
+        prefetch_row(ix.rows + (int64_t)unseen[u + 2] * ix.d, ix.d);
       float s = ix.score(q, v);
       if ((int32_t)res.size() < ef) {
         res.emplace(s, v);
@@ -311,6 +382,8 @@ int64_t greedy_descend(const Index& ix, const float* q, int64_t ep,
     int32_t slot = L.slot_of[cur];
     if (slot < 0) return cur;
     const int32_t* nb = L.row(slot);
+    for (int32_t j = 0; j < L.width; ++j)
+      if (nb[j] >= 0) prefetch_row(ix.rows + (int64_t)nb[j] * ix.d, ix.d);
     int64_t best = -1;
     float best_s = cur_s;
     for (int32_t j = 0; j < L.width; ++j) {

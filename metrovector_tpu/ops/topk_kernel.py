@@ -209,7 +209,7 @@ def _make_pool_inserter(best_s, best_i, pool_valid, col_iota_k):
 
 def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
                       block_rows: int, skip_test: bool = True,
-                      top2: bool = False):
+                      top2: bool = False, imp_first: bool = False):
     """Streaming top-k pool merge for one score block — shared by the
     distance kernel and the ADC kernel.
 
@@ -241,6 +241,13 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
     call and the fallback fires only for ≥3 improvements in a lane (rare
     even at k=100). Exact: ≤2 improvements in a lane are necessarily that
     lane's top-2 (anything above an improvement is itself ≥ theta).
+
+    ``imp_first=True`` (mutually exclusive with ``skip_test``): run the
+    2-ops/elem improvement-count pass ALONE first and gate the whole fold
+    on ``max(imp) > 0`` (per-query thresholds — tighter than the
+    whole-tile max test) — blocks with no improving row for any query in
+    the tile cost ~2 VPU passes instead of ~5. Exact: an insert requires
+    sc ≥ that query's theta, which is what imp counts (ties included).
     """
     lanes = LANES
     n_chunks = block_rows // lanes
@@ -260,7 +267,16 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
 
     neg = jnp.float32(_NEG_INF)
 
-    def fold():
+    def imp_only():
+        th_col = theta[:, None]
+        imp = (scores[:, 0:lanes] >= th_col).astype(jnp.int32)
+        for c in range(1, n_chunks):
+            imp += (
+                scores[:, c * lanes : (c + 1) * lanes] >= th_col
+            ).astype(jnp.int32)
+        return imp
+
+    def fold(imp_in=None):
         # Lane fold: compress the block to its per-lane maxima — 128
         # candidates per query in ~2 passes. Exact unless one query has two
         # pool-beating rows in the same lane of the same block, which the
@@ -273,7 +289,9 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
         am = jnp.zeros((qt, lanes), jnp.int32)
         fm2 = jnp.full((qt, lanes), neg)
         am2 = jnp.zeros((qt, lanes), jnp.int32)
-        imp = (fm >= th_col).astype(jnp.int32)
+        imp = (
+            (fm >= th_col).astype(jnp.int32) if imp_in is None else imp_in
+        )
         for c in range(1, n_chunks):
             sc = scores[:, c * lanes : (c + 1) * lanes]
             gt = sc > fm
@@ -289,7 +307,8 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
                 am2 = jnp.where(gt2, candi, am2)
             fm = jnp.where(gt, sc, fm)
             am = jnp.where(gt, c, am)
-            imp += (sc >= th_col).astype(jnp.int32)
+            if imp_in is None:
+                imp += (sc >= th_col).astype(jnp.int32)
         return fm, am, fm2, am2, imp
 
     def do_inserts(fm, am, fm2, am2, imp):
@@ -338,7 +357,14 @@ def _pool_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
             )
             insert_candidates(scores, gidx, n_rounds)
 
-    if skip_test:
+    if imp_first:
+        imp = imp_only()
+
+        @pl.when(jnp.max(imp) > 0)
+        def _merge_gated():
+            fm, am, fm2, am2, _ = fold(imp_in=imp)
+            do_inserts(fm, am, fm2, am2, imp)
+    elif skip_test:
         # Conservative whole-tile skip: nothing in this block can beat the
         # worst retained candidate of any query in the tile.
         blockmax = jnp.max(scores)
@@ -432,7 +458,8 @@ def _chunked_merge_block(scores, sc_scratch, best_s, best_i, row0, k: int,
 
 
 def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
-                        block_rows: int, skip_test: bool = True):
+                        block_rows: int, skip_test: bool = True,
+                        imp_first: bool = False):
     """k-round unrolled merge keeping the candidate list SORTED descending
     (the round-1 strategy). Per merged block it always pays k selection
     rounds over [qt, 128 + k_pad] — more selection work than the pool
@@ -440,7 +467,8 @@ def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
     bookkeeping, which wins on cheap-matmul paths (single-pass int8 MXU at
     small k) where the pool loop's serialization is visible. Exactness
     discipline (skip test, lane fold, collision fallback) is identical.
-    ``skip_test``: as in :func:`_pool_merge_block`."""
+    ``skip_test``: as in :func:`_pool_merge_block`. ``imp_first``: as in
+    :func:`_pool_merge_block` (mutually exclusive with ``skip_test``)."""
     lanes = LANES
     n_chunks = block_rows // lanes
     qt = scores.shape[0]
@@ -449,16 +477,27 @@ def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
     worst = jnp.min(best_s[:, :k])
     theta = best_s[:, k - 1 : k]  # current kth best per query (sorted)
 
-    def fold():
+    def imp_only():
+        imp = (scores[:, 0:lanes] >= theta).astype(jnp.int32)
+        for c in range(1, n_chunks):
+            imp += (
+                scores[:, c * lanes : (c + 1) * lanes] >= theta
+            ).astype(jnp.int32)
+        return imp
+
+    def fold(imp_in=None):
         fm = scores[:, 0:lanes]
         am = jnp.zeros((qt, lanes), jnp.int32)
-        imp = (fm >= theta).astype(jnp.int32)
+        imp = (
+            (fm >= theta).astype(jnp.int32) if imp_in is None else imp_in
+        )
         for c in range(1, n_chunks):
             sc = scores[:, c * lanes : (c + 1) * lanes]
             gt = sc > fm
             fm = jnp.where(gt, sc, fm)
             am = jnp.where(gt, c, am)
-            imp += (sc >= theta).astype(jnp.int32)
+            if imp_in is None:
+                imp += (sc >= theta).astype(jnp.int32)
         return fm, am, imp
 
     def do_select(fm, am, imp):
@@ -482,7 +521,18 @@ def _rounds_merge_block(scores, best_s, best_i, row0, k: int, k_pad: int,
             cand_i = jnp.concatenate([best_i[:], gidx], axis=1)
             _select_k_into(cand_s, cand_i, best_s, best_i, full, k)
 
-    if skip_test:
+    if imp_first:
+        # Gate pass first (2 VPU ops/elem: cmp + add, vs the fold's ~5):
+        # only blocks where SOME query has an improving row pay the fold.
+        # Exact — an insert requires sc ≥ that query's theta (ties enter
+        # via the lower-index tie-break), which is exactly what imp counts.
+        imp = imp_only()
+
+        @pl.when(jnp.max(imp) > 0)
+        def _merge_gated():
+            fm, am, _ = fold(imp_in=imp)
+            do_select(fm, am, imp)
+    elif skip_test:
         blockmax = jnp.max(scores)
 
         @pl.when(blockmax > worst)
@@ -519,6 +569,11 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
     bf16x3 = precision == "high" and not int_path
     lanes = 128
     n_chunks = block_rows // lanes
+    # "<base>_imp" merge variants: gate each block's fold on a cheap
+    # improvement-count-only pass (see _pool_merge_block docstring).
+    imp_first = merge.endswith("_imp")
+    if imp_first:
+        merge = merge[: -len("_imp")]
 
     def kernel(nvalid_ref, *rest):
         # Optional inputs appear in declaration order: bias_scale (SMEM),
@@ -623,7 +678,8 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
             if merge == "pool":
                 _pool_merge_block(
                     sc, best_s, best_i, row0, k, k_pad, block_rows,
-                    skip_test=use_skip, top2=k > _UNROLL_K_MAX,
+                    skip_test=use_skip and not imp_first,
+                    top2=k > _UNROLL_K_MAX, imp_first=imp_first,
                 )
             elif merge == "chunks":
                 _chunked_merge_block(
@@ -633,7 +689,8 @@ def _make_kernel(k: int, k_pad: int, block_rows: int, metric: DistanceMetric,
             else:
                 _rounds_merge_block(
                     sc, best_s, best_i, row0, k, k_pad, block_rows,
-                    skip_test=use_skip,
+                    skip_test=use_skip and not imp_first,
+                    imp_first=imp_first,
                 )
 
         if defer_scale:
@@ -831,16 +888,19 @@ def _fused_topk(
     int_path_early = db.dtype in (jnp.int8.dtype, jnp.uint8.dtype)
     if merge is None:
         merge = "rounds" if int_path_early and k <= _UNROLL_K_MAX else "pool"
-    if merge not in ("pool", "rounds", "chunks"):
+    if merge not in ("pool", "rounds", "chunks", "pool_imp", "rounds_imp"):
         raise ValueError(
             f"unknown merge strategy {merge!r}; one of 'pool', 'rounds', "
-            "'chunks'"
+            "'chunks', 'pool_imp', 'rounds_imp'"
         )
+    # base strategy name for layout/flush decisions; the _imp suffix only
+    # changes the per-block gating (parsed again inside _make_kernel)
+    merge_base = merge[: -len("_imp")] if merge.endswith("_imp") else merge
     if block_rows is None:
         block_rows = default_block_rows(
             d, db.dtype.itemsize, qt,
             bf16x3=precision == "high" and db.dtype.itemsize == 4,
-            k_pad=k_pad, pool_merge=merge == "pool",
+            k_pad=k_pad, pool_merge=merge_base == "pool",
         )
     # The lane-fold merge requires whole 128-lane chunks per block.
     block_rows = max(LANES, _round_up(block_rows, LANES))
@@ -859,7 +919,7 @@ def _fused_topk(
         db.dtype == jnp.int8.dtype
         and metric == DistanceMetric.INNER_PRODUCT
         and bias_row is None
-        and merge in ("pool", "rounds")
+        and merge_base in ("pool", "rounds")
         and float(scale) > 0.0
     )
     int_path = int_path_early

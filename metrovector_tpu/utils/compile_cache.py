@@ -46,7 +46,21 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         return None
     cache_dir = os.path.abspath(os.path.expanduser(cache_dir))
     os.makedirs(cache_dir, exist_ok=True)
+    prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    if prev is not None and prev != cache_dir:
+        # JAX initializes its on-disk cache singleton at most once per
+        # process (at the first cache-enabled compile); re-pointing the
+        # config after that silently keeps writing to the OLD directory
+        # unless the singleton is reset.
+        try:
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc,
+            )
+
+            _cc.reset_cache()
+        except (ImportError, AttributeError):  # API drift: best effort
+            pass
     # Default thresholds skip sub-second/small executables — exactly the
     # shape-specialized search kernels we want cached.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

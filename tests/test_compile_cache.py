@@ -16,6 +16,11 @@ def _restore_cache_config():
     prev = jax.config.jax_compilation_cache_dir
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
+    # reset the once-per-process cache singleton too, so later tests don't
+    # keep writing into this test's (deleted) tmp directory
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cc.reset_cache()
 
 
 def test_cache_populates_and_search_kernel_is_cached(tmp_path, rng):

@@ -309,3 +309,55 @@ def test_pool_top2_exact_pair_in_lane(rng):
     assert got == {3 * 128 + 17, 4 * 128 + 17}
     _, oi = numpy_oracle(q, db, k, DistanceMetric.INNER_PRODUCT)
     np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+@pytest.mark.parametrize("merge", ["pool_imp", "rounds_imp"])
+@pytest.mark.parametrize("metric", METRICS)
+def test_imp_first_gate_matches_oracle(rng, metric, merge):
+    """The imp-first variants (2-pass improvement gate before the fold)
+    must stay bit-for-rank exact, duplicates and tombstones included."""
+    n, d, k = 1024, 32, 10
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    db[100] = db[700]  # cross-block duplicate: tie-break via gate path
+    db[5] = db[6]
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    if metric == DistanceMetric.COSINE:
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    norms = (db.astype(np.float64) ** 2).sum(1).astype(np.float32)
+    mask = np.ones(n, np.float32)
+    mask[50] = 0.0
+    s, i = fused_topk(
+        q, db, norms, np.int32(n - 24), k, metric,
+        valid_mask=mask, block_rows=256, interpret=True, merge=merge,
+    )
+    sub = np.delete(db[: n - 24], 50, axis=0)  # drop the tombstoned row
+    _, oi = numpy_oracle(q, sub, k, metric)
+    oi = oi + (oi >= 50)  # back to original row ids
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+
+def test_imp_first_int8_deferred_scale(rng):
+    """imp-first on the deep10m-shaped path: int8 deferred-scale IP."""
+    n, d, k = 768, 32, 10
+    db = rng.integers(-127, 128, (n, d)).astype(np.int8)
+    q = rng.integers(-127, 128, (4, d)).astype(np.int8)
+    s, i = fused_topk(
+        q, db, np.zeros(n, np.float32), np.int32(n), k,
+        DistanceMetric.INNER_PRODUCT, scale=0.25,
+        block_rows=256, interpret=True, merge="rounds_imp",
+    )
+    dots = q.astype(np.int64) @ db.T.astype(np.int64)
+    oi = np.argsort(-dots * 4, 1, kind="stable")[:, :k]  # scale>0: same order
+    np.testing.assert_array_equal(np.asarray(i), oi)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(dots * 0.25, oi, 1), rtol=1e-6
+    )
+
+
+def test_imp_first_k_gt_32_top2(rng):
+    """pool_imp composes with the top-2 fold (k > 32)."""
+    queries, db, norms = _case(rng, n=1024, d=64, q=3)
+    s, i = _run(queries, db, norms, 1024, 100, DistanceMetric.L2,
+                block_rows=256, merge="pool_imp")
+    _, oi = numpy_oracle(queries, db, 100, DistanceMetric.L2)
+    assert np.array_equal(np.asarray(i), oi)
