@@ -405,13 +405,14 @@ def bench_deep10m(interpret):
         # Tuned config (r3: the deferred-scale path — unscaled f32 dots
         # ranked in-kernel, pad-bias riding the norms slot, no whole-tile
         # skip pass — auto-engages for int8 inner product; qt=128/br=8192
-        # measured best. CAUTION: qt=128 with br=16384 crosses the silent
-        # VMEM-spill cliff, ~500× slowdown).
+        # measured best; r4: rounds_imp +3.6% over rounds same-session.
+        # CAUTION: qt=128 with br=16384 crosses the silent VMEM-spill
+        # cliff, ~500× slowdown).
         def run2(q):
             return fused_topk(q, db_d, norms_d, np.int32(n), k,
                               DistanceMetric.INNER_PRODUCT, scale=sc * sc,
                               block_rows=8192, query_tile=128,
-                              merge="rounds")
+                              merge="rounds_imp")
 
         dt2 = _measure(run2, mk, iters=10)
         _report(
