@@ -14,7 +14,10 @@ stores a TODO stub (``src/builder.rs:459``).
 """
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 import numpy as np

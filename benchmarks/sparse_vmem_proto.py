@@ -6,21 +6,37 @@ queriesT from HBM per ELL entry — measured issue-bound at ~215M
 gathers/s (~220 GB/s effective vs ~819 peak) on the 1M x 30k SPLADE
 config. This kernel stages [T, Q] vocab tiles of queriesT through VMEM
 and re-walks the ELL entries once per tile, so per-entry gathers hit
-VMEM instead of HBM issue slots:
+VMEM instead of HBM issue slots.
 
-    grid = (row_blocks, vocab_tiles)           # vocab minor: acc reuse
-    qt_tile  = qtT[t*T:(t+1)*T, :]             # [T, Q] VMEM
-    idx      = cols[blk] - t*T                 # [B, R]
-    in_tile  = 0 <= idx < T
-    g        = take(qt_tile, clip(idx), 0)     # VMEM gather
-    acc[B,Q] += sum_r where(in_tile, vals, 0) * g
+Lowering reality (first finding): Mosaic lowers lax.gather ONLY as
+`tpu.dynamic_gather` where input, indices and output share one 2-D
+shape — i.e. `jnp.take_along_axis(x, idx, axis=0|1)` with idx the same
+shape as x (jax/_src/pallas/mosaic/lowering.py:2484) — and 2-D→1-D
+vector reshapes don't lower either, so the kernel avoids flattening
+entirely by tying the vocab tile to the row block (T == B) and walking
+the R ELL slots as an unrolled loop of same-shape gathers:
 
-Cost model: every entry is touched vocab/T times (~15x entry traffic at
-T=2048 — entries are 8 B, so ~5.8 GB/batch vs the 48 GB of HBM-gathered
-query rows), and the gather becomes a VMEM dynamic gather, IF Mosaic can
-lower `jnp.take` with vector indices at all. That lowering question is
-what this prototype answers first; then same-session QPS vs the ELL
-baseline decides (record either way in benchmarks/RESULTS.md).
+    grid = (row_blocks, vocab_tiles)            # vocab minor: acc reuse
+    qt_tile = qtT[t*T:(t+1)*T, :]               # [T, Q] VMEM
+    for j in range(R):                          # unrolled, R = ELL width
+        idx = cols[:, j:j+1] - t*T              # [B, 1]
+        g   = take_along_axis(qt_tile, bcast(idx), 0)    # [B=T, Q]
+        acc += where(0 <= idx < T, vals[:, j:j+1], 0) * g
+
+Cost model says this LOSES: every entry is re-walked vocab/T times, so
+gather volume = nnz * (vocab/T) * Q elements (~184G at T=2048) — the
+VMEM gather's extra passes outweigh the HBM issue-slot savings.
+
+FINAL RESULT (negative, recorded in benchmarks/RESULTS.md): the TPU
+compile rejects even this form — `tpu.dynamic_gather` supports a single
+source vreg along the gather dimension ("Not implemented: Multiple
+source vregs along gather dimension"), i.e. gathers across at most 8
+sublanes (axis 0) or 128 lanes (axis 1). A vocab tile is therefore
+capped at T=128, where the re-walk factor is vocab/128 ≈ 240x —
+hopeless. VMEM-staged vocab tiling is unimplementable in Pallas TPU
+today; the ELL HBM-gather formulation stands as the plateau. This
+script is kept as the executable record (runs correctness in interpret
+mode; reproduces the Mosaic error on TPU).
 """
 
 from __future__ import annotations
@@ -40,37 +56,49 @@ from jax.experimental import pallas as pl
 
 def _kernel(qt_ref, cols_ref, vals_ref, out_ref, *, T: int, R: int):
     t = pl.program_id(1)
-    n_t = pl.num_programs(1)
-
-    @pl.when(t == 0)
-    def _init():
-        out_ref[:] = jnp.zeros_like(out_ref)
 
     B = cols_ref.shape[0]
     Q = qt_ref.shape[1]
-    idx = cols_ref[:] - t * T                    # [B, R]
-    in_tile = jnp.logical_and(idx >= 0, idx < T)
-    safe = jnp.clip(idx, 0, T - 1).reshape(-1)   # [B*R]
-    g = jnp.take(qt_ref[:], safe, axis=0)        # [B*R, Q] VMEM gather
-    w = jnp.where(in_tile, vals_ref[:], 0.0).reshape(-1)[:, None]
-    out_ref[:] += (g * w).reshape(B, R, Q).sum(1)
+    qt = qt_ref[:]                               # [T, Q], T == B
+    cols = cols_ref[:]                           # [B, R]
+    vals = vals_ref[:]
+    acc = jnp.zeros((B, Q), jnp.float32)
+    for j in range(R):                           # unrolled ELL slots
+        idx = cols[:, j:j + 1] - t * T           # [B, 1]
+        in_tile = jnp.logical_and(idx >= 0, idx < T)
+        safe = jnp.clip(idx, 0, T - 1)
+        g = jnp.take_along_axis(
+            qt, jnp.broadcast_to(safe, (B, Q)), axis=0
+        )                                        # [B, Q] VMEM gather
+        acc = acc + jnp.where(in_tile, vals[:, j:j + 1], 0.0) * g
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(t != 0)
+    def _acc():
+        out_ref[:] += acc
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_rows", "vocab_tile", "interpret")
+    jax.jit, static_argnames=("block_rows", "interpret")
 )
 def vmem_tiled_dots(qt, cols_ell, vals_ell, block_rows: int,
-                    vocab_tile: int, interpret: bool = False):
+                    interpret: bool = False):
     """dots[n, q] via the vocab-tiled VMEM-gather kernel. qt: [dim_pad, Q]
-    (dim_pad a multiple of vocab_tile); cols/vals: [n_pad, R]."""
+    (dim_pad a multiple of block_rows — the vocab tile is tied to the row
+    block so gathers stay same-shape); cols/vals: [n_pad, R]."""
     n_pad, R = cols_ell.shape
     dim_pad, Q = qt.shape
-    grid = (n_pad // block_rows, dim_pad // vocab_tile)
+    T = block_rows
+    assert dim_pad % T == 0 and n_pad % block_rows == 0
+    grid = (n_pad // block_rows, dim_pad // T)
     return pl.pallas_call(
-        functools.partial(_kernel, T=vocab_tile, R=R),
+        functools.partial(_kernel, T=T, R=R),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((vocab_tile, Q), lambda b, t: (t, 0)),
+            pl.BlockSpec((T, Q), lambda b, t: (t, 0)),
             pl.BlockSpec((block_rows, R), lambda b, t: (b, 0)),
             pl.BlockSpec((block_rows, R), lambda b, t: (b, 0)),
         ],
@@ -85,12 +113,11 @@ def main():
     rng = np.random.default_rng(12)
     n = 1_000_000 if not interpret else 20_000
     d, R, Q = 30_522, 48, 256
-    T = 2048
-    dim_pad = -(-d // T) * T
-    B = 1024
+    B = 2048  # row block == vocab tile (15 tiles over the padded vocab)
+    dim_pad = -(-d // B) * B
     n_pad = -(-n // B) * B
-    print(f"n={n} d={d} R={R} Q={Q} T={T} interpret={interpret}",
-          file=sys.stderr)
+    print(f"n={n} d={d} R={R} Q={Q} B=T={B} tiles={dim_pad//B} "
+          f"interpret={interpret}", file=sys.stderr)
 
     cols = rng.integers(0, d, (n, R)).astype(np.int32)
     vals = np.abs(rng.standard_normal((n, R))).astype(np.float32)
@@ -115,7 +142,7 @@ def main():
 
     # correctness on the subset
     sub = vmem_tiled_dots(
-        jax.device_put(qt_h), ce, ve, B, T, interpret=interpret
+        jax.device_put(qt_h), ce, ve, B, interpret=interpret
     )
     got = np.asarray(sub[:nc, :4]).T  # [4, nc]
     oracle = np.zeros((4, nc))
@@ -130,16 +157,24 @@ def main():
         print("interpret mode: correctness only", file=sys.stderr)
         return
 
-    # pipelined timing (same methodology as suite.py)
+    # single-launch cliff check, then pipelined timing (suite methodology)
     qts = [jax.device_put(mkq()[1]) for _ in range(8)]
     jax.block_until_ready(qts)
-    _ = np.asarray(vmem_tiled_dots(qts[0], ce, ve, B, T)[0, 0])  # warm
+    _ = np.asarray(vmem_tiled_dots(qts[0], ce, ve, B)[0, 0])  # warm
     t0 = time.perf_counter()
-    outs = [vmem_tiled_dots(qq, ce, ve, B, T) for qq in qts]
+    _ = np.asarray(vmem_tiled_dots(qts[1], ce, ve, B)[0, 0])
+    single = time.perf_counter() - t0
+    print(f"single-launch {single*1e3:.1f} ms", file=sys.stderr)
+    if single > 2.0:
+        print(f"CLIFF ({single:.2f}s) — skipping pipelined run",
+              file=sys.stderr)
+        return
+    t0 = time.perf_counter()
+    outs = [vmem_tiled_dots(qq, ce, ve, B) for qq in qts]
     _ = np.asarray(outs[-1][0, 0])
     dt = (time.perf_counter() - t0) / len(qts)
     print(f"dots-only: {dt*1e3:.1f} ms/batch -> {Q/dt:.0f} QPS-equivalent "
-          "(ELL baseline incl. top-k: 1146)", file=sys.stderr)
+          "(ELL baseline incl. top-k: 1146 QPS / 223 ms)", file=sys.stderr)
 
 
 if __name__ == "__main__":
