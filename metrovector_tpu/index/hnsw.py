@@ -236,12 +236,15 @@ class HNSWIndex:
 
     **Choosing m** (measured, ``benchmarks/RESULTS.md`` §HNSW): on
     *clustered* (real-embedding-like) corpora ``m=16`` reaches recall@10
-    0.88–0.96 at 1M nodes (ef 16–256). On *structureless* iid corpora the
-    graph needs more connectivity: ``m=16`` tops out at recall ~0.60 even
-    at ef=256, while ``m=32`` measured 0.98 (at 100k; expect the same
-    direction at 1M) — at roughly 2× build cost and 2× graph bytes. If
-    recall plateaus as you raise ``ef``, raise ``m`` (rebuild required),
-    not ``ef``."""
+    0.88–0.96 at 1M nodes (ef 16–256). On *structureless* iid corpora
+    the graph needs more connectivity: ``m=16`` tops out at recall ~0.60
+    even at ef=256; ``m=32, ef_c=200`` measured 0.98 at 100k but only
+    **0.86 at 1M** (ef=256, ~7× build cost) — iid recall degrades with
+    scale at any m measured. If recall plateaus as you raise ``ef``,
+    raise ``m`` (rebuild required); and if your corpus is truly
+    structureless at 1M+, prefer the exact brute-force engine — a 1M
+    fused scan is ~4 ms on-chip at recall 1.0, faster than a weak graph
+    walked at ef=256."""
 
     rows: np.ndarray
     norms: np.ndarray
