@@ -3,6 +3,7 @@
   sim10k    similarity_search example scale: 10k x 128 f32, L2 top-10
   sift1m    SIFT1M-scale: 1M x 128 f32, L2 exact top-100
   sift1m-u8 SIFT1M as uint8 codes (offset-int8 MXU path), L2 top-10
+  sift1m-pq4  4-bit plain PQ (m=32/ksub=16, same 16 B/row) + re-rank
   gist1m    GIST1M-scale: 1M x 960 f32, cosine top-10 (wide-dim tiling)
   deep10m   DEEP10M-scale: 10M x 96 int8, quantized dot top-10
   deep100m-pq  100M x 96 PQ-coded corpus on one chip (1.2 GB codes)
@@ -553,6 +554,65 @@ def bench_sift1m_pq(interpret):
             recall, "bf16 LUT-matmul ADC + f32 exact re-rank, 16 B/row codes")
 
 
+def bench_sift1m_pq4(interpret):
+    """4-bit plain PQ: m=32/ksub=16 — the SAME 16 B/row as the classic
+    m=16/ksub=256 config, but a 16× smaller one-hot and 8× fewer ADC
+    MACs (the r3 IVF-PQ lesson applied to plain PQ serving). Measured
+    at rerank 100 and at the recall-1.0 operating point (rerank 400,
+    per ``IVFPQIndex.recommended_rerank``-style guidance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metrovector_tpu.format.constants import DistanceMetric
+    from metrovector_tpu.index.pq import PQIndex, _rerank
+    from metrovector_tpu.ops.adc_kernel import fused_adc_topk
+
+    rng = np.random.default_rng(6)
+    n, d, k = (1_000_000 if not interpret else 10_000), 128, 10
+    qb = 256 if not interpret else 64
+    ksub = 16
+    db = _clustered_u8_corpus(rng, n, d)
+    log(f"training PQ m=32 ksub={ksub} (pack4) ...")
+    idx = PQIndex.build(
+        db, DistanceMetric.L2, m=32, ksub=ksub,
+        iters=4 if not interpret else 2, keep_vectors=True, pack4=True,
+    )
+    books = jnp.asarray(idx.codebooks)
+    nvalid = jnp.int32(n)
+
+    def runner(rr):
+        def run(q):
+            _, cand = fused_adc_topk(
+                q, idx.codes, books, idx.recon_norms, nvalid, rr,
+                DistanceMetric.L2, exact_lut=False,
+                int8_lut=not interpret, packed4=True,
+                interpret=interpret,
+            )
+            return _rerank(q, idx.db, idx.db_norms, cand, k,
+                           DistanceMetric.L2)
+        return run
+
+    def mkq(nq):
+        base = db[rng.integers(0, n, nq)]
+        return np.clip(base + rng.normal(0, 8, base.shape), 0, 255).astype(np.float32)
+
+    qc = mkq(8)
+    d2 = (db.astype(np.float64) ** 2).sum(1)[None] - 2 * (
+        qc.astype(np.float64) @ db.T.astype(np.float64)
+    )
+    oi = np.argsort(d2, 1, kind="stable")[:, :k]
+    for rr in (100, 400):
+        run = runner(rr)
+        got = np.asarray(run(jax.device_put(qc))[1])
+        recall = _recall(got, oi, k)
+        dt = _measure(run, lambda: mkq(qb), iters=5 if interpret else 20)
+        _report(
+            f"sift1m-pq4(n={n},m=32,ksub=16,rerank={rr},k=10,{qb}q)",
+            qb / dt, dt * 1e3, recall,
+            "4-bit nibble-packed ADC + f32 exact re-rank, 16 B/row codes",
+        )
+
+
 def bench_sift1m_ivfpq(interpret):
     """IVF-PQ, both probing formulations.
 
@@ -975,6 +1035,7 @@ CONFIGS = {
     "sift1m": bench_sift1m,
     "sift1m-u8": bench_sift1m_u8,
     "sift1m-pq": bench_sift1m_pq,
+    "sift1m-pq4": bench_sift1m_pq4,
     "sift1m-ivfpq": bench_sift1m_ivfpq,
     "sift1m-ivfpq4": bench_sift1m_ivfpq4,
     "deep100m-pq": bench_deep100m_pq,
