@@ -30,6 +30,7 @@ from .format.constants import DataType, DistanceMetric, numpy_dtype
 from .format.reader import Reader
 from .ops.distances import distances_np, exact_topk_xla
 from .ops.topk_kernel import fused_topk
+from .utils.transfer import put_chunked
 from .vectors.space import VectorSpace
 
 
@@ -290,7 +291,9 @@ class DeviceSpace:
             )
             block = shifted.astype(np.int8)
         return cls(
-            data=put(block),
+            # bounded-size upload: a single multi-GB device_put is fragile
+            # on relayed transports and spikes pinned host memory
+            data=put_chunked(block, device),
             norms=put(norms),
             num_valid=space.num_vectors,
             dim=space.dim,

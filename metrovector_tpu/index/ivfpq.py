@@ -38,6 +38,7 @@ import numpy as np
 
 from ..format.constants import DistanceMetric
 from ..ops.distances import distances_np
+from ..utils.transfer import put_chunked
 from .ivf import train_kmeans
 from .pq import _rerank, encode_pq, reconstruct_pq, train_pq
 
@@ -324,7 +325,7 @@ class IVFPQIndex:
 
         db = db_norms = None
         if keep_vectors:
-            db = jax.device_put(vectors)
+            db = put_chunked(vectors)
             db_norms = jax.device_put(
                 np.einsum(
                     "ij,ij->i",
@@ -337,7 +338,7 @@ class IVFPQIndex:
             probe_centroids=jax.device_put(centroids[cells]),
             cells=cells,
             codebooks=codebooks,
-            buckets=jax.device_put(bcodes),
+            buckets=put_chunked(bcodes),
             bucket_ids=jax.device_put(ids),
             bucket_norms=jax.device_put(bnorms),
             fill=np.asarray([len(r) for r in row_lists]),
@@ -346,7 +347,7 @@ class IVFPQIndex:
             num_vectors=n,
             db=db,
             db_norms=db_norms,
-            codes_row=jax.device_put(np.asarray(codes, np.uint8)),
+            codes_row=put_chunked(np.asarray(codes, np.uint8)),
             rnorms_row=jax.device_put(recon_norms),
             row_bucket=jax.device_put(b_of_row),
             row_valid=jax.device_put((b_of_row >= 0).astype(np.float32)),

@@ -49,6 +49,7 @@ import numpy as np
 
 from ..format.constants import DistanceMetric
 from ..ops.distances import distances_np
+from ..utils.transfer import put_chunked
 from .ivf import train_kmeans
 
 # Plain Python float: a module-level jnp scalar would initialize the
@@ -402,7 +403,7 @@ class PQIndex:
         recon_norms = np.ascontiguousarray(recon_norms, dtype=np.float32)
         db = db_norms = None
         if keep_vectors:
-            db = jax.device_put(vectors)
+            db = put_chunked(vectors)
             db_norms = jax.device_put(
                 np.einsum(
                     "ij,ij->i",
@@ -419,7 +420,7 @@ class PQIndex:
             ids = np.ascontiguousarray(ids, dtype=np.uint64).reshape(-1)
         return cls(
             codebooks=codebooks,
-            codes=jax.device_put(np.asarray(codes, np.uint8)),
+            codes=put_chunked(np.asarray(codes, np.uint8)),
             recon_norms=jax.device_put(recon_norms),
             metric=DistanceMetric(metric),
             dim=d,
@@ -460,7 +461,7 @@ class PQIndex:
                 valid = jax.device_put((~mask).astype(np.int32))
             return cls(
                 codebooks=np.ascontiguousarray(codebooks, np.float32),
-                codes=jax.device_put(np.ascontiguousarray(codes, np.uint8)),
+                codes=put_chunked(np.ascontiguousarray(codes, np.uint8)),
                 recon_norms=jax.device_put(
                     np.ascontiguousarray(stored_rnorms, np.float32)
                 ),

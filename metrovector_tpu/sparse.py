@@ -42,6 +42,7 @@ import numpy as np
 from .errors import DimensionMismatchError, InvalidVectorTypeError
 from .format.constants import DistanceMetric, VectorType
 from .ops.distances import distances_np
+from .utils.transfer import put_chunked
 
 # Plain Python float: a module-level jnp scalar would initialize the
 # XLA backend at import time, breaking jax.distributed.initialize
@@ -285,8 +286,8 @@ class SparseSearchEngine:
                 )
             )
             self._ovf_vals = put(np.pad(vals[ovf] if nnz else vals, (0, opad)))
-            self._cols_ell = put(cols_ell)
-            self._vals_ell = put(vals_ell)
+            self._cols_ell = put_chunked(cols_ell, device)
+            self._vals_ell = put_chunked(vals_ell, device)
             self.r_cap = r_cap
             nrm = np.zeros(n_pad, np.float32)
             nrm[:n] = np.asarray(space.norms()[:n], np.float32)
