@@ -17,6 +17,9 @@ import tempfile
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import metrovector_tpu as mvt
 from metrovector_tpu.index import IVFPQIndex, PQIndex, encode_pq, train_pq
 from metrovector_tpu.ops import numpy_oracle

@@ -12,6 +12,9 @@ import tempfile
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import metrovector_tpu as mvt
 
 
