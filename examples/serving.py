@@ -12,6 +12,9 @@ scans); this demonstrates how the engines compose in a service:
    exact re-ranking.
 4. **Latency path** — host-side HNSW for single queries with no device
    round-trip.
+5. **Request coalescing** — ``MicroBatcher`` turns concurrent
+   single-query callers into shared batched launches on a fixed shape
+   ladder (futures per request, bit-identical results).
 
 Run:  python examples/serving.py
 """
@@ -82,6 +85,33 @@ def main():
         hnsw.search(q1, k=10, ef=64)
     print(f"hnsw single-query p50: {(time.perf_counter() - t0) / 20 * 1e3:.2f} ms "
           "(no device round-trip)")
+
+    # 5. request coalescing: concurrent single-query callers share batched
+    #    kernel launches (MicroBatcher pads onto a fixed bucket ladder so
+    #    the device sees O(log max_batch) query shapes)
+    import threading
+
+    with mvt.MicroBatcher(eng, k=10, max_batch=64, max_wait_ms=3.0) as mb:
+        qs = rng.standard_normal((80, d)).astype(np.float32)
+        futs = [None] * len(qs)
+
+        def client(lo, hi):
+            for i in range(lo, hi):
+                futs[i] = mb.submit(qs[i])
+
+        threads = [
+            threading.Thread(target=client, args=(j * 20, (j + 1) * 20))
+            for j in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for f in futs:
+            f.result(120)
+    s = mb.stats()
+    print(f"microbatcher: {s.requests} requests in {s.batches} launches "
+          f"(occupancy {s.occupancy:.0%}, p50 {s.p50_ms:.1f} ms)")
 
 
 if __name__ == "__main__":

@@ -45,7 +45,7 @@ from .vectors import (
     VectorSpace,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
 
 _LAZY = {
     "Database": ".database",
@@ -64,6 +64,8 @@ _LAZY = {
     "train_kmeans": ".index",
     "train_pq": ".index",
     "encode_pq": ".index",
+    "MicroBatcher": ".serving",
+    "BatcherStats": ".serving",
     "StreamingSearcher": ".parallel",
     "ShardedDeviceSpace": ".parallel",
     "DistributedSearcher": ".parallel",
@@ -95,6 +97,8 @@ __all__ = [
     "IVFIndex",
     "IVFPQIndex",
     "IndexKind",
+    "MicroBatcher",
+    "BatcherStats",
     "MvtError",
     "PQIndex",
     "PreparedFilter",

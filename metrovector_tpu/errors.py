@@ -120,3 +120,9 @@ class HBMBudgetExceededError(MvtError, MemoryError):
             f"database budget is {budget} bytes; raise hbm_budget or "
             "serve this space via StreamingSearcher/PQ",
         )
+
+
+class BatcherClosedError(MvtError, RuntimeError):
+    """``MicroBatcher.submit`` after ``close()`` — the serving front-end
+    no longer accepts requests. No reference analog (the reference ships
+    no serving layer)."""

@@ -1,0 +1,330 @@
+"""Micro-batching serving front-end: many concurrent single-query callers,
+one TPU-efficient batched kernel launch.
+
+The exact-search kernels reach their throughput on *batched* queries (the
+MXU wants ``[Q, dim] @ [dim, N]`` with large Q — see ``bench.py``: batch 256
+is ~10× the QPS of batch 32 per query), but a service receives requests one
+at a time on many threads. :class:`MicroBatcher` bridges the two shapes:
+
+* callers :meth:`~MicroBatcher.submit` individual queries (or small query
+  groups) from any thread and receive a ``concurrent.futures.Future``;
+* a single worker thread drains the queue, coalescing requests until either
+  ``max_batch`` query rows are gathered or ``max_wait_ms`` has elapsed since
+  the oldest queued request — the standard latency/throughput knob pair;
+* the coalesced rows are padded up to a fixed **bucket ladder** of batch
+  sizes (powers of two by default) so the device sees only ``O(log
+  max_batch)`` distinct query shapes and every request after warmup hits a
+  cached executable — an XLA-specific requirement with no analog in the
+  reference's eager scan (each novel shape is a fresh trace+compile, which
+  behind this environment's remote-compile tunnel costs seconds);
+* each caller's future resolves to a :class:`~.engine.SearchResult` holding
+  exactly its own rows, bit-identical to a direct
+  :meth:`~.engine.SearchEngine.search` call with the same arguments.
+
+Exactness is unchanged — batching composes queries, never corpus rows, and
+the kernels are deterministic per query row. A per-request ``k`` below the
+batcher's ``k`` is served by prefix-slicing (exact top-k is
+prefix-consistent: the best ``k'<k`` of a query are the first ``k'`` of its
+best ``k``).
+
+Reference analog: none — the reference ships no serving layer (its
+examples end at an in-process scan loop, ``examples/similarity_search.rs:
+140-176``); this is part of the TPU-native application layer (SURVEY.md §5
+"serving shapes").
+
+Example::
+
+    eng = SearchEngine.open("corpus.mvt")
+    with MicroBatcher(eng, k=10, max_batch=256, max_wait_ms=2.0) as mb:
+        fut = mb.submit(query_vec)          # from any thread
+        res = fut.result()                  # SearchResult, 1 row
+        res2 = mb.search(other_vec)         # submit + wait convenience
+    print(mb.stats())
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Sequence
+
+import numpy as np
+
+from .errors import BatcherClosedError, DimensionMismatchError
+
+__all__ = ["MicroBatcher", "BatcherStats"]
+
+
+@dataclasses.dataclass
+class BatcherStats:
+    """Counters accumulated over a :class:`MicroBatcher`'s lifetime.
+
+    ``occupancy`` is real query rows / padded kernel rows — how much of the
+    device work served actual requests (1.0 = every kernel row was a real
+    query). ``p50_ms``/``p99_ms`` are request latencies from ``submit`` to
+    future resolution over a bounded sample of recent requests.
+    """
+
+    requests: int = 0
+    rows: int = 0
+    batches: int = 0
+    padded_rows: int = 0
+    p50_ms: float = 0.0
+    p99_ms: float = 0.0
+
+    @property
+    def occupancy(self) -> float:
+        return self.rows / self.padded_rows if self.padded_rows else 0.0
+
+
+@dataclasses.dataclass
+class _Request:
+    rows: np.ndarray  # [m, dim] float-like, validated
+    k: int
+    single: bool  # caller passed a bare [dim] vector; keep [1, k] shape
+    future: Future
+    t_submit: float
+
+
+_LAT_SAMPLE_CAP = 8192
+
+
+class MicroBatcher:
+    """Thread-safe micro-batching wrapper around a search engine.
+
+    Parameters
+    ----------
+    engine:
+        A :class:`~.engine.SearchEngine` (or any object with a compatible
+        ``search(queries, k, filter_mask=...)`` returning an object with
+        ``indices/scores/distances/metric/ids`` arrays, and a ``space.dim``
+        attribute). The engine is used from the single worker thread only,
+        so a plain engine needs no extra locking.
+    k:
+        Top-k depth of the batched kernel launches. Per-request ``k`` may
+        be anything ``<= k`` (served by prefix slicing); requests needing a
+        deeper k than the batcher's must use a separate batcher (k is part
+        of the compiled kernel shape).
+    max_batch:
+        Coalescing cap in query rows; also the top rung of the bucket
+        ladder. Align with the engine's measured sweet spot (256 on the
+        resident f32 path, ``benchmarks/RESULTS.md``).
+    max_wait_ms:
+        Maximum time the worker waits for more requests after the first
+        queued one — the direct p50-latency/throughput trade. 0 disables
+        coalescing-by-time (each drain takes whatever is already queued).
+    filter_mask:
+        Optional shared ``[num_vectors]`` row predicate applied to every
+        request (e.g. a tenant filter); prepared once on-device via
+        ``engine.prepare_filter`` when the engine supports it. Per-request
+        masks are deliberately unsupported — they would defeat coalescing;
+        run distinct predicates through distinct batchers or prepared
+        filters on direct ``search`` calls.
+    buckets:
+        Ascending batch-size ladder to pad drained batches onto. Default:
+        powers of two from 1 to ``max_batch``. Batches larger than the top
+        rung (a single multi-row request may exceed ``max_batch``) run
+        unpadded at their natural size.
+    max_queue:
+        Bound on queued requests; ``submit`` blocks when full
+        (backpressure) rather than growing without limit.
+    """
+
+    def __init__(
+        self,
+        engine: Any,
+        k: int = 10,
+        max_batch: int = 256,
+        max_wait_ms: float = 2.0,
+        filter_mask=None,
+        buckets: Sequence[int] | None = None,
+        max_queue: int = 8192,
+    ):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.engine = engine
+        self.k = int(k)
+        self.max_batch = int(max_batch)
+        self.max_wait_s = max(0.0, float(max_wait_ms)) / 1e3
+        if buckets is None:
+            buckets = []
+            b = 1
+            while b < max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(max_batch)
+        self.buckets = sorted(set(int(b) for b in buckets))
+        if self.buckets[0] < 1:
+            raise ValueError("bucket sizes must be >= 1")
+        self._filter = None
+        if filter_mask is not None:
+            prep = getattr(engine, "prepare_filter", None)
+            self._filter = prep(filter_mask) if prep else filter_mask
+        self._dim = int(engine.space.dim)
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._closed = False
+        self._lock = threading.Lock()
+        self._stats = BatcherStats()
+        self._lat_ms: list[float] = []
+        self._worker = threading.Thread(
+            target=self._run, name="mvt-microbatcher", daemon=True
+        )
+        self._worker.start()
+
+    # -- client surface ---------------------------------------------------
+
+    def submit(self, query, k: int | None = None) -> Future:
+        """Enqueue one query (``[dim]``) or query group (``[m, dim]``);
+        returns a future resolving to that request's own
+        :class:`~.engine.SearchResult` (``[1, k]`` rows for a bare vector).
+        Shape errors raise here, immediately — a malformed request never
+        reaches the worker, so it cannot fail other callers' batch."""
+        if self._closed:
+            raise BatcherClosedError("submit() after close()")
+        kk = self.k if k is None else int(k)
+        if not (1 <= kk <= self.k):
+            raise ValueError(
+                f"per-request k must be in [1, {self.k}] (the batcher's "
+                f"compiled depth), got {kk}"
+            )
+        q = np.asarray(query)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+        if q.ndim != 2 or q.shape[1] != self._dim:
+            raise DimensionMismatchError(
+                expected=self._dim,
+                actual=q.shape[-1] if q.ndim else 0,
+            )
+        if q.shape[0] == 0:
+            raise ValueError("empty query group")
+        fut: Future = Future()
+        req = _Request(q, kk, single, fut, time.monotonic())
+        self._q.put(req)  # blocks when full: backpressure
+        with self._lock:
+            self._stats.requests += 1
+            self._stats.rows += q.shape[0]
+        return fut
+
+    def search(self, query, k: int | None = None, timeout: float | None = None):
+        """Blocking convenience: :meth:`submit` then ``future.result()``."""
+        return self.submit(query, k).result(timeout)
+
+    def stats(self) -> BatcherStats:
+        """Snapshot of lifetime counters (including latency percentiles
+        over a bounded recent sample)."""
+        with self._lock:
+            s = dataclasses.replace(self._stats)
+            lat = sorted(self._lat_ms)
+        if lat:
+            s.p50_ms = lat[len(lat) // 2]
+            s.p99_ms = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+        return s
+
+    def close(self, timeout: float | None = None) -> None:
+        """Stop accepting requests, flush everything already queued, and
+        join the worker. Idempotent. Pending futures all resolve."""
+        with self._lock:
+            if self._closed:
+                already = True
+            else:
+                self._closed = True
+                already = False
+        if not already:
+            self._q.put(None)  # sentinel
+        self._worker.join(timeout)
+
+    def __enter__(self) -> "MicroBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- worker -----------------------------------------------------------
+
+    def _bucket(self, rows: int) -> int:
+        for b in self.buckets:
+            if rows <= b:
+                return b
+        return rows  # oversized single request: run at natural size
+
+    def _run(self) -> None:
+        carry: _Request | None = None  # popped but didn't fit the last batch
+        while True:
+            if carry is not None:
+                req, carry = carry, None
+            else:
+                req = self._q.get()
+                if req is None:
+                    return
+            batch = [req]
+            rows = req.rows.shape[0]
+            deadline = time.monotonic() + self.max_wait_s
+            stop = False
+            while rows < self.max_batch:
+                remaining = deadline - time.monotonic()
+                try:
+                    nxt = self._q.get(
+                        timeout=remaining if remaining > 0 else 0
+                    )
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                if rows + nxt.rows.shape[0] > self.max_batch:
+                    # would overshoot the top ladder rung — defer to the
+                    # next batch so launched shapes stay on the ladder
+                    carry = nxt
+                    break
+                batch.append(nxt)
+                rows += nxt.rows.shape[0]
+            self._execute(batch, rows)
+            if stop:
+                if carry is not None:
+                    self._execute([carry], carry.rows.shape[0])
+                return
+
+    def _execute(self, batch: list[_Request], rows: int) -> None:
+        try:
+            padded = self._bucket(rows)
+            q = np.concatenate([r.rows for r in batch], axis=0)
+            if padded > rows:
+                q = np.concatenate(
+                    [q, np.zeros((padded - rows, q.shape[1]), q.dtype)], axis=0
+                )
+            res = self.engine.search(q, k=self.k, filter_mask=self._filter)
+        except BaseException as e:  # noqa: BLE001 — delivered to callers
+            for r in batch:
+                if not r.future.cancelled():
+                    r.future.set_exception(e)
+            return
+        now = time.monotonic()
+        cls = type(res)
+        off = 0
+        lat: list[float] = []
+        for r in batch:
+            m = r.rows.shape[0]
+            sl = slice(off, off + m)
+            off += m
+            out = cls(
+                indices=res.indices[sl, : r.k],
+                scores=res.scores[sl, : r.k],
+                distances=res.distances[sl, : r.k],
+                metric=res.metric,
+                ids=None if res.ids is None else res.ids[sl, : r.k],
+            )
+            lat.append((now - r.t_submit) * 1e3)
+            if not r.future.cancelled():
+                r.future.set_result(out)
+        with self._lock:
+            self._stats.batches += 1
+            self._stats.padded_rows += padded
+            self._lat_ms.extend(lat)
+            if len(self._lat_ms) > _LAT_SAMPLE_CAP:
+                del self._lat_ms[: len(self._lat_ms) - _LAT_SAMPLE_CAP]
