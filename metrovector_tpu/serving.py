@@ -131,6 +131,20 @@ class MicroBatcher:
     max_queue:
         Bound on queued requests; ``submit`` blocks when full
         (backpressure) rather than growing without limit.
+    pipeline:
+        Opt-in: keep **one batch in flight** — a dedicated finalizer
+        thread reads back batch ``i``'s results while the worker drains,
+        uploads and launches batch ``i+1``, so the coalescing window and
+        the host→device upload ride the device→host readback instead of
+        following it (the serving analog of
+        ``SearchEngine.search_pipelined``). Only worthwhile on transports
+        where a readback and an upload genuinely proceed concurrently:
+        measured through this dev environment's serializing relay it
+        LOST 2.5× (``benchmarks/serving_bench.py`` — the finalizer's
+        blocking readback stalls the worker's uploads), and on a local
+        TPU host readback is sub-ms so there is little to hide. Default
+        off. Requires an engine with the ``_launch``/``_finalize`` split
+        (``SearchEngine`` has it).
     """
 
     def __init__(
@@ -142,6 +156,7 @@ class MicroBatcher:
         filter_mask=None,
         buckets: Sequence[int] | None = None,
         max_queue: int = 8192,
+        pipeline: bool = False,
     ):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -165,6 +180,13 @@ class MicroBatcher:
         if filter_mask is not None:
             prep = getattr(engine, "prepare_filter", None)
             self._filter = prep(filter_mask) if prep else filter_mask
+        splittable = hasattr(engine, "_launch") and hasattr(engine, "_finalize")
+        if pipeline and not splittable:
+            raise ValueError(
+                "pipeline=True needs an engine with the _launch/_finalize "
+                "split (SearchEngine has it)"
+            )
+        self.pipeline = bool(pipeline)
         self._dim = int(engine.space.dim)
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._closed = False
@@ -255,55 +277,124 @@ class MicroBatcher:
 
     def _run(self) -> None:
         carry: _Request | None = None  # popped but didn't fit the last batch
-        while True:
-            if carry is not None:
-                req, carry = carry, None
-            else:
-                req = self._q.get()
-                if req is None:
-                    return
-            batch = [req]
-            rows = req.rows.shape[0]
-            deadline = time.monotonic() + self.max_wait_s
-            stop = False
-            while rows < self.max_batch:
-                remaining = deadline - time.monotonic()
-                try:
-                    nxt = self._q.get(
-                        timeout=remaining if remaining > 0 else 0
-                    )
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    stop = True
-                    break
-                if rows + nxt.rows.shape[0] > self.max_batch:
-                    # would overshoot the top ladder rung — defer to the
-                    # next batch so launched shapes stay on the ladder
-                    carry = nxt
-                    break
-                batch.append(nxt)
-                rows += nxt.rows.shape[0]
-            self._execute(batch, rows)
-            if stop:
+        # pipelined mode: a dedicated finalizer thread reads back batch i
+        # while this thread drains + uploads + launches batch i+1 — the
+        # assembly window rides the readback instead of following it. The
+        # depth-1 queue bounds the pipeline to one batch in flight.
+        fq: queue.Queue | None = None
+        finalizer: threading.Thread | None = None
+        if self.pipeline:
+            fq = queue.Queue(maxsize=1)
+            finalizer = threading.Thread(
+                target=self._finalize_loop, args=(fq,),
+                name="mvt-microbatcher-finalize", daemon=True,
+            )
+            finalizer.start()
+        try:
+            while True:
                 if carry is not None:
-                    self._execute([carry], carry.rows.shape[0])
+                    req, carry = carry, None
+                else:
+                    req = self._q.get()
+                    if req is None:
+                        return
+                batch = [req]
+                rows = req.rows.shape[0]
+                deadline = time.monotonic() + self.max_wait_s
+                stop = False
+                while rows < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    try:
+                        nxt = self._q.get(
+                            timeout=remaining if remaining > 0 else 0
+                        )
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        stop = True
+                        break
+                    if rows + nxt.rows.shape[0] > self.max_batch:
+                        # would overshoot the top ladder rung — defer to the
+                        # next batch so launched shapes stay on the ladder
+                        carry = nxt
+                        break
+                    batch.append(nxt)
+                    rows += nxt.rows.shape[0]
+                if fq is not None:
+                    inflight = self._launch(batch, rows)
+                    if inflight is not None:
+                        fq.put(inflight)  # depth 1: blocks while i-1 reads back
+                else:
+                    self._execute(batch, rows)
+                if stop:
+                    if carry is not None:
+                        if fq is not None:
+                            inflight = self._launch([carry], carry.rows.shape[0])
+                            if inflight is not None:
+                                fq.put(inflight)
+                        else:
+                            self._execute([carry], carry.rows.shape[0])
+                    return
+        finally:
+            if fq is not None:
+                fq.put(None)
+                finalizer.join()
+
+    def _finalize_loop(self, fq: queue.Queue) -> None:
+        while True:
+            item = fq.get()
+            if item is None:
                 return
+            self._finish(item)
+
+    def _assemble(self, batch: list[_Request], rows: int):
+        padded = self._bucket(rows)
+        q = np.concatenate([r.rows for r in batch], axis=0)
+        if padded > rows:
+            q = np.concatenate(
+                [q, np.zeros((padded - rows, q.shape[1]), q.dtype)], axis=0
+            )
+        return q, padded
+
+    def _fail(self, batch: list[_Request], e: BaseException) -> None:
+        for r in batch:
+            if not r.future.cancelled():
+                r.future.set_exception(e)
+
+    def _launch(self, batch: list[_Request], rows: int):
+        """Pipelined mode: upload + launch without forcing a readback;
+        returns the in-flight tuple (or None if the launch failed)."""
+        try:
+            q, padded = self._assemble(batch, rows)
+            pending = self.engine._launch(q, self.k, self._filter)
+            return (batch, pending, padded)
+        except BaseException as e:  # noqa: BLE001 — delivered to callers
+            self._fail(batch, e)
+            return None
+
+    def _finish(self, inflight) -> None:
+        """Finalize an in-flight launch and resolve its futures."""
+        if inflight is None:
+            return None
+        batch, pending, padded = inflight
+        try:
+            res = self.engine._finalize(pending, self.k)
+        except BaseException as e:  # noqa: BLE001 — delivered to callers
+            self._fail(batch, e)
+            return None
+        self._deliver(batch, res, padded)
+        return None
 
     def _execute(self, batch: list[_Request], rows: int) -> None:
         try:
-            padded = self._bucket(rows)
-            q = np.concatenate([r.rows for r in batch], axis=0)
-            if padded > rows:
-                q = np.concatenate(
-                    [q, np.zeros((padded - rows, q.shape[1]), q.dtype)], axis=0
-                )
+            q, padded = self._assemble(batch, rows)
             res = self.engine.search(q, k=self.k, filter_mask=self._filter)
         except BaseException as e:  # noqa: BLE001 — delivered to callers
-            for r in batch:
-                if not r.future.cancelled():
-                    r.future.set_exception(e)
+            self._fail(batch, e)
             return
+        self._deliver(batch, res, padded)
+
+    def _deliver(self, batch: list[_Request], res, padded: int) -> None:
         now = time.monotonic()
         cls = type(res)
         off = 0

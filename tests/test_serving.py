@@ -151,7 +151,11 @@ def test_bucket_ladder_bounds_compiled_shapes():
 
     eng.search = spy
     try:
-        with MicroBatcher(eng, k=3, max_batch=8, max_wait_ms=25.0) as mb:
+        # pipeline=False: the spy wraps .search, which pipelined mode's
+        # _launch/_finalize split bypasses
+        with MicroBatcher(
+            eng, k=3, max_batch=8, max_wait_ms=25.0, pipeline=False
+        ) as mb:
             futs = [
                 mb.submit(
                     rng.standard_normal((m, data.shape[1])).astype(np.float32)
@@ -192,7 +196,9 @@ def test_engine_error_propagates_to_all_batch_futures():
 
     eng.search = flaky
     try:
-        with MicroBatcher(eng, k=4, max_batch=8, max_wait_ms=30.0) as mb:
+        with MicroBatcher(
+            eng, k=4, max_batch=8, max_wait_ms=30.0, pipeline=False
+        ) as mb:
             f1 = mb.submit(rng.standard_normal(data.shape[1]).astype(np.float32))
             f2 = mb.submit(rng.standard_normal(data.shape[1]).astype(np.float32))
             excs = 0
@@ -210,6 +216,60 @@ def test_engine_error_propagates_to_all_batch_futures():
             assert ok.indices.shape == (1, 4)
     finally:
         eng.search = real_search
+
+
+def test_pipelined_mode_matches_direct_and_plain():
+    """pipeline=True (one batch in flight through the engine's
+    _launch/_finalize split) returns results bit-identical to direct
+    search under sustained submission, and a lone request still resolves
+    promptly (idle finalization)."""
+    from metrovector_tpu import MicroBatcher
+
+    eng, data, rng = _make_engine()
+    queries = rng.standard_normal((40, data.shape[1])).astype(np.float32)
+    direct = eng.search(queries, k=6)
+
+    with MicroBatcher(
+        eng, k=6, max_batch=8, max_wait_ms=2.0, pipeline=True
+    ) as mb:
+        assert mb.pipeline
+        futs = [mb.submit(q) for q in queries]  # sustained: keeps 1 in flight
+        for i, f in enumerate(futs):
+            res = f.result(timeout=60)
+            assert np.array_equal(res.indices[0], direct.indices[i])
+            assert np.array_equal(res.scores[0], direct.scores[i])
+        # idle finalization: a lone request resolves without a successor
+        lone = mb.search(queries[0], timeout=10)
+        assert np.array_equal(lone.indices[0], direct.indices[0])
+    s = mb.stats()
+    assert s.requests == 41 and s.batches <= s.requests
+
+
+def test_pipeline_default_and_validation():
+    """Pipelining is opt-in (default off); pipeline=True on an engine
+    without the _launch/_finalize split raises."""
+    from metrovector_tpu import MicroBatcher
+
+    eng, data, rng = _make_engine()
+    mb = MicroBatcher(eng, k=3, max_wait_ms=0.0)
+    assert not mb.pipeline  # opt-in
+    mb.close()
+
+    class Plain:
+        space = eng.space
+
+        def search(self, queries, k=10, filter_mask=None):
+            return eng.search(queries, k=k, filter_mask=filter_mask)
+
+    plain = Plain()
+    mb2 = MicroBatcher(plain, k=3, max_wait_ms=0.0)
+    assert not mb2.pipeline  # falls back to .search
+    q = rng.standard_normal(data.shape[1]).astype(np.float32)
+    res = mb2.search(q, timeout=60)
+    assert np.array_equal(res.indices, eng.search(q[None, :], k=3).indices)
+    mb2.close()
+    with pytest.raises(ValueError):
+        MicroBatcher(plain, k=3, pipeline=True)
 
 
 def test_latency_throughput_knob():
