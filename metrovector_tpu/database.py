@@ -197,6 +197,27 @@ class Database:
             self._engines[space] = self._engines.pop(space)  # LRU touch
         return self._engines[space]
 
+    def batcher(self, space: str | None = None, k: int = 10,
+                where: tuple | list[tuple] | None = None, **kw):
+        """A :class:`~.serving.MicroBatcher` over one space's engine —
+        the request-coalescing front-end for concurrent single-query
+        callers. ``where`` predicates (same form as :meth:`search`)
+        become the batcher's shared prepared filter. Remaining keyword
+        arguments pass through to :class:`~.serving.MicroBatcher`
+        (``max_batch``, ``max_wait_ms``, ...). Caller owns the batcher's
+        lifecycle (use ``with`` or ``close()``)."""
+        from .serving import MicroBatcher
+
+        eng = self.engine(space)
+        name = space if space is not None else self.space_names[0]
+        mask = None
+        if where is not None:
+            preds = [where] if isinstance(where, tuple) else list(where)
+            for col, op, value in preds:
+                m = self.column_mask(name, col, op, value)
+                mask = m if mask is None else (mask & m)
+        return MicroBatcher(eng, k=k, filter_mask=mask, **kw)
+
     def pq_index(self, space: str, **kw):
         """Reattach (or build) the space's PQ index — persisted codebooks
         /codes/norms load without retraining (``PQIndex.from_space``)."""

@@ -272,6 +272,34 @@ def test_pipeline_default_and_validation():
         MicroBatcher(plain, k=3, pipeline=True)
 
 
+def test_database_batcher_with_where_predicate():
+    """Database.batcher wires a metadata predicate into the batcher's
+    shared filter; results match the facade's filtered search."""
+    import os
+    import tempfile
+
+    from metrovector_tpu import Builder, Database
+
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((200, 12)).astype(np.float32)
+    langs = ["en" if i % 2 == 0 else "de" for i in range(200)]
+    b = Builder()
+    b.add_vector_space("v", dim=12)
+    b.add_vectors("v", data)
+    b.add_metadata_column("v", "lang", langs)
+    path = os.path.join(tempfile.mkdtemp(), "db.mvt")
+    b.build().save(path)
+
+    db = Database.open(path, backend="xla")
+    q = rng.standard_normal((3, 12)).astype(np.float32)
+    direct = db.search("v", q, k=6, where=("lang", "==", "en"))
+    with db.batcher("v", k=6, where=("lang", "==", "en"),
+                    max_wait_ms=5.0) as mb:
+        res = mb.search(q, timeout=60)
+    assert np.array_equal(res.indices, direct.indices)
+    assert all(i % 2 == 0 for i in res.indices.ravel() if i >= 0)
+
+
 def test_latency_throughput_knob():
     """max_wait_ms=0 disables time-coalescing: sequential submits each run
     in their own batch (occupancy 1.0 at bucket 1)."""
