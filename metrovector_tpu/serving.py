@@ -82,9 +82,8 @@ class BatcherStats:
 
 @dataclasses.dataclass
 class _Request:
-    rows: np.ndarray  # [m, dim] float-like, validated
+    rows: np.ndarray  # [m, dim] float-like, validated (bare vectors → m=1)
     k: int
-    single: bool  # caller passed a bare [dim] vector; keep [1, k] shape
     future: Future
     t_submit: float
 
@@ -215,8 +214,7 @@ class MicroBatcher:
                 f"compiled depth), got {kk}"
             )
         q = np.asarray(query)
-        single = q.ndim == 1
-        if single:
+        if q.ndim == 1:
             q = q[None, :]
         if q.ndim != 2 or q.shape[1] != self._dim:
             raise DimensionMismatchError(
@@ -226,7 +224,7 @@ class MicroBatcher:
         if q.shape[0] == 0:
             raise ValueError("empty query group")
         fut: Future = Future()
-        req = _Request(q, kk, single, fut, time.monotonic())
+        req = _Request(q, kk, fut, time.monotonic())
         self._q.put(req)  # blocks when full: backpressure
         with self._lock:
             self._stats.requests += 1
