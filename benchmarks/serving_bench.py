@@ -57,7 +57,10 @@ def main() -> None:
     max_batch = int(os.environ.get("MVT_SB_MAX_BATCH", 256))
     d, k = 128, 10
     if interpret:
-        n, threads, seconds = min(n, 20_000), 8, 2.0
+        # CPU smoke: the interpreted kernel is ~10^3x slower; shrink the
+        # corpus AND the ladder (each rung is one warm search)
+        n, threads, seconds = min(n, 5_000), 8, 2.0
+        max_batch = min(max_batch, 32)
     log(f"backend={backend} n={n} threads={threads} window={seconds}s "
         f"max_batch={max_batch}")
 

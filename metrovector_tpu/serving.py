@@ -144,6 +144,11 @@ class MicroBatcher:
         TPU host readback is sub-ms so there is little to hide. Default
         off. Requires an engine with the ``_launch``/``_finalize`` split
         (``SearchEngine`` has it).
+    search_kwargs:
+        Extra keyword arguments forwarded to every ``engine.search``
+        call (plain mode only) — e.g. ``{"backend": "xla"}`` when the
+        engine is a :class:`~.parallel.ShardedDeviceSpace`, which serves
+        a mesh-sharded corpus through the same batcher.
     """
 
     def __init__(
@@ -156,6 +161,7 @@ class MicroBatcher:
         buckets: Sequence[int] | None = None,
         max_queue: int = 8192,
         pipeline: bool = False,
+        search_kwargs: dict | None = None,
     ):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -186,7 +192,11 @@ class MicroBatcher:
                 "split (SearchEngine has it)"
             )
         self.pipeline = bool(pipeline)
-        self._dim = int(engine.space.dim)
+        # SearchEngine wraps a space; mesh-level objects
+        # (ShardedDeviceSpace, StreamingSearcher facades) carry dim
+        # directly and are accepted as engines themselves
+        self._dim = int(getattr(engine, "space", engine).dim)
+        self._search_kwargs = dict(search_kwargs or {})
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._closed = False
         self._lock = threading.Lock()
@@ -386,7 +396,10 @@ class MicroBatcher:
     def _execute(self, batch: list[_Request], rows: int) -> None:
         try:
             q, padded = self._assemble(batch, rows)
-            res = self.engine.search(q, k=self.k, filter_mask=self._filter)
+            kw = dict(self._search_kwargs)
+            if self._filter is not None:
+                kw["filter_mask"] = self._filter
+            res = self.engine.search(q, k=self.k, **kw)
         except BaseException as e:  # noqa: BLE001 — delivered to callers
             self._fail(batch, e)
             return

@@ -300,6 +300,40 @@ def test_database_batcher_with_where_predicate():
     assert all(i % 2 == 0 for i in res.indices.ravel() if i >= 0)
 
 
+def test_sharded_space_serving():
+    """MicroBatcher over a mesh-sharded corpus (ShardedDeviceSpace is the
+    engine; search_kwargs routes its backend) — serving composes with the
+    distribution layer on the virtual 8-device mesh."""
+    import os
+    import tempfile
+
+    from metrovector_tpu import Builder, MicroBatcher, Reader
+    from metrovector_tpu.parallel import ShardedDeviceSpace, make_mesh
+
+    rng = np.random.default_rng(4)
+    data = rng.standard_normal((320, 24)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=24)
+    b.add_vectors("v", data)
+    path = os.path.join(tempfile.mkdtemp(), "shard.mvt")
+    b.build().save(path)
+
+    sp = Reader.open(path).vector_space("v")
+    ds = ShardedDeviceSpace(sp, make_mesh(8))
+    q = rng.standard_normal((6, 24)).astype(np.float32)
+    direct = ds.search(q, k=5, backend="xla")
+
+    with MicroBatcher(
+        ds, k=5, max_batch=8, max_wait_ms=10.0,
+        search_kwargs={"backend": "xla"},
+    ) as mb:
+        futs = [mb.submit(qi) for qi in q]
+        for i, f in enumerate(futs):
+            res = f.result(timeout=120)
+            assert np.array_equal(res.indices[0], direct.indices[i])
+            assert np.array_equal(res.distances[0], direct.distances[i])
+
+
 def test_latency_throughput_knob():
     """max_wait_ms=0 disables time-coalescing: sequential submits each run
     in their own batch (occupancy 1.0 at bucket 1)."""
