@@ -334,6 +334,36 @@ def test_sharded_space_serving():
             assert np.array_equal(res.distances[0], direct.distances[i])
 
 
+def test_streamed_corpus_serving():
+    """MicroBatcher over a StreamingSearcher (corpus larger than HBM in
+    production; here just streamed in chunks) — the third leg of the
+    serving composition matrix (resident / sharded / streamed)."""
+    import os
+    import tempfile
+
+    from metrovector_tpu import Builder, MicroBatcher, Reader, SearchEngine
+    from metrovector_tpu.parallel import StreamingSearcher
+
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal((700, 16)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=16)
+    b.add_vectors("v", data)
+    path = os.path.join(tempfile.mkdtemp(), "stream.mvt")
+    b.build().save(path)
+
+    sp = Reader.open(path).vector_space("v")
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    direct = SearchEngine(sp, backend="xla").search(q, k=5)
+
+    ss = StreamingSearcher(sp, chunk_rows=256)
+    with MicroBatcher(ss, k=5, max_batch=8, max_wait_ms=10.0) as mb:
+        futs = [mb.submit(qi) for qi in q]
+        for i, f in enumerate(futs):
+            res = f.result(timeout=120)
+            assert np.array_equal(res.indices[0], direct.indices[i])
+
+
 def test_latency_throughput_knob():
     """max_wait_ms=0 disables time-coalescing: sequential submits each run
     in their own batch (occupancy 1.0 at bucket 1)."""
