@@ -239,6 +239,14 @@ class MicroBatcher:
         with self._lock:
             self._stats.requests += 1
             self._stats.rows += q.shape[0]
+        if self._closed and not self._worker.is_alive():
+            # raced close(): the request may sit behind the shutdown
+            # sentinel where nothing will drain it — fail it rather than
+            # hang the caller (no-op if a drain already resolved it)
+            try:
+                fut.set_exception(BatcherClosedError("submit() after close()"))
+            except Exception:  # already resolved by a final drain
+                pass
         return fut
 
     def search(self, query, k: int | None = None, timeout: float | None = None):
@@ -268,6 +276,9 @@ class MicroBatcher:
         if not already:
             self._q.put(None)  # sentinel
         self._worker.join(timeout)
+        # a submit racing close() may have enqueued behind the sentinel;
+        # the worker is gone, so run the leftovers inline
+        self._drain_leftovers()
 
     def __enter__(self) -> "MicroBatcher":
         return self
@@ -347,6 +358,18 @@ class MicroBatcher:
             if fq is not None:
                 fq.put(None)
                 finalizer.join()
+            self._drain_leftovers()
+
+    def _drain_leftovers(self) -> None:
+        """Run any requests still queued after shutdown began (a submit
+        racing close() can land behind the sentinel) so no caller hangs."""
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None and not req.future.done():
+                self._execute([req], req.rows.shape[0])
 
     def _finalize_loop(self, fq: queue.Queue) -> None:
         while True:
@@ -366,8 +389,10 @@ class MicroBatcher:
 
     def _fail(self, batch: list[_Request], e: BaseException) -> None:
         for r in batch:
-            if not r.future.cancelled():
+            try:
                 r.future.set_exception(e)
+            except Exception:  # cancelled or already resolved elsewhere
+                pass
 
     def _launch(self, batch: list[_Request], rows: int):
         """Pipelined mode: upload + launch without forcing a readback;
@@ -422,8 +447,10 @@ class MicroBatcher:
                 ids=None if res.ids is None else res.ids[sl, : r.k],
             )
             lat.append((now - r.t_submit) * 1e3)
-            if not r.future.cancelled():
+            try:
                 r.future.set_result(out)
+            except Exception:  # cancelled or already resolved elsewhere
+                pass
         with self._lock:
             self._stats.batches += 1
             self._stats.padded_rows += padded

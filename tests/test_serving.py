@@ -364,6 +364,47 @@ def test_streamed_corpus_serving():
             assert np.array_equal(res.indices[0], direct.indices[i])
 
 
+def test_submit_close_race_never_hangs():
+    """Stress the submit/close race: every future handed out before or
+    during close() resolves (with a result or BatcherClosedError) — no
+    caller is left hanging behind the shutdown sentinel."""
+    from concurrent.futures import Future
+
+    from metrovector_tpu import MicroBatcher
+    from metrovector_tpu.errors import BatcherClosedError
+
+    eng, data, rng = _make_engine()
+    qs = rng.standard_normal((8, data.shape[1])).astype(np.float32)
+
+    for trial in range(5):
+        mb = MicroBatcher(eng, k=3, max_batch=4, max_wait_ms=1.0)
+        futs: list[Future] = []
+        go = threading.Event()
+
+        def spam():
+            go.wait()
+            for i in range(50):
+                try:
+                    futs.append(mb.submit(qs[i % len(qs)]))
+                except BatcherClosedError:
+                    return
+
+        ts = [threading.Thread(target=spam) for _ in range(3)]
+        for t in ts:
+            t.start()
+        go.set()
+        time.sleep(0.002 * trial)  # vary the race window
+        mb.close(timeout=120)
+        for t in ts:
+            t.join()
+        for f in futs:
+            try:
+                res = f.result(timeout=60)
+                assert res.indices.shape == (1, 3)
+            except BatcherClosedError:
+                pass  # raced the shutdown: failed, not hung
+
+
 def test_latency_throughput_knob():
     """max_wait_ms=0 disables time-coalescing: sequential submits each run
     in their own batch (occupancy 1.0 at bucket 1)."""
