@@ -14,6 +14,7 @@ Load path: the on-disk block layout equals the in-HBM tiling, so upload is
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any
 
 import jax
@@ -565,7 +566,8 @@ class SearchEngine:
 
     def __init__(self, space: VectorSpace | DeviceSpace, backend: str = "pallas",
                  device: Any | None = None, interpret: bool | None = None,
-                 precision: str = "highest"):
+                 precision: str = "highest", block_rows: int | None = None,
+                 query_tile: int | None = None, merge: str | None = None):
         if isinstance(space, VectorSpace):
             space = DeviceSpace.from_space(
                 space, device=device, precision=precision
@@ -575,6 +577,15 @@ class SearchEngine:
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.interpret = _interpret_default() if interpret is None else interpret
+        # Pallas kernel tiling/merge overrides (None = kernel auto). The
+        # measured sweet spots are dimension- and dtype-dependent — e.g.
+        # D=960 f32 wants block_rows=1024 where the D=128 default is 2048,
+        # and a wrong pair can silently cross a VMEM-spill cliff costing
+        # ~100× (benchmarks/RESULTS.md; docs/PERFORMANCE.md "tiling
+        # knobs"). Set explicitly or let :meth:`autotune` measure.
+        self.block_rows = block_rows
+        self.query_tile = query_tile
+        self.merge = merge
 
     @classmethod
     def open(cls, path, space_name: str | None = None, **kw) -> "SearchEngine":
@@ -626,6 +637,78 @@ class SearchEngine:
         return PreparedFilter(
             mask=jax.device_put(full), num_valid=sp.num_valid
         )
+
+    def autotune(self, queries=None, k: int = 10, batch: int = 128,
+                 block_rows_candidates=None, query_tile_candidates=None,
+                 iters: int = 3, apply: bool = True) -> list[dict]:
+        """Measure candidate kernel tilings with **single-launch timings**
+        (one launch, one forced readback per measurement) and optionally
+        apply the fastest to this engine.
+
+        Why single-launch: a bad (``block_rows``, ``query_tile``) pair can
+        silently cross a Mosaic VMEM-spill cliff costing ~100× — e.g.
+        D=1024 f32 at ``block_rows=1536`` or ``query_tile=256``
+        (``benchmarks/RESULTS.md``). Pipelined throughput measurements hide
+        the cliff until production; one timed launch with a host readback
+        exposes it immediately. Each candidate pays one compile, so tune
+        once per (corpus shape, dtype, k) and reuse the engine.
+
+        ``queries``: sample batch (``[batch, dim]`` drawn N(0,1) if
+        omitted). Returns all measurements sorted fastest-first as dicts
+        with ``block_rows``/``query_tile``/``ms`` (``ms`` is the best of
+        ``iters`` post-warmup timings; failed candidates get ``inf`` and
+        an ``error``). ``apply=True`` sets this engine's knobs to the
+        winner. Pallas backend only.
+
+        Behind a high-RTT transport the single-launch time includes the
+        fixed link round-trip (~50 ms in this dev environment), so
+        near-equal configs rank coarsely — but a spill cliff (the thing
+        this exists to catch) is a ~100× outlier and always shows. On a
+        local TPU host the readback is sub-ms and the ranking is sharp."""
+        if self.backend != "pallas":
+            raise ValueError("autotune applies to the pallas backend only")
+        sp = self.space
+        if queries is None:
+            queries = np.random.default_rng(0).standard_normal(
+                (batch, sp.dim)
+            ).astype(np.float32)
+        if block_rows_candidates is None:
+            block_rows_candidates = [512, 1024, 2048, 4096]
+        if query_tile_candidates is None:
+            query_tile_candidates = [128, 256]
+        qn = np.asarray(queries).shape[0]
+        results: list[dict] = []
+        saved = (self.block_rows, self.query_tile)
+        try:
+            for br in block_rows_candidates:
+                for qt in query_tile_candidates:
+                    if qt > max(qn, 128):
+                        continue  # tile larger than the batch adds nothing
+                    self.block_rows, self.query_tile = br, qt
+                    row: dict = {"block_rows": br, "query_tile": qt}
+                    try:
+                        # warm (compile), then best-of-iters single launches
+                        np.asarray(self._finalize(
+                            self._launch(queries, k), k
+                        ).indices)
+                        best = np.inf
+                        for _ in range(max(1, iters)):
+                            t0 = time.perf_counter()
+                            res = self._finalize(self._launch(queries, k), k)
+                            np.asarray(res.indices)  # force the readback
+                            best = min(best, time.perf_counter() - t0)
+                        row["ms"] = best * 1e3
+                    except Exception as exc:  # VMEM OOM etc: record, move on
+                        row["ms"] = float("inf")
+                        row["error"] = str(exc)[:200]
+                    results.append(row)
+        finally:
+            self.block_rows, self.query_tile = saved
+        results.sort(key=lambda r: r["ms"])
+        if apply and results and np.isfinite(results[0]["ms"]):
+            self.block_rows = results[0]["block_rows"]
+            self.query_tile = results[0]["query_tile"]
+        return results
 
     def search_pipelined(self, query_batches, k: int = 10):
         """Iterator of :class:`SearchResult`s over an iterable of query
@@ -716,6 +799,9 @@ class SearchEngine:
                 valid_mask=eff_mask, scale=prep.dot_scale,
                 bias_row=sp.rowsums, bias_scale=prep.bias_scale,
                 interpret=self.interpret, precision=kernel_prec,
+                block_rows=self.block_rows,
+                query_tile=self.query_tile or 128,
+                merge=self.merge,
             )
         else:
             q_x, db_x = prep.qdev, sp.data
