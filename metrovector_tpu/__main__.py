@@ -148,6 +148,38 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_tune(args) -> int:
+    """Single-launch-time candidate kernel tilings for one space and
+    print the report (fastest first) as JSON lines; see
+    ``SearchEngine.autotune`` for the VMEM-cliff rationale."""
+    from .engine import SearchEngine
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    r = _open(args.file)
+    name = _pick_space(r, args.space)
+    sp = r.vector_space(name)
+    if sp.is_sparse:
+        print("error: tune applies to dense spaces", file=sys.stderr)
+        return 1
+    eng = SearchEngine(sp)
+    kw = {}
+    if args.block_rows:
+        kw["block_rows_candidates"] = [int(b) for b in args.block_rows.split(",")]
+    if args.query_tile:
+        kw["query_tile_candidates"] = [int(t) for t in args.query_tile.split(",")]
+    report = eng.autotune(k=args.k, batch=args.batch, **kw)
+    for row in report:
+        print(json.dumps(row))
+    if report and np.isfinite(report[0]["ms"]):
+        best = report[0]
+        print(json.dumps({
+            "apply": f"SearchEngine(space, block_rows={best['block_rows']}, "
+                     f"query_tile={best['query_tile']})"
+        }))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m metrovector_tpu",
@@ -178,6 +210,20 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--space", default=None)
     p.add_argument("-k", type=int, default=10)
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "tune", help="single-launch-time kernel tilings for a space"
+    )
+    p.add_argument("file")
+    p.add_argument("-s", "--space", default=None)
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=128,
+                   help="sample query batch size (default 128)")
+    p.add_argument("--block-rows", default=None,
+                   help="comma-separated candidates (default 512,...,4096)")
+    p.add_argument("--query-tile", default=None,
+                   help="comma-separated candidates (default 128,256)")
+    p.set_defaults(fn=cmd_tune)
 
     from .errors import MvtError
 

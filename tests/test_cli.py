@@ -80,3 +80,21 @@ def test_cli_search(mixed_file, tmp_path, capsys):
         main(["head", path])
     with pytest.raises(SystemExit):
         main(["head", path, "-s", "nope"])
+
+
+def test_cli_tune(mixed_file, capsys):
+    import json
+
+    path, data = mixed_file
+    assert main([
+        "tune", path, "-s", "dense", "-k", "3", "--batch", "4",
+        "--block-rows", "32,64", "--query-tile", "128",
+    ]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    report = [r for r in lines if "block_rows" in r]
+    assert len(report) == 2
+    assert report == sorted(report, key=lambda r: r["ms"])
+    assert any("apply" in r for r in lines)
+
+    # sparse space refused cleanly
+    assert main(["tune", path, "-s", "sp"]) == 1
