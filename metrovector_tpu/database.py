@@ -50,10 +50,12 @@ class Database:
 
     def __init__(self, reader: Reader, backend: str = "pallas",
                  interpret: bool | None = None,
-                 hbm_budget: int | None = None):
+                 hbm_budget: int | None = None,
+                 engine_kwargs: dict | None = None):
         self._reader = reader
         self._backend = backend
         self._interpret = interpret
+        self._engine_kwargs = dict(engine_kwargs or {})
         # Insertion order == LRU order (engines re-inserted on access).
         self._engines: dict[str, SearchEngine] = {}
         self.hbm_budget = hbm_budget
@@ -61,16 +63,23 @@ class Database:
     @classmethod
     def open(cls, path: str | os.PathLike, backend: str = "pallas",
              interpret: bool | None = None,
-             hbm_budget: int | None = None) -> "Database":
+             hbm_budget: int | None = None,
+             engine_kwargs: dict | None = None) -> "Database":
         """``hbm_budget``: optional cap (bytes) on the summed device
         footprint of resident per-space engines. When a new space would
         exceed it, least-recently-searched engines are evicted first; a
         single space larger than the whole budget raises
         :class:`~metrovector_tpu.errors.HBMBudgetExceededError` instead of
         OOMing on the Nth search. No budget (default) keeps every searched
-        space resident, as before."""
+        space resident, as before.
+
+        ``engine_kwargs``: extra keyword arguments for every dense
+        :class:`~.engine.SearchEngine` the facade builds — e.g. tuned
+        kernel tilings (``{"block_rows": 1024}``) or ``precision`` (see
+        ``SearchEngine.autotune`` / ``docs/PERFORMANCE.md``). Sparse
+        spaces ignore them."""
         return cls(Reader.open(path), backend=backend, interpret=interpret,
-                   hbm_budget=hbm_budget)
+                   hbm_budget=hbm_budget, engine_kwargs=engine_kwargs)
 
     @property
     def reader(self) -> Reader:
@@ -187,7 +196,7 @@ class Database:
 
                 self._engines[space] = SparseSearchEngine(sp)
             else:
-                kw = {}
+                kw = dict(self._engine_kwargs)
                 if self._interpret is not None:
                     kw["interpret"] = self._interpret
                 self._engines[space] = SearchEngine(

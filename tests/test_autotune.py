@@ -77,3 +77,29 @@ def test_autotune_requires_pallas_backend():
     eng, data, rng = _engine(backend="xla")
     with pytest.raises(ValueError):
         eng.autotune()
+
+
+def test_database_engine_kwargs_reach_the_kernel():
+    """Database(engine_kwargs=...) threads tuned tilings into every dense
+    engine it builds; results stay oracle-equal."""
+    import os, tempfile
+
+    from metrovector_tpu import Builder, Database, DistanceMetric
+    from metrovector_tpu.ops import numpy_oracle
+
+    rng = np.random.default_rng(6)
+    data = rng.standard_normal((150, 8)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("v", dim=8)
+    b.add_vectors("v", data)
+    path = os.path.join(tempfile.mkdtemp(), "dbk.mvt")
+    b.build().save(path)
+
+    db = Database.open(path, engine_kwargs={"block_rows": 64,
+                                            "query_tile": 128})
+    eng = db.engine("v")
+    assert eng.block_rows == 64 and eng.query_tile == 128
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    res = db.search("v", q, k=4)
+    _, oi = numpy_oracle(q, data, 4, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
