@@ -103,3 +103,34 @@ def test_database_engine_kwargs_reach_the_kernel():
     res = db.search("v", q, k=4)
     _, oi = numpy_oracle(q, data, 4, DistanceMetric.L2)
     assert np.array_equal(res.indices, oi)
+
+
+def test_autotune_on_quantized_space_stays_exact():
+    """autotune exercises the uint8 offset path (rowsums bias inputs)
+    without disturbing its integer-exact ranking."""
+    import os, tempfile
+
+    from metrovector_tpu import (
+        Builder, DataType, DistanceMetric, Reader, SearchEngine,
+    )
+    from metrovector_tpu.ops import numpy_oracle
+
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, (400, 32)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space(
+        "u", dim=32, dtype=DataType.UINT8, metric=DistanceMetric.L2
+    ).with_quantization(scale=1.0, zero_point=0.0)
+    b.add_vectors("u", data)
+    path = os.path.join(tempfile.mkdtemp(), "u8t.mvt")
+    b.build().save(path)
+
+    eng = SearchEngine(Reader.open(path).vector_space("u"))
+    q = rng.integers(0, 256, (4, 32)).astype(np.float32)
+    report = eng.autotune(queries=q, k=5,
+                          block_rows_candidates=[64, 128],
+                          query_tile_candidates=[128], iters=1)
+    assert len(report) == 2 and np.isfinite(report[0]["ms"])
+    res = eng.search(q, k=5)
+    _, oi = numpy_oracle(q, data, 5, DistanceMetric.L2)
+    assert np.array_equal(res.indices, oi)
