@@ -71,7 +71,10 @@ class Database:
         single space larger than the whole budget raises
         :class:`~metrovector_tpu.errors.HBMBudgetExceededError` instead of
         OOMing on the Nth search. No budget (default) keeps every searched
-        space resident, as before.
+        space resident, as before. Budget math is steady-state: while a
+        >512 MB space uploads, one in-flight transfer chunk (≤256 MB,
+        ``utils.transfer.put_chunked``) transiently rides on top of the
+        admitted size — leave that much headroom below physical HBM.
 
         ``engine_kwargs``: extra keyword arguments for every dense
         :class:`~.engine.SearchEngine` the facade builds — e.g. tuned

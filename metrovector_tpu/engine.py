@@ -586,6 +586,10 @@ class SearchEngine:
         self.block_rows = block_rows
         self.query_tile = query_tile
         self.merge = merge
+        # autotune sets this False so a VMEM-OOMing candidate records an
+        # error instead of a measurement silently relabeled by the
+        # fused_topk halved-block retry (advisor finding r4)
+        self._vmem_retry = True
 
     @classmethod
     def open(cls, path, space_name: str | None = None, **kw) -> "SearchEngine":
@@ -657,8 +661,11 @@ class SearchEngine:
         omitted). Returns all measurements sorted fastest-first as dicts
         with ``block_rows``/``query_tile``/``ms`` (``ms`` is the best of
         ``iters`` post-warmup timings; failed candidates get ``inf`` and
-        an ``error``). ``apply=True`` sets this engine's knobs to the
-        winner. Pallas backend only.
+        an ``error``; candidates whose tile exceeds the sample batch get
+        ``inf`` and a ``skipped`` note — raise ``batch`` to measure them).
+        A VMEM-OOMing candidate records its error rather than silently
+        re-measuring at the kernel's halved fallback tiling. ``apply=True``
+        sets this engine's knobs to the winner. Pallas backend only.
 
         Behind a high-RTT transport the single-launch time includes the
         fixed link round-trip (~50 ms in this dev environment), so
@@ -679,11 +686,20 @@ class SearchEngine:
         qn = np.asarray(queries).shape[0]
         results: list[dict] = []
         saved = (self.block_rows, self.query_tile)
-        try:
+        self._vmem_retry = False  # OOM candidates record errors, not
+        try:                      # silently-halved relabeled timings
             for br in block_rows_candidates:
                 for qt in query_tile_candidates:
                     if qt > max(qn, 128):
-                        continue  # tile larger than the batch adds nothing
+                        # tile larger than the batch adds nothing — record
+                        # the skip so the report doesn't imply coverage
+                        # (raise `batch` to >= the tile to measure it)
+                        results.append({
+                            "block_rows": br, "query_tile": qt,
+                            "ms": float("inf"),
+                            "skipped": f"query_tile {qt} > batch {qn}",
+                        })
+                        continue
                     self.block_rows, self.query_tile = br, qt
                     row: dict = {"block_rows": br, "query_tile": qt}
                     try:
@@ -704,6 +720,7 @@ class SearchEngine:
                     results.append(row)
         finally:
             self.block_rows, self.query_tile = saved
+            self._vmem_retry = True
         results.sort(key=lambda r: r["ms"])
         if apply and results and np.isfinite(results[0]["ms"]):
             self.block_rows = results[0]["block_rows"]
@@ -801,7 +818,7 @@ class SearchEngine:
                 interpret=self.interpret, precision=kernel_prec,
                 block_rows=self.block_rows,
                 query_tile=self.query_tile or 128,
-                merge=self.merge,
+                merge=self.merge, vmem_retry=self._vmem_retry,
             )
         else:
             q_x, db_x = prep.qdev, sp.data

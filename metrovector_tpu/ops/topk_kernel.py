@@ -758,15 +758,18 @@ def fused_topk(
     seed_i=None,
     raw_scores: bool = False,
     exclude_stride: int | None = None,
+    vmem_retry: bool = True,
 ):
     """VMEM-robust front end for :func:`_fused_topk`: if Mosaic's scoped
     VMEM allocator rejects the auto-sized block (its live-set model is not
     exactly predictable, e.g. large-``k`` selection), retry with
     successively smaller ``block_rows``. The shrink only triggers on the
-    first compile of a shape; steady-state calls hit the jit cache."""
+    first compile of a shape; steady-state calls hit the jit cache.
+    ``vmem_retry=False`` re-raises instead (autotune uses it so an OOMing
+    candidate records an error, not a silently relabeled measurement)."""
     bn = block_rows
     last_exc = None
-    for _ in range(5):
+    for _ in range(5 if vmem_retry else 1):
         try:
             return _fused_topk(
                 queries, db, db_norms, num_valid, k, metric,
@@ -779,7 +782,7 @@ def fused_topk(
             )
         except Exception as exc:  # jaxlib runtime error types vary
             msg = str(exc)
-            if "vmem" not in msg.lower() and "VMEM" not in msg:
+            if "vmem" not in msg.lower() or not vmem_retry:
                 raise
             last_exc = exc
             if bn is None:

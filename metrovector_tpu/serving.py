@@ -239,12 +239,18 @@ class MicroBatcher:
         with self._lock:
             self._stats.requests += 1
             self._stats.rows += q.shape[0]
-        if self._closed and not self._worker.is_alive():
-            # raced close(): the request may sit behind the shutdown
-            # sentinel where nothing will drain it — fail it rather than
-            # hang the caller (no-op if a drain already resolved it)
+        if not self._worker.is_alive():
+            # Either a raced close() (the request may sit behind the
+            # shutdown sentinel where nothing will drain it) or the worker
+            # died on an unexpected error — fail the future rather than
+            # hang the caller (no-op if a drain already resolved it).
             try:
-                fut.set_exception(BatcherClosedError("submit() after close()"))
+                fut.set_exception(
+                    BatcherClosedError(
+                        "submit() after close()" if self._closed
+                        else "batcher worker thread is dead"
+                    )
+                )
             except Exception:  # already resolved by a final drain
                 pass
         return fut
@@ -266,7 +272,12 @@ class MicroBatcher:
 
     def close(self, timeout: float | None = None) -> None:
         """Stop accepting requests, flush everything already queued, and
-        join the worker. Idempotent. Pending futures all resolve."""
+        join the worker. Idempotent. Pending futures all resolve — unless
+        ``timeout`` expires first, in which case the worker keeps flushing
+        in the background (the engine stays single-threaded: the inline
+        leftover drain below runs only once the worker has exited, never
+        concurrently with it — it could otherwise pop the shutdown
+        sentinel and invoke the engine from two threads)."""
         with self._lock:
             if self._closed:
                 already = True
@@ -277,8 +288,9 @@ class MicroBatcher:
             self._q.put(None)  # sentinel
         self._worker.join(timeout)
         # a submit racing close() may have enqueued behind the sentinel;
-        # the worker is gone, so run the leftovers inline
-        self._drain_leftovers()
+        # once the worker is gone, run the leftovers inline
+        if not self._worker.is_alive():
+            self._drain_leftovers()
 
     def __enter__(self) -> "MicroBatcher":
         return self
@@ -412,10 +424,12 @@ class MicroBatcher:
         batch, pending, padded = inflight
         try:
             res = self.engine._finalize(pending, self.k)
+            self._deliver(batch, res, padded)
         except BaseException as e:  # noqa: BLE001 — delivered to callers
+            # _deliver is inside the guard too: a duck-typed engine whose
+            # result rejects the slicing kwargs must fail THIS batch's
+            # futures, not kill the worker thread silently.
             self._fail(batch, e)
-            return None
-        self._deliver(batch, res, padded)
         return None
 
     def _execute(self, batch: list[_Request], rows: int) -> None:
@@ -425,10 +439,9 @@ class MicroBatcher:
             if self._filter is not None:
                 kw["filter_mask"] = self._filter
             res = self.engine.search(q, k=self.k, **kw)
+            self._deliver(batch, res, padded)
         except BaseException as e:  # noqa: BLE001 — delivered to callers
             self._fail(batch, e)
-            return
-        self._deliver(batch, res, padded)
 
     def _deliver(self, batch: list[_Request], res, padded: int) -> None:
         now = time.monotonic()

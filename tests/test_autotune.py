@@ -134,3 +134,23 @@ def test_autotune_on_quantized_space_stays_exact():
     res = eng.search(q, k=5)
     _, oi = numpy_oracle(q, data, 5, DistanceMetric.L2)
     assert np.array_equal(res.indices, oi)
+
+
+def test_autotune_records_skipped_oversized_tiles():
+    """A query_tile candidate larger than the sample batch is recorded in
+    the report with a 'skipped' note (advisor r4: it used to vanish,
+    implying coverage the run never measured)."""
+    q = np.random.default_rng(3).standard_normal((4, 16)).astype(np.float32)
+    eng, _, _ = _engine()
+    report = eng.autotune(
+        queries=q, k=3,
+        block_rows_candidates=[64],
+        query_tile_candidates=[128, 256],  # 256 > max(batch=4, 128)
+        iters=1,
+    )
+    assert len(report) == 2
+    skipped = [r for r in report if "skipped" in r]
+    assert len(skipped) == 1 and skipped[0]["query_tile"] == 256
+    assert skipped[0]["ms"] == float("inf")
+    # winner is still the measured candidate; vmem_retry restored
+    assert eng.query_tile == 128 and eng._vmem_retry is True

@@ -421,3 +421,72 @@ def test_latency_throughput_knob():
     assert s.requests == 4
     assert s.batches == 4  # sequential + no wait → no coalescing
     assert s.occupancy == 1.0
+
+
+def test_deliver_failure_fails_batch_not_worker():
+    """A result whose attribute access blows up inside result slicing
+    (_deliver) resolves the batch's futures with the exception and leaves
+    the worker alive for later requests (advisor r4: _deliver used to run
+    outside the failure guard and killed the worker silently)."""
+    from metrovector_tpu import MicroBatcher
+
+    eng, data, rng = _make_engine()
+
+    class Hostile:
+        """Duck-typed result whose slicing raises (bad engine contract)."""
+
+        metric = None
+        ids = None
+
+        @property
+        def indices(self):
+            raise TypeError("hostile result")
+
+        scores = indices
+        distances = indices
+
+    real_search = eng.search
+    calls = {"n": 0}
+
+    def flaky(queries, k=10, filter_mask=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return Hostile()
+        return real_search(queries, k=k, filter_mask=filter_mask)
+
+    eng.search = flaky
+    try:
+        with MicroBatcher(eng, k=3, max_batch=4, max_wait_ms=0.0) as mb:
+            f1 = mb.submit(
+                rng.standard_normal(data.shape[1]).astype(np.float32)
+            )
+            with pytest.raises(TypeError, match="hostile"):
+                f1.result(60)
+            # worker survived the delivery failure
+            ok = mb.search(
+                rng.standard_normal(data.shape[1]).astype(np.float32),
+                timeout=60,
+            )
+            assert ok.indices.shape == (1, 3)
+    finally:
+        eng.search = real_search
+
+
+def test_submit_fails_fast_when_worker_dead():
+    """If the worker thread is gone while the batcher is nominally open,
+    submit() must not enqueue futures that can never resolve."""
+    from metrovector_tpu import MicroBatcher
+    from metrovector_tpu.errors import BatcherClosedError
+
+    eng, data, rng = _make_engine()
+    mb = MicroBatcher(eng, k=3, max_batch=4, max_wait_ms=0.0)
+    try:
+        # simulate an abrupt worker death without setting _closed
+        mb._q.put(None)  # worker exits on the sentinel
+        mb._worker.join(30)
+        assert not mb._worker.is_alive()
+        f = mb.submit(rng.standard_normal(data.shape[1]).astype(np.float32))
+        with pytest.raises(BatcherClosedError, match="dead"):
+            f.result(10)
+    finally:
+        mb.close()
