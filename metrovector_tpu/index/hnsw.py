@@ -517,9 +517,23 @@ class HNSWIndex:
 
     # ------------------------------------------------------------ search --
 
-    def search(self, queries: np.ndarray, k: int = 10, ef: int | None = None):
+    def search(self, queries: np.ndarray, k: int = 10, ef: int | None = None,
+               filter_mask=None, max_ef: int | None = None):
         """Approximate top-k; ``ef`` (≥ k) is the layer-0 beam width —
-        recall rises with it. Returns a ``SearchResult``."""
+        recall rises with it. Returns a ``SearchResult``.
+
+        ``filter_mask``: optional ``[num_vectors]`` boolean/int row
+        predicate composed with tombstones. Filtering is post-beam with an
+        automatic **ef top-up**: non-passing nodes stay usable as routing
+        waypoints (removing them would sever graph paths — the standard
+        HNSW filtered-search design), and any query whose beam yields
+        fewer than ``k`` passing rows is retried with a doubled beam until
+        it fills or ``max_ef`` is reached (default
+        ``min(N, max(1024, 16·ef))``). Expected beam cost under
+        selectivity ``s`` is ~``ef/s``; for aggressive predicates
+        (s ≲ k/max_ef) prefer the exact engine's in-kernel filter, which
+        is selectivity-independent (``benchmarks/RESULTS.md`` r3:
+        sift1m-filtered)."""
         from ..engine import SearchResult
         from ..ops.distances import distances_np
 
@@ -532,6 +546,26 @@ class HNSWIndex:
         if metric == DistanceMetric.COSINE:
             qs = q2 / np.maximum(np.sqrt(qn)[:, None], 1e-30)
         ef = max(k, ef if ef is not None else max(2 * k, 64))
+        n_rows = int(self.rows.shape[0])
+
+        keep_all = self.valid
+        if filter_mask is not None:
+            from ..errors import DimensionMismatchError
+
+            fm = np.asarray(filter_mask)
+            if fm.shape != (n_rows,):
+                raise DimensionMismatchError(
+                    expected=n_rows,
+                    actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+                )
+            fm = fm.astype(bool)
+            keep_all = fm if keep_all is None else (keep_all & fm)
+        if max_ef is None:
+            max_ef = (
+                min(n_rows, max(1024, 16 * ef)) if filter_mask is not None
+                else ef
+            )
+        max_ef = max(ef, int(max_ef))
 
         out_i = np.full((len(q2), k), _SENTINEL, np.int32)
         out_s = np.full((len(q2), k), -np.inf, np.float32)
@@ -546,29 +580,49 @@ class HNSWIndex:
                                 ids=ids_for_rows(self.host_ids, out_i))
 
         nh = self._native_handle()
-        if nh is not None:
-            bids, bsc = nh.search(qs, ef)  # [Q, ef] best-first, −1 padded
-            for qi in range(len(qs)):
-                ids, sc = bids[qi], bsc[qi]
-                keep = ids >= 0
-                if self.valid is not None:
-                    keep &= self.valid[np.clip(ids, 0, None)]
-                ids, sc = ids[keep], sc[keep]
-                top = min(k, len(ids))
-                out_i[qi, :top] = ids[:top]
-                out_s[qi, :top] = sc[:top]
-        else:
-            for qi, q in enumerate(qs):
+
+        def one(q, ef_q):
+            """One query's beam at width ``ef_q`` → (ids, scores) after
+            the keep mask, best-first."""
+            if nh is not None:
+                bids, bsc = nh.search(q[None], ef_q)
+                ids, sc = bids[0], bsc[0]
+                sel = ids >= 0
+                if keep_all is not None:
+                    sel &= keep_all[np.clip(ids, 0, None)]
+            else:
                 ep = self.entry
                 for layer in range(self.max_level, 0, -1):
                     ep = self._greedy(q, ep, layer)
-                ids, sc = self._beam0(q, ep, ef)
-                if self.valid is not None:
-                    keep = self.valid[ids]
-                    ids, sc = ids[keep], sc[keep]
-                top = min(k, len(ids))
-                out_i[qi, :top] = ids[:top]
-                out_s[qi, :top] = sc[:top]
+                ids, sc = self._beam0(q, ep, ef_q)
+                sel = (
+                    keep_all[ids] if keep_all is not None
+                    else np.ones(len(ids), bool)
+                )
+            return ids[sel], sc[sel]
+
+        if nh is not None and (filter_mask is None or len(qs) > 1):
+            # batched first pass through the native beam; per-query
+            # top-ups below handle the stragglers
+            bids, bsc = nh.search(qs, ef)  # [Q, ef] best-first, −1 padded
+            first = []
+            for qi in range(len(qs)):
+                ids, sc = bids[qi], bsc[qi]
+                sel = ids >= 0
+                if keep_all is not None:
+                    sel &= keep_all[np.clip(ids, 0, None)]
+                first.append((ids[sel], sc[sel]))
+        else:
+            first = [one(q, ef) for q in qs]
+
+        for qi, (ids, sc) in enumerate(first):
+            ef_q = ef
+            while len(ids) < k and ef_q < max_ef:
+                ef_q = min(2 * ef_q, max_ef)
+                ids, sc = one(qs[qi], ef_q)
+            top = min(k, len(ids))
+            out_i[qi, :top] = ids[:top]
+            out_s[qi, :top] = sc[:top]
         if metric == DistanceMetric.COSINE:
             # scores were computed on normalized q: already cosine sim
             scores = out_s

@@ -525,11 +525,54 @@ class IVFIndex:
         self.row_bucket[sel] = -1
         self.row_slot[sel] = -1
 
-    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8):
+    def prepare_filter(self, filter_mask):
+        """Upload a ``[num_vectors]`` boolean/int row predicate once for
+        reuse across :meth:`search` calls. Returns a
+        :class:`~metrovector_tpu.engine.PreparedFilter` whose mask is
+        indexed by ORIGINAL row position (bucket row ids), so it stays
+        valid across bucket re-layouts at the same row count."""
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+
+        fm = np.asarray(filter_mask)
+        if fm.shape != (self.num_vectors,):
+            raise DimensionMismatchError(
+                expected=self.num_vectors,
+                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+            )
+        return PreparedFilter(
+            mask=jax.device_put(fm.astype(bool).astype(np.float32)),
+            num_valid=self.num_vectors,
+        )
+
+    def _filter_device(self, filter_mask):
+        """Normalize a raw array / PreparedFilter to the ``[num_vectors]``
+        device plane ``_ivf_search`` gathers per probed candidate."""
+        if filter_mask is None:
+            return None
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+
+        if isinstance(filter_mask, PreparedFilter):
+            if filter_mask.num_valid != self.num_vectors:
+                raise DimensionMismatchError(
+                    expected=self.num_vectors, actual=filter_mask.num_valid
+                )
+            return filter_mask.mask
+        return self.prepare_filter(filter_mask).mask
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8,
+               filter_mask=None):
         """Approximate top-k: probe the ``nprobe`` best-scoring buckets per
         query (split cells count one bucket each). Returns a SearchResult;
         recall rises with ``nprobe`` and reaches 1.0 at
-        ``nprobe == num_buckets``."""
+        ``nprobe == num_buckets``. ``filter_mask``: optional
+        ``[num_vectors]`` boolean/int row predicate (or a prepared one from
+        :meth:`prepare_filter`) — non-passing rows are excluded inside the
+        probe itself (tombstones are already absent from the buckets).
+        Under low selectivity the probed buckets may hold fewer than ``k``
+        passing rows; raise ``nprobe`` (recall within the filtered subset
+        is bounded by bucket coverage, as for any IVF filter)."""
         from ..engine import SearchResult
 
         q = np.asarray(queries, np.float32)
@@ -549,6 +592,7 @@ class IVFIndex:
             k=min(k, self.bucket_rows * nprobe),
             nprobe=nprobe,
             metric=self.metric,
+            row_filter=self._filter_device(filter_mask),
         )
         s, i = np.asarray(s), np.asarray(i)
         dist = distances_np(s, self.metric, qnorms)
@@ -570,13 +614,16 @@ class IVFIndex:
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "metric"))
 def _ivf_search(q, centroids, buckets, bucket_ids, bucket_norms, k: int,
-                nprobe: int, metric: DistanceMetric):
+                nprobe: int, metric: DistanceMetric, row_filter=None):
     """Device-side IVF probe: centroid scoring → ``lax.scan`` over the
     ``nprobe`` probe ranks, each step gathering ONE bucket per query
     (``[Q, B, D]``) and merging into a carried candidate list. Peak memory
     is O(Q·B·D) — independent of ``nprobe`` — where the one-shot
     ``[Q, nprobe, B, D]`` gather this replaces scales with it (and OOMs at
-    production sizes)."""
+    production sizes). ``row_filter``: optional ``[N]`` plane (0 ⇒
+    excluded) gathered at each probed candidate's row id — a [Q, B]
+    gather riding the same scan step that already gathers the bucket
+    itself, so the filter adds no extra memory passes."""
     metric = DistanceMetric(metric)
     nq = q.shape[0]
     c_norms = jnp.einsum(
@@ -612,7 +659,10 @@ def _ivf_search(q, centroids, buckets, bucket_ids, bucket_norms, k: int,
             scores = dots * jax.lax.rsqrt(jnp.maximum(gn, 1e-30))
         else:
             scores = dots
-        scores = jnp.where(gi >= 0, scores, _NEG_INF)
+        live = gi >= 0
+        if row_filter is not None:
+            live &= jnp.take(row_filter, jnp.clip(gi, 0, None)) != 0
+        scores = jnp.where(live, scores, _NEG_INF)
         cand_s = jnp.concatenate([best_s, scores], axis=1)
         cand_i = jnp.concatenate([best_i, gi], axis=1)
         top_s, pos = jax.lax.top_k(cand_s, k)

@@ -86,6 +86,7 @@ def _ivfpq_search(
     nprobe: int,
     metric: DistanceMetric,
     packed4: bool = False,
+    row_filter=None,  # optional [N] plane (0 ⇒ excluded), by row id
 ):
     """Device-side IVF-PQ probe: coarse scoring → ``lax.scan`` over probe
     ranks, each step gathering one code bucket per query and looking up the
@@ -154,7 +155,11 @@ def _ivfpq_search(
             scores = dots * jax.lax.rsqrt(jnp.maximum(gn, 1e-30)) * qin[:, None]
         else:
             scores = dots
-        scores = jnp.where(gi >= 0, scores, _NEG_INF)
+        live = gi >= 0
+        if row_filter is not None:
+            # same [Q, B] gather pattern as the bucket fetch itself
+            live &= jnp.take(row_filter, jnp.clip(gi, 0, None)) != 0
+        scores = jnp.where(live, scores, _NEG_INF)
         cand_s = jnp.concatenate([best_s, scores], axis=1)
         cand_i = jnp.concatenate([best_i, gi], axis=1)
         top_s, pos = jax.lax.top_k(cand_s, k)
@@ -645,9 +650,50 @@ class IVFPQIndex:
         rebuild that :meth:`add_rows`/:meth:`delete_rows` avoid)."""
         self._rebuild_layouts(*self._host_row_state())
 
+    def prepare_filter(self, filter_mask):
+        """Upload a ``[num_vectors]`` boolean/int row predicate once for
+        reuse across :meth:`search` calls (both serving modes gather it by
+        ORIGINAL row id). Returns a
+        :class:`~metrovector_tpu.engine.PreparedFilter`; invalidated by
+        :meth:`add_rows` (capacity growth changes the padded length)."""
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+
+        fm = np.asarray(filter_mask)
+        if fm.shape != (self.num_vectors,):
+            raise DimensionMismatchError(
+                expected=self.num_vectors,
+                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+            )
+        full = np.zeros(int(self.codes_row.shape[0]), np.float32)
+        full[: self.num_vectors] = fm.astype(bool)
+        return PreparedFilter(
+            mask=jax.device_put(full), num_valid=self.num_vectors
+        )
+
+    def _filter_device(self, filter_mask):
+        """Normalize a raw array / PreparedFilter to the capacity-padded
+        ``[cap]`` f32 plane both serving modes consume (scan: multiplied
+        into ``row_valid``; probe: gathered at candidate row ids)."""
+        if filter_mask is None:
+            return None
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+
+        if isinstance(filter_mask, PreparedFilter):
+            if filter_mask.num_valid != self.num_vectors or (
+                int(filter_mask.mask.shape[0]) != int(self.codes_row.shape[0])
+            ):
+                raise DimensionMismatchError(
+                    expected=self.num_vectors, actual=filter_mask.num_valid
+                )
+            return filter_mask.mask
+        return self.prepare_filter(filter_mask).mask
+
     def _masked_scan(self, qdev, fetch: int, nprobe: int, interpret: bool,
                      exact_lut: bool = False,
-                     block_rows: int | None = None):
+                     block_rows: int | None = None,
+                     row_filter=None):
         """Gather-free probing: dense ADC over the corpus in ORIGINAL row
         order with a per-(query, bucket) bias — ``q·centroid`` on the
         ``nprobe`` best coarse buckets (residual ADC: q·x̂ = q·c + q·r̂),
@@ -694,10 +740,14 @@ class IVFPQIndex:
         b0 = jnp.max(jnp.where(sel, cdots, -jnp.inf), axis=1, keepdims=True)
         shifted = cdots - b0 if shift_ok else cdots
         bias = jnp.where(sel, shifted, jnp.float32(-1e30))
+        eff_valid = self.row_valid
+        if row_filter is not None:
+            # user predicate rides the same validity plane as tombstones
+            eff_valid = eff_valid * row_filter
         s, i = fused_adc_topk(
             qdev, self.codes_row, jnp.asarray(self.codebooks),
             self.rnorms_row, jnp.int32(self.num_vectors), fetch,
-            self.metric, valid_mask=self.row_valid, group_bias=bias,
+            self.metric, valid_mask=eff_valid, group_bias=bias,
             group_ids=self.row_bucket, interpret=interpret,
             exact_lut=exact_lut, packed4=self.packed4,
             block_rows=block_rows,
@@ -746,6 +796,7 @@ class IVFPQIndex:
         interpret: bool | None = None,
         exact_lut: bool = False,
         block_rows: int | None = None,
+        filter_mask=None,
     ):
         """Approximate top-k: ADC over the ``nprobe`` best-scoring buckets'
         residual codes (split cells count one bucket each); ``rerank=R``
@@ -761,7 +812,16 @@ class IVFPQIndex:
         the gather-free masked dense scan (full-corpus ADC + per-bucket
         bias — wins for batch serving on TPU, where gathers are
         scalar-slow), ``"auto"`` picks by batch size
-        (``SCAN_CROSSOVER_BATCH``). Returns a ``SearchResult``."""
+        (``SCAN_CROSSOVER_BATCH``). Returns a ``SearchResult``.
+
+        ``filter_mask``: optional ``[num_vectors]`` boolean/int row
+        predicate (or a prepared one from :meth:`prepare_filter`),
+        composed with tombstones on both serving modes — scan multiplies
+        it into the row-validity plane, probe gathers it per candidate.
+        Candidates are filtered BEFORE re-ranking, so the ``rerank`` pool
+        is all filter-passing. As with any IVF structure, recall within a
+        low-selectivity subset is bounded by bucket coverage — raise
+        ``nprobe``/``rerank`` for aggressive predicates."""
         from ..engine import SearchResult
 
         q = np.ascontiguousarray(queries, np.float32)
@@ -789,10 +849,11 @@ class IVFPQIndex:
                 "scan" if q.shape[0] >= self.SCAN_CROSSOVER_BATCH else "probe"
             )
         qdev = jax.device_put(q)
+        row_filter = self._filter_device(filter_mask)
         if mode == "scan":
             s, i = self._masked_scan(
                 qdev, fetch, nprobe, interpret, exact_lut=exact_lut,
-                block_rows=block_rows,
+                block_rows=block_rows, row_filter=row_filter,
             )
         else:
             s, i = _ivfpq_search(
@@ -806,6 +867,7 @@ class IVFPQIndex:
                 nprobe=nprobe,
                 metric=self.metric,
                 packed4=self.packed4,
+                row_filter=row_filter,
             )
         if rerank:
             if self.db is None:

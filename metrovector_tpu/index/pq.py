@@ -590,6 +590,50 @@ class PQIndex:
         valid[np.asarray(idx, np.int64)] = 0
         self.valid = jax.device_put(valid.astype(np.int32))
 
+    def prepare_filter(self, filter_mask):
+        """Upload a ``[num_vectors]`` boolean/int row predicate once and
+        return a :class:`~metrovector_tpu.engine.PreparedFilter` reusable
+        across :meth:`search` calls (the serving path for a hot predicate).
+        Composed with the live tombstone plane at launch, so deletions
+        made after preparation are still honored. Invalidated by
+        :meth:`add_rows` (capacity growth changes the padded length)."""
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+
+        fm = np.asarray(filter_mask)
+        if fm.shape != (self.num_vectors,):
+            raise DimensionMismatchError(
+                expected=self.num_vectors,
+                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+            )
+        full = np.zeros(int(self.codes.shape[0]), np.int32)
+        full[: self.num_vectors] = fm.astype(bool)
+        return PreparedFilter(
+            mask=jax.device_put(full), num_valid=self.num_vectors
+        )
+
+    def _effective_mask(self, filter_mask):
+        """Compose the user predicate (raw array or PreparedFilter) with
+        the tombstone plane into the kernel's validity input."""
+        if filter_mask is None:
+            return self.valid
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+
+        if isinstance(filter_mask, PreparedFilter):
+            if filter_mask.num_valid != self.num_vectors or (
+                int(filter_mask.mask.shape[0]) != int(self.codes.shape[0])
+            ):
+                raise DimensionMismatchError(
+                    expected=self.num_vectors, actual=filter_mask.num_valid
+                )
+            fdev = filter_mask.mask
+        else:
+            fdev = self.prepare_filter(filter_mask).mask
+        if self.valid is None:
+            return fdev
+        return self.valid * fdev.astype(self.valid.dtype)
+
     def search(
         self,
         queries: np.ndarray,
@@ -599,6 +643,7 @@ class PQIndex:
         block_rows: int | None = None,
         backend: str = "auto",
         int8_lut: bool = False,
+        filter_mask=None,
     ):
         """Approximate top-k by ADC over the codes. ``rerank=R`` (R ≥ k)
         rescores the top-R ADC candidates against the original vectors
@@ -606,7 +651,15 @@ class PQIndex:
         recall@k ≈ 1.0 with R ≈ 4–8·k. ``backend``: 'pallas' (fused
         kernel, the TPU fast path), 'xla' (scan formulation), or 'auto'
         (pallas on TPU, xla elsewhere — the Pallas interpreter is too slow
-        for CPU serving). Returns a ``SearchResult``."""
+        for CPU serving). ``filter_mask``: optional ``[num_vectors]``
+        boolean/int row predicate (or a prepared one from
+        :meth:`prepare_filter`) — rows with 0 are excluded from the ADC
+        scan itself (so the ``rerank`` candidate pool is all
+        filter-passing), composed with tombstones exactly like the dense
+        engine (``SearchEngine.search``). Under very low selectivity,
+        raise ``rerank`` — recall within the filtered subset is bounded by
+        how many passing rows the ADC fetch surfaces. Returns a
+        ``SearchResult``."""
         from ..engine import SearchResult
 
         q = np.ascontiguousarray(queries, np.float32)
@@ -618,6 +671,7 @@ class PQIndex:
             raise DimensionMismatchError(expected=self.dim, actual=int(q.shape[1]))
         qnorms = np.einsum("ij,ij->i", q, q, dtype=np.float64).astype(np.float32)
         qdev = jax.device_put(q)
+        eff_valid = self._effective_mask(filter_mask)
         fetch = max(k, rerank) if rerank else k
         fetch = min(fetch, self.num_vectors) or 1
         on_tpu = jax.default_backend() == "tpu"
@@ -644,7 +698,7 @@ class PQIndex:
                 jnp.int32(self.num_vectors),
                 fetch,
                 self.metric,
-                valid_mask=self.valid,
+                valid_mask=eff_valid,
                 exact_lut=exact_lut and not int8_lut,
                 block_rows=block_rows,
                 interpret=not on_tpu,
@@ -671,7 +725,7 @@ class PQIndex:
                 jnp.int32(self.num_vectors),
                 fetch,
                 self.metric,
-                valid_mask=self.valid,
+                valid_mask=eff_valid,
                 block_rows=min(block_rows or 4096, max(8, self.codes.shape[0])),
                 exact_lut=exact_lut,
             )

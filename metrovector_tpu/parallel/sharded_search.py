@@ -545,11 +545,62 @@ class ShardedDeviceSpace:
         else:
             self.valid_mask = None
         self.padded_dim = int(block.shape[1])
+        self._host_rows = int(block.shape[0])
+        self._sublane = sub
+
+    def prepare_filter(self, filter_mask):
+        """Shard a ``[num_vectors]`` boolean/int row predicate over the
+        mesh once (``P(axis)``, riding the same row partitioning as the
+        corpus) for reuse across :meth:`search` calls. Returns a
+        :class:`~metrovector_tpu.engine.PreparedFilter`."""
+        import numpy as np
+
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+        from .mesh import shard_rows
+
+        fm = np.asarray(filter_mask)
+        if fm.shape != (self.num_valid,):
+            raise DimensionMismatchError(
+                expected=self.num_valid,
+                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+            )
+        full = np.zeros(self._host_rows, np.float32)
+        full[: self.num_valid] = fm.astype(bool)
+        return PreparedFilter(
+            mask=shard_rows(full, self.mesh, self.axis,
+                            sublane=self._sublane),
+            num_valid=self.num_valid,
+        )
+
+    def _effective_mask(self, filter_mask):
+        """Compose the user predicate with the tombstone plane (both
+        sharded ``P(axis)``; the multiply stays shard-local)."""
+        if filter_mask is None:
+            return self.valid_mask
+        from ..engine import PreparedFilter
+        from ..errors import DimensionMismatchError
+
+        if isinstance(filter_mask, PreparedFilter):
+            if filter_mask.num_valid != self.num_valid:
+                raise DimensionMismatchError(
+                    expected=self.num_valid, actual=filter_mask.num_valid
+                )
+            fdev = filter_mask.mask
+        else:
+            fdev = self.prepare_filter(filter_mask).mask
+        if self.valid_mask is None:
+            return fdev
+        return self.valid_mask * fdev
 
     def search(self, queries, k: int = 10, backend: str = "pallas",
-               interpret: bool = False):
+               interpret: bool = False, filter_mask=None):
         """Replicates the query batch and runs the global sharded top-k.
-        Returns a :class:`~metrovector_tpu.engine.SearchResult`."""
+        ``filter_mask``: optional ``[num_vectors]`` boolean/int row
+        predicate (or a mesh-prepared one from :meth:`prepare_filter`) —
+        applied inside each shard's kernel exactly like tombstones, so
+        the ICI merge only ever sees filter-passing candidates. Returns a
+        :class:`~metrovector_tpu.engine.SearchResult`."""
         import numpy as np
 
         from ..engine import DeviceSpace, SearchResult
@@ -583,7 +634,8 @@ class ShardedDeviceSpace:
         qrep = replicate(np.asarray(prep.qdev), self.mesh)
         s, i = sharded_topk(
             qrep, self.data, self.norms, self.num_valid, k_eff, self.metric,
-            self.mesh, valid_mask=self.valid_mask, axis=self.axis,
+            self.mesh, valid_mask=self._effective_mask(filter_mask),
+            axis=self.axis,
             scale=self.scale if uint8_cosine else prep.dot_scale,
             backend=backend, interpret=interpret,
             bias_row=None if uint8_cosine else self.rowsums,

@@ -99,9 +99,32 @@ class StreamingSearcher:
             self._mask = None
         self._host_ids = space.ids()
 
-    def search(self, queries, k: int = 10):
+    def _effective_mask(self, filter_mask):
+        """Compose a host ``[num_vectors]`` predicate with the tombstone
+        plane into the padded per-chunk mask (host-side — streamed chunks
+        slice it alongside the data, so a per-search filter costs one
+        host multiply, no resident device state)."""
+        if filter_mask is None:
+            return self._mask
+        from ..errors import DimensionMismatchError
+
+        sp = self.space
+        fm = np.asarray(filter_mask)
+        if fm.shape != (sp.num_vectors,):
+            raise DimensionMismatchError(
+                expected=sp.num_vectors,
+                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+            )
+        full = np.zeros(sp.padded_rows, np.float32)
+        full[: sp.num_vectors] = fm.astype(bool)
+        return full if self._mask is None else self._mask * full
+
+    def search(self, queries, k: int = 10, filter_mask=None):
         """Stream all chunks and return a
-        :class:`~metrovector_tpu.engine.SearchResult`."""
+        :class:`~metrovector_tpu.engine.SearchResult`. ``filter_mask``:
+        optional ``[num_vectors]`` boolean/int row predicate (host array)
+        composed with tombstones and streamed chunk-wise with the data —
+        results are bit-identical to a filtered resident search."""
         from ..engine import DeviceSpace, SearchResult
         from ..ops.distances import distances_np
 
@@ -125,6 +148,7 @@ class StreamingSearcher:
         # Costs 4× the upload bytes of the code chunk; correctness first.
         uint8_cosine = self.dtype == DataType.UINT8 and not uint8_offset
         zp = q_meta.zero_point if q_meta else 0.0
+        mask_host = self._effective_mask(filter_mask)
         prep = helper.prepare_queries(queries)
         qdev, qnorms = prep.qdev, prep.sq_norms
         nq = qdev.shape[0]
@@ -199,7 +223,7 @@ class StreamingSearcher:
                     ).astype(np.float32)
                     blk = shifted.astype(np.int8)
             nrm = self._norms[lo:hi]
-            msk = self._mask[lo:hi] if self._mask is not None else None
+            msk = mask_host[lo:hi] if mask_host is not None else None
             if pad:  # keep shapes static for the jitted kernel
                 if not blk_done:
                     blk = np.pad(blk, ((0, pad), (0, 0)))
@@ -518,7 +542,8 @@ class ShardedStreamingSearcher:
             shape_global, sharding, shards
         )
 
-    def _upload_chunk(self, j: int, uint8_offset: bool, uint8_cosine: bool):
+    def _upload_chunk(self, j: int, uint8_offset: bool, uint8_cosine: bool,
+                      mask_host=None):
         biases = {}
 
         def data_tf(piece, lo):
@@ -539,16 +564,38 @@ class ShardedStreamingSearcher:
                 else np.zeros_like(p),
             )
         mask = None
-        if self._mask is not None:
-            mask = self._assemble(self._mask, 0, j, lambda p, lo: p)
+        if mask_host is not None:
+            mask = self._assemble(mask_host, 0, j, lambda p, lo: p)
         return data, norms, bias, mask
+
+    def _effective_mask(self, filter_mask):
+        """Compose a host ``[num_vectors]`` predicate with the tombstone
+        plane; each shard only slices (and uploads) its own rows of the
+        result, like the data chunks themselves."""
+        if filter_mask is None:
+            return self._mask
+        from ..errors import DimensionMismatchError
+
+        sp = self.space
+        fm = np.asarray(filter_mask)
+        if fm.shape != (sp.num_vectors,):
+            raise DimensionMismatchError(
+                expected=sp.num_vectors,
+                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+            )
+        full = np.zeros(sp.padded_rows, np.float32)
+        full[: sp.num_vectors] = fm.astype(bool)
+        return full if self._mask is None else self._mask * full
 
     # -- search ---------------------------------------------------------------
 
-    def search(self, queries, k: int = 10):
+    def search(self, queries, k: int = 10, filter_mask=None):
         """Stream every shard's chunks and return a replicated
         :class:`~metrovector_tpu.engine.SearchResult` (global row ids +
-        stable external IDs)."""
+        stable external IDs). ``filter_mask``: optional ``[num_vectors]``
+        boolean/int host row predicate, composed with tombstones and
+        streamed alongside each shard's chunks — bit-identical to the
+        filtered resident sharded search."""
         from ..engine import DeviceSpace, SearchResult
         from ..ops.distances import distances_np
         from .mesh import replicate
@@ -565,6 +612,7 @@ class ShardedStreamingSearcher:
             and self.metric != DistanceMetric.COSINE
         )
         uint8_cosine = self.dtype == DataType.UINT8 and not uint8_offset
+        mask_host = self._effective_mask(filter_mask)
         prep = helper.prepare_queries(queries)
         nq = prep.qdev.shape[0]
         if sp.num_vectors == 0:
@@ -596,11 +644,13 @@ class ShardedStreamingSearcher:
             np.asarray([sp.num_vectors], np.int32), self.mesh
         )
 
-        nxt = self._upload_chunk(0, uint8_offset, uint8_cosine)
+        nxt = self._upload_chunk(0, uint8_offset, uint8_cosine, mask_host)
         for j in range(self.nchunks):
             data, norms, bias, mask = nxt
             if j + 1 < self.nchunks:
-                nxt = self._upload_chunk(j + 1, uint8_offset, uint8_cosine)
+                nxt = self._upload_chunk(
+                    j + 1, uint8_offset, uint8_cosine, mask_host
+                )
             extras = []
             if bias is not None:
                 extras.append(bias)
