@@ -30,6 +30,58 @@ _OPS = {
 }
 
 
+class IndexEngine:
+    """Facade adapter serving a reattached ANN/compressed index through the
+    engine interface (``search``/``prepare_filter``/``nbytes``/``dim``) so
+    persisted sidecars drive the read path — the reference's design intent
+    for the footer ``Index`` union (``schema/index.fbs:6-36`` in
+    thegenem0/metrovector), which its own code never consumes.
+
+    ``kind``: ``"pq" | "ivfpq" | "ivf" | "hnsw"``. ``search_kwargs`` are
+    the per-call defaults the facade chose at reattachment (e.g. ``nprobe``
+    from the persisted index params); explicit keyword arguments on
+    :meth:`search` override them. PQ-family engines default ``rerank`` to
+    ``index.recommended_rerank(k)`` (recall ≈ 1.0 guidance) unless
+    overridden — pass ``rerank=0`` for raw ADC speed."""
+
+    def __init__(self, index, kind: str, search_kwargs: dict | None = None):
+        self.index = index
+        self.kind = kind
+        self.search_kwargs = dict(search_kwargs or {})
+        self.dim = int(
+            getattr(index, "dim", 0) or index.rows.shape[1]  # HNSW
+        )
+
+    @property
+    def nbytes(self) -> int:
+        """Summed device footprint of the index's jax arrays (HNSW is
+        host-resident: 0)."""
+        import jax
+
+        return sum(
+            v.nbytes
+            for v in vars(self.index).values()
+            if isinstance(v, jax.Array)
+        )
+
+    def prepare_filter(self, filter_mask):
+        prep = getattr(self.index, "prepare_filter", None)
+        # HNSW filters are host planes; hand the raw mask back
+        return prep(filter_mask) if prep else filter_mask
+
+    def search(self, queries, k: int = 10, filter_mask=None, **kw):
+        merged = {**self.search_kwargs, **kw}
+        if (
+            self.kind in ("pq", "ivfpq")
+            and "rerank" not in merged
+            and self.index.db is not None
+        ):
+            merged["rerank"] = self.index.recommended_rerank(k)
+        return self.index.search(
+            queries, k=k, filter_mask=filter_mask, **merged
+        )
+
+
 class Database:
     """Lazy per-space engines over one MVT file.
 
@@ -57,8 +109,10 @@ class Database:
         self._interpret = interpret
         self._engine_kwargs = dict(engine_kwargs or {})
         # Insertion order == LRU order (engines re-inserted on access).
-        self._engines: dict[str, SearchEngine] = {}
+        self._engines: dict[str, Any] = {}
         self.hbm_budget = hbm_budget
+        # sidecar detection is pure manifest metadata — cache per space
+        self._kind_cache: dict[str, str | None] = {}
 
     @classmethod
     def open(cls, path: str | os.PathLike, backend: str = "pallas",
@@ -100,14 +154,37 @@ class Database:
             for e in self._engines.values()
         )
 
-    def _estimate_nbytes(self, space: str) -> int:
+    def _estimate_nbytes(self, space: str, flavor: str = "exact") -> int:
         """Device footprint of a space BEFORE uploading it (the budget
-        decision must precede the allocation). Mirrors
+        decision must precede the allocation). ``flavor='exact'`` mirrors
         ``DeviceSpace.from_space``: f16 upcasts to f32 (Mosaic has no f16
         vector type), int8/uint8 stay 1 byte, plus f32 norms and an
-        optional f32 validity mask."""
+        optional f32 validity mask. Index flavors estimate the reattached
+        structure: PQ/IVF-PQ add coded planes on top of the resident
+        originals (``keep_vectors=True`` re-rank default), IVF holds a
+        bucket-grouped f32 copy, HNSW is host-resident (0 HBM)."""
         sp = self._reader.vector_space(space)
         from .format.constants import DataType, VectorType
+
+        if flavor == "hnsw":
+            return 0
+        pad_d = -(-sp.dim // 128) * 128  # device rows live lane-padded
+        if flavor in ("pq", "ivfpq"):
+            n = sp.num_vectors
+            pq = sp.info.pq
+            code_b = (
+                (pq.m + 1) // 2 if pq.packed4 else pq.m
+            ) if pq is not None else 16
+            dense = n * pad_d * 4 + n * 4  # keep_vectors originals + norms
+            coded = n * code_b + n * 4  # codes + recon norms
+            if flavor == "ivfpq":
+                # bucket copy of codes/ids/norms + row-order scan planes
+                coded = 2 * coded + n * 12
+            return dense + coded
+        if flavor == "ivf":
+            # bucket-grouped f32 rows (~1.25x padding) + ids + norms
+            n = sp.num_vectors
+            return int(n * pad_d * 4 * 1.25) + n * 8
 
         if sp.info.vector_type == VectorType.SPARSE:
             # Mirror SparseSearchEngine's "auto" pick: ELL (padded rows ×
@@ -155,18 +232,25 @@ class Database:
         return n
 
     def evict(self, space: str) -> bool:
-        """Drop one space's engine (and its device arrays). Returns True
-        if it was resident. Un-persisted online mutations
+        """Drop one space's engine(s) (and their device arrays) — every
+        routing flavor (exact and index-served). Returns True if any was
+        resident. Un-persisted online mutations
         (``add_rows``/``delete_rows`` on the live engine) are lost —
         persist via the append workflow first."""
-        return self._engines.pop(space, None) is not None
+        keys = [
+            key for key in self._engines
+            if key == space or key.startswith(space + "#")
+        ]
+        for key in keys:
+            del self._engines[key]
+        return bool(keys)
 
-    def _admit(self, space: str) -> None:
+    def _admit(self, space: str, flavor: str = "exact") -> None:
         """Evict least-recently-used engines until ``space`` fits the
         budget; error if it can never fit."""
         if self.hbm_budget is None:
             return
-        need = self._estimate_nbytes(space)
+        need = self._estimate_nbytes(space, flavor)
         if need > self.hbm_budget:
             from .errors import HBMBudgetExceededError
 
@@ -176,10 +260,67 @@ class Database:
             oldest = next(iter(self._engines))
             del self._engines[oldest]
 
-    def engine(self, space: str | None = None):
+    def index_kind(self, space: str) -> str | None:
+        """Which persisted index sidecar (if any) would drive ``auto``
+        routing for this space: ``"ivfpq"``, ``"pq"``, ``"hnsw"``,
+        ``"ivf"`` or None (brute-force). Mirrors the reference's footer
+        ``Index`` union (``schema/index.fbs:6-36``) — there declarative,
+        here actually consulted by the read path."""
+        if space in self._kind_cache:
+            return self._kind_cache[space]
+        self._kind_cache[space] = kind = self._detect_index_kind(space)
+        return kind
+
+    def _detect_index_kind(self, space: str) -> str | None:
+        from .format.constants import IndexKind, VectorType
+
+        sp = self._reader.vector_space(space)
+        if sp.info.vector_type == VectorType.SPARSE:
+            return None
+        pq = sp.info.pq
+        kind = sp.info.index.kind
+        if pq is not None and pq.codes_block >= 0:
+            if pq.residual and kind == IndexKind.IVF:
+                return "ivfpq"
+            if not pq.residual:
+                return "pq"
+        if kind == IndexKind.HNSW and sp.hnsw_arrays() is not None:
+            return "hnsw"
+        if kind == IndexKind.IVF and sp.ivf_arrays() is not None:
+            return "ivf"
+        return None
+
+    def _build_index_engine(self, space: str, kind: str) -> IndexEngine:
+        sp = self._reader.vector_space(space)
+        params = sp.info.index.params
+        if kind == "pq":
+            return IndexEngine(self.pq_index(space), "pq")
+        if kind == "ivfpq":
+            return IndexEngine(
+                self.ivfpq_index(space), "ivfpq",
+                {"nprobe": int(params.get("nprobe", 16))},
+            )
+        if kind == "ivf":
+            return IndexEngine(
+                self.ivf_index(space), "ivf",
+                {"nprobe": int(params.get("nprobe", 16))},
+            )
+        if kind == "hnsw":
+            return IndexEngine(self.hnsw_index(space), "hnsw")
+        raise ValueError(f"unknown index kind {kind!r}")
+
+    def engine(self, space: str | None = None, mode: str = "auto"):
         """The (lazily built) engine for one space. With a single-space
         file the name may be omitted. Under an ``hbm_budget``, building a
-        new engine may evict least-recently-used ones."""
+        new engine may evict least-recently-used ones.
+
+        ``mode``: ``"auto"`` serves through the space's persisted index
+        sidecar when one exists (:meth:`index_kind` — IVF-PQ/PQ/HNSW/IVF,
+        reattached without retraining, recall-1.0 rerank defaults) and
+        brute-force otherwise; ``"exact"`` always brute-force;
+        ``"index"`` requires a sidecar and errors without one. Exact and
+        index engines for the same space are cached (and budget-accounted)
+        independently."""
         if space is None:
             names = self.space_names
             if len(names) != 1:
@@ -187,40 +328,60 @@ class Database:
                     f"file has {len(names)} spaces; name one of {names}"
                 )
             space = names[0]
-        if space not in self._engines:
-            self._admit(space)
-            sp = self._reader.vector_space(space)
-            from .format.constants import VectorType
-
-            if sp.info.vector_type == VectorType.SPARSE:
-                # sparse spaces route to the (XLA-only) sparse engine;
-                # backend/interpret knobs don't apply there
-                from .sparse import SparseSearchEngine
-
-                self._engines[space] = SparseSearchEngine(sp)
-            else:
-                kw = dict(self._engine_kwargs)
-                if self._interpret is not None:
-                    kw["interpret"] = self._interpret
-                self._engines[space] = SearchEngine(
-                    sp, backend=self._backend, **kw
+        if mode not in ("auto", "exact", "index"):
+            raise ValueError(
+                f"unknown mode {mode!r}; expected 'auto', 'exact' or 'index'"
+            )
+        kind = None
+        if mode != "exact":
+            kind = self.index_kind(space)
+            if kind is None and mode == "index":
+                raise ValueError(
+                    f"space {space!r} persists no index sidecar; build one "
+                    "(Builder.set_pq_index/set_ivf_index/set_hnsw_index) or "
+                    "use mode='exact'"
                 )
+        key = space if kind is None else f"{space}#{kind}"
+        if key not in self._engines:
+            self._admit(space, flavor=kind or "exact")
+            if kind is not None:
+                self._engines[key] = self._build_index_engine(space, kind)
+            else:
+                sp = self._reader.vector_space(space)
+                from .format.constants import VectorType
+
+                if sp.info.vector_type == VectorType.SPARSE:
+                    # sparse spaces route to the (XLA-only) sparse engine;
+                    # backend/interpret knobs don't apply there
+                    from .sparse import SparseSearchEngine
+
+                    self._engines[key] = SparseSearchEngine(sp)
+                else:
+                    kw = dict(self._engine_kwargs)
+                    if self._interpret is not None:
+                        kw["interpret"] = self._interpret
+                    self._engines[key] = SearchEngine(
+                        sp, backend=self._backend, **kw
+                    )
         else:
-            self._engines[space] = self._engines.pop(space)  # LRU touch
-        return self._engines[space]
+            self._engines[key] = self._engines.pop(key)  # LRU touch
+        return self._engines[key]
 
     def batcher(self, space: str | None = None, k: int = 10,
-                where: tuple | list[tuple] | None = None, **kw):
+                where: tuple | list[tuple] | None = None,
+                mode: str = "auto", **kw):
         """A :class:`~.serving.MicroBatcher` over one space's engine —
         the request-coalescing front-end for concurrent single-query
         callers. ``where`` predicates (same form as :meth:`search`)
-        become the batcher's shared prepared filter. Remaining keyword
-        arguments pass through to :class:`~.serving.MicroBatcher`
-        (``max_batch``, ``max_wait_ms``, ...). Caller owns the batcher's
-        lifecycle (use ``with`` or ``close()``)."""
+        become the batcher's shared prepared filter. ``mode`` routes like
+        :meth:`search` (``"auto"`` serves a persisted index sidecar when
+        one exists). Remaining keyword arguments pass through to
+        :class:`~.serving.MicroBatcher` (``max_batch``, ``max_wait_ms``,
+        ...). Caller owns the batcher's lifecycle (use ``with`` or
+        ``close()``)."""
         from .serving import MicroBatcher
 
-        eng = self.engine(space)
+        eng = self.engine(space, mode=mode)
         name = space if space is not None else self.space_names[0]
         mask = None
         if where is not None:
@@ -274,14 +435,25 @@ class Database:
 
     def search(self, space: str | None, queries, k: int = 10,
                where: tuple | list[tuple] | None = None,
-               filter_mask=None) -> SearchResult:
+               filter_mask=None, mode: str = "auto",
+               **search_kwargs) -> SearchResult:
         """Search one space, optionally restricted by metadata predicates.
 
         ``where``: a ``(column, op, value)`` predicate or a list of them
-        (AND-combined), turned into the engine's exact in-kernel filter
-        mask. Composable with an explicit ``filter_mask``.
-        """
-        eng = self.engine(space)
+        (AND-combined), turned into the serving engine's exact filter
+        mask. Composable with an explicit ``filter_mask``. Predicates
+        compose with EVERY routing target (round-5): brute-force engines
+        take them in-kernel, PQ/IVF-PQ/IVF/HNSW indexes through their own
+        ``filter_mask`` planes.
+
+        ``mode``: ``"auto"`` (default) serves through the space's
+        persisted index sidecar when one exists — the footer index drives
+        the read path, reference ``schema/index.fbs:6-36`` — with
+        recall-1.0 rerank defaults; ``"exact"`` forces brute-force;
+        ``"index"`` requires a sidecar. Extra keyword arguments reach the
+        routed engine's ``search`` (e.g. ``nprobe=32``, ``rerank=0``,
+        ``ef=256``)."""
+        eng = self.engine(space, mode=mode)
         name = space if space is not None else self.space_names[0]
         mask = None
         if where is not None:
@@ -292,4 +464,4 @@ class Database:
         if filter_mask is not None:
             fm = np.asarray(filter_mask, dtype=bool)
             mask = fm if mask is None else (mask & fm)
-        return eng.search(queries, k=k, filter_mask=mask)
+        return eng.search(queries, k=k, filter_mask=mask, **search_kwargs)

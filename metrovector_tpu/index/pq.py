@@ -590,6 +590,30 @@ class PQIndex:
         valid[np.asarray(idx, np.int64)] = 0
         self.valid = jax.device_put(valid.astype(np.int32))
 
+    def recommended_rerank(self, k: int = 10, recall_target: float = 1.0) -> int:
+        """Rerank depth expected to reach ``recall_target`` at this ``k``
+        (the plain-PQ mirror of ``IVFPQIndex.recommended_rerank``, anchored
+        at the same measurements: ``rerank = 40·k`` reached recall 1.000 on
+        both the 8-bit m=16/ksub=256 and 4-bit m=32/ksub=16 configs on a
+        1M×128 clustered corpus — ``benchmarks/RESULTS.md`` §4-bit plain
+        PQ). Guidance for corpora of similar difficulty, not a guarantee;
+        returns 0 when the raw ADC scan alone is expected to meet the
+        target. Requires ``keep_vectors`` originals to actually rerank."""
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError(
+                f"recall_target must be in (0, 1], got {recall_target}"
+            )
+        raw = 0.63 if self.packed4 else 0.72
+        if recall_target <= raw:
+            return 0
+        if recall_target >= 0.99:
+            factor = 40
+        elif recall_target >= 0.9:
+            factor = 20
+        else:
+            factor = 12 if self.packed4 else 10
+        return factor * k
+
     def prepare_filter(self, filter_mask):
         """Upload a ``[num_vectors]`` boolean/int row predicate once and
         return a :class:`~metrovector_tpu.engine.PreparedFilter` reusable
