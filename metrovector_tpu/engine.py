@@ -29,7 +29,7 @@ from .errors import (
 )
 from .format.constants import DataType, DistanceMetric, numpy_dtype
 from .format.reader import Reader
-from .ops.distances import distances_np, exact_topk_xla
+from .ops.distances import distances_np, exact_topk_xla, rescore_topk
 from .ops.topk_kernel import fused_topk
 from .utils.transfer import put_chunked
 from .vectors.space import VectorSpace
@@ -232,6 +232,7 @@ class DeviceSpace:
         # row positions back to external IDs — never shipped to the device.
         self.host_ids = host_ids
         self._id_lut: dict | None = None  # lazy id→row map (delete_rows)
+        self._norm_bounds: tuple[float, float] | None = None
 
     # -- construction ---------------------------------------------------------
 
@@ -251,6 +252,11 @@ class DeviceSpace:
         logical region, padding stays 0) so the integer MXU path applies;
         the per-row code sums needed for the affine correction are computed
         once here (see :meth:`prepare_queries` for the algebra)."""
+        if precision not in ("highest", "high", "high_verified", "default"):
+            raise ValueError(
+                f"unknown precision {precision!r}; one of 'highest', "
+                "'high', 'high_verified', 'default'"
+            )
         block = space.padded_array()
         norms = np.asarray(space.norms(), dtype=np.float32)
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
@@ -409,6 +415,7 @@ class DeviceSpace:
             self.host_ids = merged_ids
             self._id_lut = None  # invalidate the lazy id→row map
         self.num_valid = total
+        self._norm_bounds = None  # new rows can widen the norm range
 
     def delete_rows(self, rows=None, ids=None) -> None:
         """Tombstone rows on the live device corpus (by position or by
@@ -450,6 +457,16 @@ class DeviceSpace:
         mask = mask.copy()
         mask[np.asarray(idx, np.int64)] = 0.0
         self.valid_mask = jax.device_put(mask)
+
+    def norm_bounds(self) -> tuple[float, float]:
+        """(max, min) squared L2 norm over the logical rows, cached — the
+        scale factor of the ``high_verified`` certification bound. Stays a
+        conservative bound under :meth:`delete_rows` (masking can only
+        shrink the true range); invalidated by :meth:`add_rows`."""
+        if self._norm_bounds is None:
+            nrm = self.norms[: self.num_valid]
+            self._norm_bounds = (float(jnp.max(nrm)), float(jnp.min(nrm)))
+        return self._norm_bounds
 
     @property
     def padded_rows(self) -> int:
@@ -567,7 +584,21 @@ class SearchEngine:
     def __init__(self, space: VectorSpace | DeviceSpace, backend: str = "pallas",
                  device: Any | None = None, interpret: bool | None = None,
                  precision: str = "highest", block_rows: int | None = None,
-                 query_tile: int | None = None, merge: str | None = None):
+                 query_tile: int | None = None, merge: str | None = None,
+                 verify_margin: int = 8):
+        """``precision`` (f32 spaces, pallas backend): ``"highest"`` —
+        exact f32 dots (6 MXU passes); ``"high"`` — in-kernel bf16x3
+        split, ~f32-faithful but sub-ulp near-ties may swap (measured:
+        one rank-10/11 flip in 80 gated neighbors on GIST1M, oracle gap
+        3.5e-7 — benchmarks/RESULTS.md r4); ``"high_verified"`` — the
+        'high' scan fetches ``k + verify_margin`` candidates and a tiny
+        f32-HIGHEST on-device re-score of just those candidates returns
+        the exact top-k: recall 1.000 at ≈'high' throughput (the repair
+        pass is ``[Q, k+margin]`` — microscopic next to the full-corpus
+        matmul); ``"default"`` — bf16 storage, half the HBM bytes, ties
+        reorder at bf16 resolution. ``verify_margin`` guards the
+        candidate boundary; the measured 'high' failure mode is a
+        single-rank swap, so the default 8 is already generous."""
         if isinstance(space, VectorSpace):
             space = DeviceSpace.from_space(
                 space, device=device, precision=precision
@@ -586,6 +617,14 @@ class SearchEngine:
         self.block_rows = block_rows
         self.query_tile = query_tile
         self.merge = merge
+        if verify_margin < 1:
+            raise ValueError(
+                f"verify_margin must be >= 1, got {verify_margin}"
+            )
+        self.verify_margin = int(verify_margin)
+        # high_verified observability: queries whose certificate held vs
+        # queries that triggered the HIGHEST rerun (degenerate near-ties)
+        self.verify_stats = {"certified": 0, "fallbacks": 0}
         # autotune sets this False so a VMEM-OOMing candidate records an
         # error instead of a measurement silently relabeled by the
         # fused_topk halved-block retry (advisor finding r4)
@@ -754,7 +793,7 @@ class SearchEngine:
             )
         prep = sp.prepare_queries(queries)
         if sp.num_valid == 0:  # empty space: all-sentinel results
-            return (None, None, prep, 0)
+            return (None, None, prep, 0, None)
         k_eff = min(k, sp.num_valid)
         eff_mask = sp.valid_mask
         if filter_mask is not None:
@@ -778,6 +817,7 @@ class SearchEngine:
                 fdev = jax.device_put(full)
             eff_mask = fdev if eff_mask is None else eff_mask * fdev
 
+        vcheck = None  # verified-'high' certification info (pallas f32 only)
         uint8_cosine = (
             sp.dtype == DataType.UINT8 and sp.metric == DistanceMetric.COSINE
         )
@@ -805,14 +845,28 @@ class SearchEngine:
         elif self.backend == "pallas":
             qdev = prep.qdev
             kernel_prec = "highest"
-            if sp.dtype == DataType.FLOAT32 and sp.precision == "high":
+            verified = (
+                sp.dtype == DataType.FLOAT32
+                and sp.precision == "high_verified"
+            )
+            if sp.dtype == DataType.FLOAT32 and (
+                sp.precision == "high" or verified
+            ):
                 kernel_prec = "high"  # in-kernel bf16x3 split
             elif sp.dtype == DataType.FLOAT32 and sp.precision == "default":
                 qdev = qdev.astype(sp.data.dtype)  # bf16-only storage
                 kernel_prec = "default"
+            # verified-'high': over-fetch a small margin at bf16x3 speed,
+            # then exact-rescore just those candidates at f32 HIGHEST —
+            # recall 1.000 at ≈'high' throughput (the full-scan matmul
+            # dominates; the [Q, k+margin] repair pass is microscopic)
+            k_fetch = (
+                min(k_eff + self.verify_margin, sp.num_valid)
+                if verified else k_eff
+            )
             scores, idx = fused_topk(
                 qdev, sp.data, sp.norms,
-                jnp.int32(sp.num_valid), k_eff, sp.metric,
+                jnp.int32(sp.num_valid), k_fetch, sp.metric,
                 valid_mask=eff_mask, scale=prep.dot_scale,
                 bias_row=sp.rowsums, bias_scale=prep.bias_scale,
                 interpret=self.interpret, precision=kernel_prec,
@@ -820,6 +874,20 @@ class SearchEngine:
                 query_tile=self.query_tile or 128,
                 merge=self.merge, vmem_retry=self._vmem_retry,
             )
+            if verified:
+                # k_fetch-th best 'high' score: every non-fetched row lost
+                # the selection to it, so its TRUE (f32 HIGHEST) score is
+                # ≤ boundary + eps where eps bounds |bf16x3 − HIGHEST|.
+                boundary = scores[:, -1]
+                scores, idx = rescore_topk(
+                    qdev, sp.data, sp.norms, idx, k_eff, sp.metric
+                )
+                if k_fetch < sp.num_valid:
+                    vcheck = (
+                        boundary, self._verify_eps(prep), qdev, eff_mask
+                    )
+                # else: every valid row was fetched and exactly rescored —
+                # certified by construction, no bound needed
         else:
             q_x, db_x = prep.qdev, sp.data
             if sp.dtype == DataType.INT8:
@@ -831,12 +899,48 @@ class SearchEngine:
                 q_x, db_x, sp.norms, sp.num_valid, k_eff, sp.metric,
                 valid_mask=eff_mask,
             )
-        return (scores, idx, prep, k_eff)
+        return (scores, idx, prep, k_eff, vcheck)
+
+    def _verify_eps(self, prep) -> np.ndarray:
+        """Per-query sound upper bound on |kernel-'high' score − exact
+        score| in the kernel's internal score space — the certification
+        slack of ``precision="high_verified"``.
+
+        The 'high' kernel dot is a bf16x3 split (``ops/topk_kernel.py``
+        ~:615): ``q·x ≈ q_hi·x_hi + q_hi·x_lo + q_lo·x_hi``. Error terms,
+        all ≤ the stated multiple of ``‖q‖·‖x‖`` (Cauchy–Schwarz):
+
+        - dropped ``q_lo·x_lo``:          ≤ 2⁻¹⁶  (|lo| ≤ 2⁻⁸|x| per side)
+        - ``lo`` re-rounded to bf16:      ≤ 2·2⁻¹⁶
+        - f32 MXU accumulation (γ_D, one rounding per MAC, both the
+          'high' scan and the exact re-score side): ≤ 2·D·2⁻²⁴
+
+        Total raw bound ≈ (3·2⁻¹⁶ + D·2⁻²³)·‖q‖‖x‖; this returns ≥4× that
+        — ``C(D) = 2⁻¹⁴ + D·2⁻²²`` — so the certificate is conservative.
+        Score-space factors: L2 scores are ``2·dot − ‖x‖²`` with the
+        *stored* norm on both sides of the comparison (norm term cancels
+        exactly) → eps = 2·C·‖q‖·max‖x‖; IP → C·‖q‖·max‖x‖; cosine queries
+        are pre-normalized and the ``rsqrt(‖x‖²)`` factor cancels the
+        ``‖x‖`` → eps = C (constant). ``max‖x‖`` comes from the cached
+        :meth:`DeviceSpace.norm_bounds` (conservative under deletes,
+        invalidated by ``add_rows``)."""
+        sp = self.space
+        c = 2.0 ** -14 + sp.dim * 2.0 ** -22
+        if sp.metric == DistanceMetric.COSINE:
+            return np.full(prep.sq_norms.shape, c, np.float32)
+        qn = np.sqrt(prep.sq_norms.astype(np.float64))
+        xmax = float(np.sqrt(max(sp.norm_bounds()[0], 0.0)))
+        mult = 2.0 if sp.metric == DistanceMetric.L2 else 1.0
+        return (mult * c * qn * xmax).astype(np.float32)
 
     def _finalize(self, pending, k: int) -> SearchResult:
-        """Force the readback and convert to a user-facing result."""
+        """Force the readback and convert to a user-facing result. For a
+        ``high_verified`` launch, checks the certification inequality and
+        — only if it fails (degenerate sub-ulp near-tie data) — reruns the
+        launch at f32 HIGHEST so the exactness guarantee holds
+        unconditionally (see :meth:`_verify_eps`)."""
         sp = self.space
-        scores, idx, prep, k_eff = pending
+        scores, idx, prep, k_eff, vcheck = pending
         if k_eff == 0:  # empty space
             nq = prep.qdev.shape[0]
             return SearchResult(
@@ -852,6 +956,32 @@ class SearchEngine:
             )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
+        if vcheck is not None:
+            # Certification: every non-fetched row's 'high' score lost to
+            # the fetch boundary b, so its TRUE score is ≤ b + eps. If the
+            # exact k-th candidate score clears b + eps strictly, the
+            # returned top-k is provably the exact top-k. Failure means the
+            # corpus is degenerate at the boundary (scores within the
+            # bf16x3 error band across > verify_margin rows) — rerun that
+            # batch at f32 HIGHEST so the guarantee holds unconditionally.
+            boundary, eps, qdev, eff_mask = vcheck
+            b = np.asarray(boundary)
+            ok = np.isneginf(b) | (scores[:, k_eff - 1] > b + eps)
+            self.verify_stats["certified"] += int(ok.sum())
+            if not ok.all():
+                self.verify_stats["fallbacks"] += int((~ok).sum())
+                scores, idx = fused_topk(
+                    qdev, sp.data, sp.norms,
+                    jnp.int32(sp.num_valid), k_eff, sp.metric,
+                    valid_mask=eff_mask, scale=prep.dot_scale,
+                    bias_row=sp.rowsums, bias_scale=prep.bias_scale,
+                    interpret=self.interpret, precision="highest",
+                    block_rows=self.block_rows,
+                    query_tile=self.query_tile or 128,
+                    merge=self.merge, vmem_retry=self._vmem_retry,
+                )
+                scores = np.asarray(scores)
+                idx = np.asarray(idx)
         if prep.const is not None:
             # restore the rank-neutral per-query constant so scores and
             # distances are absolute, not just rank-correct

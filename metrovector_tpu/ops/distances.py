@@ -220,6 +220,66 @@ def exact_topk_xla(
     return best_s, jnp.where(jnp.isneginf(best_s), -1, best_i)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def rescore_topk(
+    queries: jax.Array,
+    db: jax.Array,
+    db_norms: jax.Array,
+    cand_idx: jax.Array,
+    k: int,
+    metric: DistanceMetric,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact (f32 HIGHEST) re-scoring of a small candidate set, returning
+    the verified top-k — the second stage of the engine's
+    ``precision="high_verified"`` mode (bf16x3 fetch of ``k + margin``
+    candidates, then this tiny exact pass repairs any sub-ulp boundary
+    swaps; see ``benchmarks/RESULTS.md`` GIST1M 'high' analysis: the
+    measured failure mode is a rank-k/k+1 tie flip 3.5e-7 from the
+    oracle).
+
+    ``queries``: ``[Q, D]`` f32 (cosine queries pre-normalized, matching
+    :meth:`DeviceSpace.prepare_queries`). ``cand_idx``: ``[Q, m]`` row
+    indices from the approximate pass, ``m ≥ k``; ``-1`` marks unfilled
+    slots (fewer than m unmasked rows) and stays ``-1`` in the output.
+    The candidate gather is ``Q·m`` rows — microscopic next to the full
+    scan, so the exact pass costs ~nothing while the scan itself runs at
+    bf16x3 speed. Ties break to the lowest row index (two-key
+    ``lax.sort``), matching :func:`numpy_oracle` exactly.
+    """
+    metric = DistanceMetric(metric)
+    q = queries.astype(jnp.float32)
+    valid = cand_idx >= 0
+    safe = jnp.where(valid, cand_idx, 0)
+    cand = jnp.take(db, safe, axis=0).astype(jnp.float32)  # [Q, m, D]
+    dots = jax.lax.dot_general(
+        q,
+        cand,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, m]
+    nrm = jnp.take(db_norms, safe)  # [Q, m]
+    if metric == DistanceMetric.L2:
+        scores = 2.0 * dots - nrm
+    elif metric == DistanceMetric.COSINE:
+        qin = jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, axis=-1), 1e-30))
+        scores = dots * jax.lax.rsqrt(jnp.maximum(nrm, 1e-30)) * qin[:, None]
+    elif metric == DistanceMetric.INNER_PRODUCT:
+        scores = dots
+    else:
+        raise NotImplementedError(
+            f"metric {metric!r} has no built-in score kernel"
+        )
+    scores = jnp.where(valid, scores, _NEG_INF)
+    tie = jnp.where(valid, cand_idx, jnp.int32(2**31 - 1))
+    neg_s, idx_sorted = jax.lax.sort(
+        (-scores, tie), dimension=-1, num_keys=2, is_stable=True
+    )
+    top_s = -neg_s[:, :k]
+    top_i = idx_sorted[:, :k]
+    return top_s, jnp.where(jnp.isneginf(top_s), -1, top_i)
+
+
 def numpy_oracle(queries, db, k, metric, valid_mask=None):
     """Reference-semantics brute force in NumPy (the scalar loops of
     ``examples/similarity_search.rs:140-176`` vectorized, f64 accumulation):
