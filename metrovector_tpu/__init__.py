@@ -35,6 +35,7 @@ from .format import (
     Writer,
     builder_from_reader,
     compact,
+    rewrite_hints,
 )
 from .vectors import (
     AccessPattern,

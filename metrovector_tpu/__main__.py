@@ -151,32 +151,64 @@ def cmd_search(args) -> int:
 def cmd_tune(args) -> int:
     """Single-launch-time candidate kernel tilings for one space and
     print the report (fastest first) as JSON lines; see
-    ``SearchEngine.autotune`` for the VMEM-cliff rationale."""
-    from .engine import SearchEngine
+    ``SearchEngine.autotune`` for the VMEM-cliff rationale. Routes to the
+    right kernel family: dense brute-force by default, the ELL sparse
+    engine for sparse spaces, the persisted PQ/IVF-PQ ADC scan with
+    ``--index``. ``--save`` persists the winner into the file's
+    PerformanceHints so future opens adopt it."""
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
     r = _open(args.file)
     name = _pick_space(r, args.space)
     sp = r.vector_space(name)
-    if sp.is_sparse:
-        print("error: tune applies to dense spaces", file=sys.stderr)
-        return 1
-    eng = SearchEngine(sp)
-    kw = {}
+    kw = {"persist": bool(args.save)}
     if args.block_rows:
         kw["block_rows_candidates"] = [int(b) for b in args.block_rows.split(",")]
-    if args.query_tile:
-        kw["query_tile_candidates"] = [int(t) for t in args.query_tile.split(",")]
-    report = eng.autotune(k=args.k, batch=args.batch, **kw)
+    if sp.is_sparse:
+        from .sparse import SparseSearchEngine
+
+        eng = SparseSearchEngine(sp)
+        report = eng.autotune(k=args.k, batch=args.batch, **kw)
+        applied = {"block_rows": eng.block_rows}
+    elif args.index:
+        from .database import Database
+
+        db = Database(r)
+        kind = db.index_kind(name)
+        if kind == "pq":
+            idx = db.pq_index(name)
+        elif kind == "ivfpq":
+            idx = db.ivfpq_index(name)
+        else:
+            print(
+                f"error: --index tunes PQ/IVF-PQ ADC scans; space {name!r} "
+                f"persists {kind or 'no'} index sidecar",
+                file=sys.stderr,
+            )
+            return 1
+        report = idx.autotune(k=args.k, batch=args.batch, **kw)
+        applied = {
+            "block_rows": idx.adc_block_rows if kind == "pq"
+            else idx.scan_block_rows
+        }
+    else:
+        from .engine import SearchEngine
+
+        if args.query_tile:
+            kw["query_tile_candidates"] = [
+                int(t) for t in args.query_tile.split(",")
+            ]
+        eng = SearchEngine(sp)
+        report = eng.autotune(k=args.k, batch=args.batch, **kw)
+        applied = {"block_rows": eng.block_rows,
+                   "query_tile": eng.query_tile}
     for row in report:
         print(json.dumps(row))
     if report and np.isfinite(report[0]["ms"]):
-        best = report[0]
-        print(json.dumps({
-            "apply": f"SearchEngine(space, block_rows={best['block_rows']}, "
-                     f"query_tile={best['query_tile']})"
-        }))
+        print(json.dumps(
+            {"applied": applied, "saved": bool(args.save)}
+        ))
     return 0
 
 
@@ -223,6 +255,13 @@ def main(argv=None) -> int:
                    help="comma-separated candidates (default 512,...,4096)")
     p.add_argument("--query-tile", default=None,
                    help="comma-separated candidates (default 128,256)")
+    p.add_argument("--index", action="store_true",
+                   help="tune the persisted PQ/IVF-PQ ADC scan instead of "
+                        "the dense kernel")
+    p.add_argument("--save", action="store_true",
+                   help="persist the winner into the file's "
+                        "PerformanceHints (footer rewrite; future opens "
+                        "adopt it)")
     p.set_defaults(fn=cmd_tune)
 
     from .errors import MvtError

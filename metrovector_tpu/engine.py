@@ -599,7 +599,20 @@ class SearchEngine:
         reorder at bf16 resolution. ``verify_margin`` guards the
         candidate boundary; the measured 'high' failure mode is a
         single-rank swap, so the default 8 is already generous."""
+        self._host_space = None  # file-backed origin (autotune persist)
         if isinstance(space, VectorSpace):
+            self._host_space = space
+            # Adopt tilings a previous autotune(persist=True) wrote into
+            # the file's PerformanceHints — explicit arguments win.
+            from .utils.tune import tuned_hints
+
+            hints = tuned_hints(space, "dense")
+            if block_rows is None:
+                block_rows = hints.get("block_rows")
+            if query_tile is None:
+                query_tile = hints.get("query_tile")
+            if merge is None:
+                merge = hints.get("merge")
             space = DeviceSpace.from_space(
                 space, device=device, precision=precision
             )
@@ -683,7 +696,8 @@ class SearchEngine:
 
     def autotune(self, queries=None, k: int = 10, batch: int = 128,
                  block_rows_candidates=None, query_tile_candidates=None,
-                 iters: int = 3, apply: bool = True) -> list[dict]:
+                 iters: int = 3, apply: bool = True,
+                 persist: bool = False) -> list[dict]:
         """Measure candidate kernel tilings with **single-launch timings**
         (one launch, one forced readback per measurement) and optionally
         apply the fastest to this engine.
@@ -710,7 +724,14 @@ class SearchEngine:
         fixed link round-trip (~50 ms in this dev environment), so
         near-equal configs rank coarsely — but a spill cliff (the thing
         this exists to catch) is a ~100× outlier and always shows. On a
-        local TPU host the readback is sub-ms and the ranking is sharp."""
+        local TPU host the readback is sub-ms and the ranking is sharp.
+
+        ``persist=True`` (with ``apply``) additionally writes the winning
+        tiling into the source file's ``PerformanceHints``
+        (``hints["tuned"][space]["dense"]`` — footer-only rewrite, data
+        blocks and CRCs untouched), so every future engine built from
+        that file adopts it by default; requires an engine constructed
+        from a file-backed ``VectorSpace``. CLI: ``tune --save``."""
         if self.backend != "pallas":
             raise ValueError("autotune applies to the pallas backend only")
         sp = self.space
@@ -722,48 +743,57 @@ class SearchEngine:
             block_rows_candidates = [512, 1024, 2048, 4096]
         if query_tile_candidates is None:
             query_tile_candidates = [128, 256]
+        from .utils.tune import measure_candidates
+
+        if persist and self._host_space is None:
+            raise ValueError(
+                "persist requires an engine built from a file-backed "
+                "VectorSpace (SearchEngine.open / Reader.open)"
+            )
         qn = np.asarray(queries).shape[0]
-        results: list[dict] = []
+        candidates: list[dict] = []
+        for br in block_rows_candidates:
+            for qt in query_tile_candidates:
+                cfg: dict = {"block_rows": br, "query_tile": qt}
+                if qt > max(qn, 128):
+                    # tile larger than the batch adds nothing — record
+                    # the skip so the report doesn't imply coverage
+                    # (raise `batch` to >= the tile to measure it)
+                    cfg["skipped"] = f"query_tile {qt} > batch {qn}"
+                candidates.append(cfg)
+
+        def run_with(cfg):
+            self.block_rows = cfg["block_rows"]
+            self.query_tile = cfg["query_tile"]
+
+            def run():
+                res = self._finalize(self._launch(queries, k), k)
+                np.asarray(res.indices)  # force the readback
+            return run
+
         saved = (self.block_rows, self.query_tile)
         self._vmem_retry = False  # OOM candidates record errors, not
         try:                      # silently-halved relabeled timings
-            for br in block_rows_candidates:
-                for qt in query_tile_candidates:
-                    if qt > max(qn, 128):
-                        # tile larger than the batch adds nothing — record
-                        # the skip so the report doesn't imply coverage
-                        # (raise `batch` to >= the tile to measure it)
-                        results.append({
-                            "block_rows": br, "query_tile": qt,
-                            "ms": float("inf"),
-                            "skipped": f"query_tile {qt} > batch {qn}",
-                        })
-                        continue
-                    self.block_rows, self.query_tile = br, qt
-                    row: dict = {"block_rows": br, "query_tile": qt}
-                    try:
-                        # warm (compile), then best-of-iters single launches
-                        np.asarray(self._finalize(
-                            self._launch(queries, k), k
-                        ).indices)
-                        best = np.inf
-                        for _ in range(max(1, iters)):
-                            t0 = time.perf_counter()
-                            res = self._finalize(self._launch(queries, k), k)
-                            np.asarray(res.indices)  # force the readback
-                            best = min(best, time.perf_counter() - t0)
-                        row["ms"] = best * 1e3
-                    except Exception as exc:  # VMEM OOM etc: record, move on
-                        row["ms"] = float("inf")
-                        row["error"] = str(exc)[:200]
-                    results.append(row)
+            results = measure_candidates(candidates, run_with, iters)
         finally:
             self.block_rows, self.query_tile = saved
             self._vmem_retry = True
-        results.sort(key=lambda r: r["ms"])
         if apply and results and np.isfinite(results[0]["ms"]):
             self.block_rows = results[0]["block_rows"]
             self.query_tile = results[0]["query_tile"]
+            if persist:
+                from .utils.tune import persist_tuned
+
+                cfg = {"block_rows": self.block_rows,
+                       "query_tile": self.query_tile}
+                if self.merge is not None:
+                    cfg["merge"] = self.merge
+                persist_tuned(self._host_space, "dense", cfg)
+        elif persist:
+            raise RuntimeError(
+                "nothing persisted: no finite-time winner to apply "
+                f"(apply={apply})"
+            )
         return results
 
     def search_pipelined(self, query_batches, k: int = 10):

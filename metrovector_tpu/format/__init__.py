@@ -1,6 +1,6 @@
 """MVT file format: tile-aligned columnar storage for vector collections."""
 
-from .builder import Builder, BuiltFile, VectorSpaceHandle, Writer
+from .builder import Builder, BuiltFile, VectorSpaceHandle, Writer, rewrite_hints
 from .compact import builder_from_reader, compact
 from .constants import (
     BLOCK_ALIGN,
@@ -50,4 +50,5 @@ __all__ = [
     "Writer",
     "builder_from_reader",
     "compact",
+    "rewrite_hints",
 ]

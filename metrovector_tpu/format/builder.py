@@ -37,6 +37,7 @@ from ..errors import (
     BuildError,
     DimensionMismatchError,
     IndexOutOfBoundsError,
+    InvalidFormatError,
     InvalidVectorTypeError,
     VectorSpaceNotFoundError,
 )
@@ -904,3 +905,66 @@ class Writer:
 
     def write(self, built: BuiltFile) -> None:
         built.save(self.path)
+
+
+def _merge_hints(dst: dict, src: dict) -> None:
+    for key, value in src.items():
+        if isinstance(value, dict) and isinstance(dst.get(key), dict):
+            _merge_hints(dst[key], value)
+        else:
+            dst[key] = value
+
+
+def rewrite_hints(path: str | os.PathLike, updates: dict[str, Any]) -> None:
+    """Merge ``updates`` into an existing file's ``PerformanceHints``
+    manifest table by rewriting only the footer, in place — data blocks
+    (and their per-block CRCs) are untouched, so
+    ``Reader.validate_with_checksum`` still passes afterwards.
+
+    The persistence half of autotuning: tuned kernel tilings
+    (``SearchEngine.autotune(persist=True)``, ``PQIndex.autotune``,
+    ``SparseSearchEngine.autotune``) land under ``hints["tuned"][space]``
+    and engines reattached from the file adopt them by default — the same
+    consume-from-hints pattern as ``stream_chunk_rows``
+    (``parallel/streaming.py``). Merge is one-level-deep: dict values
+    merge key-wise (so tuning one space keeps other spaces' entries),
+    everything else replaces.
+
+    Reference anchor: the ``PerformanceHints`` table exists in the schema
+    (``schema/core.fbs``) but the reference never reads or writes it.
+
+    Not safe concurrently with a writer of the same file; readers holding
+    the old mmap keep serving the old footer (their data views are
+    unaffected — blocks don't move)."""
+    from .constants import MAGIC_LEN, MIN_FILE_SIZE
+
+    path = os.fspath(path)
+    with open(path, "r+b") as f:
+        size = os.fstat(f.fileno()).st_size
+        if size < MIN_FILE_SIZE:
+            raise InvalidFormatError(
+                f"file too small to be MVT ({size} bytes)"
+            )
+        f.seek(size - MAGIC_LEN)
+        if f.read(MAGIC_LEN) != MAGIC:
+            raise InvalidFormatError("bad end magic (truncated or corrupt file)")
+        flen_off = size - MAGIC_LEN - FOOTER_LEN_SIZE
+        f.seek(flen_off)
+        footer_len = int.from_bytes(f.read(FOOTER_LEN_SIZE), "little")
+        footer_start = flen_off - footer_len
+        if footer_len <= 0 or footer_start < MAGIC_LEN:
+            raise InvalidFormatError(
+                f"footer length {footer_len} out of bounds for file of "
+                f"{size} bytes"
+            )
+        f.seek(footer_start)
+        manifest = Manifest.from_bytes(f.read(footer_len))
+        _merge_hints(manifest.hints, updates)
+        footer = manifest.to_bytes()
+        f.seek(footer_start)
+        f.write(footer)
+        f.write(len(footer).to_bytes(FOOTER_LEN_SIZE, "little"))
+        f.write(MAGIC)
+        f.truncate()
+        f.flush()
+        os.fsync(f.fileno())

@@ -226,6 +226,18 @@ class IVFPQIndex:
     # Half the code memory AND the faster ADC formulation (16× smaller
     # one-hot, 8× fewer MACs — benchmarks/RESULTS.md deep100m-pq4).
     packed4: bool = False
+    # Preferred masked-scan tile (None = the static cost model, which on
+    # this biased-scan family measured a 77× miss: auto 3072 vs best 1024
+    # on 4-bit codes — benchmarks/RESULTS.md §4-bit IVF-PQ). Set by
+    # :meth:`autotune` or adopted from persisted hints in
+    # :meth:`from_space`.
+    scan_block_rows: int | None = None
+    _host_space: object | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _vmem_retry: bool = dataclasses.field(
+        default=True, repr=False, compare=False
+    )
 
     @classmethod
     def build(
@@ -401,7 +413,7 @@ class IVFPQIndex:
         q = space.quantization
         if q is not None:
             vectors = (vectors - q.zero_point) * q.scale
-        return cls.build(
+        idx = cls.build(
             vectors,
             space.metric,
             num_clusters,
@@ -419,6 +431,13 @@ class IVFPQIndex:
             ids=space.ids(),
             pack4=pack4,
         )
+        from ..utils.tune import tuned_hints
+
+        h = tuned_hints(space, "ivfpq")
+        if h.get("block_rows"):
+            idx.scan_block_rows = int(h["block_rows"])
+        idx._host_space = space
+        return idx
 
     @property
     def num_clusters(self) -> int:
@@ -750,7 +769,7 @@ class IVFPQIndex:
             self.metric, valid_mask=eff_valid, group_bias=bias,
             group_ids=self.row_bucket, interpret=interpret,
             exact_lut=exact_lut, packed4=self.packed4,
-            block_rows=block_rows,
+            block_rows=block_rows, vmem_retry=self._vmem_retry,
         )
         if shift_ok:
             mult = 2.0 if self.metric == DistanceMetric.L2 else 1.0
@@ -849,6 +868,8 @@ class IVFPQIndex:
                 "scan" if q.shape[0] >= self.SCAN_CROSSOVER_BATCH else "probe"
             )
         qdev = jax.device_put(q)
+        if block_rows is None:
+            block_rows = self.scan_block_rows
         row_filter = self._filter_device(filter_mask)
         if mode == "scan":
             s, i = self._masked_scan(
@@ -893,3 +914,74 @@ class IVFPQIndex:
             indices=i, scores=s, distances=dist, metric=self.metric,
             ids=ids_for_rows(self.host_ids, i),
         )
+
+    def autotune(self, queries=None, k: int = 10, batch: int = 128,
+                 nprobe: int = 16, block_rows_candidates=None,
+                 iters: int = 3, apply: bool = True, persist: bool = False,
+                 **search_kw) -> list[dict]:
+        """Measure candidate masked-scan ``block_rows`` with single-launch
+        timings and optionally apply/persist the fastest
+        (:attr:`scan_block_rows`; ``hints["tuned"][space]["ivfpq"]``).
+
+        This is THE kernel with the measured 77× static-model miss: the
+        biased 4-bit scan's auto ``block_rows=3072`` vs the measured best
+        1024 (``benchmarks/RESULTS.md`` §4-bit IVF-PQ) — the group-bias
+        one-hot columns put its VMEM profile in the cliff-prone regime.
+        The candidate list includes the static model's own pick (with the
+        bias columns charged) so the report shows whether it was right.
+        ``**search_kw`` reaches :meth:`search` (e.g. ``rerank=``,
+        ``exact_lut=``); the scan mode is forced since only it takes the
+        tile. Tuning batches below ``SCAN_CROSSOVER_BATCH`` still measure
+        the scan — the knob only serves that mode."""
+        from ..ops.adc_kernel import default_adc_block_rows
+        from ..utils.tune import measure_candidates
+
+        if persist and self._host_space is None:
+            raise ValueError(
+                "persist requires an index built from a file-backed "
+                "VectorSpace (IVFPQIndex.from_space)"
+            )
+        if queries is None:
+            queries = np.random.default_rng(0).standard_normal(
+                (batch, self.dim)
+            ).astype(np.float32)
+        if block_rows_candidates is None:
+            m = int(self.codebooks.shape[0])
+            ksub = int(self.codebooks.shape[1])
+            model_pick = default_adc_block_rows(
+                m, ksub,
+                exact_lut=bool(search_kw.get("exact_lut", False)),
+                extra_cols=self.num_buckets,
+                packed4=self.packed4,
+            )
+            block_rows_candidates = sorted(
+                {512, 1024, 2048, 4096, model_pick}
+            )
+        candidates = [{"block_rows": int(br)} for br in block_rows_candidates]
+
+        def run_with(cfg):
+            def run():
+                self.search(queries, k=k, nprobe=nprobe, mode="scan",
+                            block_rows=cfg["block_rows"], **search_kw)
+            return run
+
+        self._vmem_retry = False
+        try:
+            results = measure_candidates(candidates, run_with, iters)
+        finally:
+            self._vmem_retry = True
+        if apply and results and np.isfinite(results[0]["ms"]):
+            self.scan_block_rows = results[0]["block_rows"]
+            if persist:
+                from ..utils.tune import persist_tuned
+
+                persist_tuned(
+                    self._host_space, "ivfpq",
+                    {"block_rows": self.scan_block_rows},
+                )
+        elif persist:
+            raise RuntimeError(
+                "nothing persisted: no finite-time winner to apply "
+                f"(apply={apply})"
+            )
+        return results

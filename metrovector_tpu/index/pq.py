@@ -345,6 +345,20 @@ class PQIndex:
     # semantics); result positions translate through it so ids stay valid
     # across compaction, like every brute-force surface.
     host_ids: np.ndarray | None = None
+    # Preferred ADC scan tile (None = the static ``default_adc_block_rows``
+    # cost model). Set by :meth:`autotune` — the family where the static
+    # model's measured miss was worst (auto 3072 vs best 1024 ran 77×
+    # slower on the 4-bit biased path, ``benchmarks/RESULTS.md``) — or
+    # adopted from persisted hints by :meth:`from_space`.
+    adc_block_rows: int | None = None
+    # File-backed origin (enables autotune(persist=True)); not part of the
+    # value identity of the index.
+    _host_space: object | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _vmem_retry: bool = dataclasses.field(
+        default=True, repr=False, compare=False
+    )
 
     @classmethod
     def build(
@@ -459,7 +473,7 @@ class PQIndex:
             mask = space.tombstone_mask()
             if mask is not None:
                 valid = jax.device_put((~mask).astype(np.int32))
-            return cls(
+            idx = cls(
                 codebooks=np.ascontiguousarray(codebooks, np.float32),
                 codes=put_chunked(np.ascontiguousarray(codes, np.uint8)),
                 recon_norms=jax.device_put(
@@ -472,11 +486,12 @@ class PQIndex:
                 host_ids=space.ids(),
                 packed4=bool(space.info.pq.packed4),
             )
+            return cls._adopt_hints(idx, space)
         vectors = np.asarray(space.to_numpy(), dtype=np.float32)
         q = space.quantization
         if q is not None:
             vectors = (vectors - q.zero_point) * q.scale
-        return cls.build(
+        idx = cls.build(
             vectors,
             space.metric,
             m=m,
@@ -490,6 +505,20 @@ class PQIndex:
             valid_mask=space.tombstone_mask(),
             ids=space.ids(),
         )
+        return cls._adopt_hints(idx, space)
+
+    @staticmethod
+    def _adopt_hints(idx, space):
+        """Adopt a persisted tuned ADC tiling (``autotune(persist=True)``
+        wrote it into the file's PerformanceHints) and remember the
+        file-backed origin so :meth:`autotune` can persist back."""
+        from ..utils.tune import tuned_hints
+
+        h = tuned_hints(space, "adc")
+        if h.get("block_rows"):
+            idx.adc_block_rows = int(h["block_rows"])
+        idx._host_space = space
+        return idx
 
     @property
     def m(self) -> int:
@@ -696,6 +725,8 @@ class PQIndex:
         qnorms = np.einsum("ij,ij->i", q, q, dtype=np.float64).astype(np.float32)
         qdev = jax.device_put(q)
         eff_valid = self._effective_mask(filter_mask)
+        if block_rows is None:
+            block_rows = self.adc_block_rows
         fetch = max(k, rerank) if rerank else k
         fetch = min(fetch, self.num_vectors) or 1
         on_tpu = jax.default_backend() == "tpu"
@@ -728,6 +759,7 @@ class PQIndex:
                 interpret=not on_tpu,
                 int8_lut=int8_lut,
                 packed4=self.packed4,
+                vmem_retry=self._vmem_retry,
             )
         else:
             flat_books = jnp.asarray(
@@ -777,3 +809,79 @@ class PQIndex:
             indices=i, scores=s, distances=dist, metric=self.metric,
             ids=ids_for_rows(self.host_ids, i),
         )
+
+    def autotune(self, queries=None, k: int = 10, batch: int = 128,
+                 block_rows_candidates=None, iters: int = 3,
+                 apply: bool = True, persist: bool = False,
+                 **search_kw) -> list[dict]:
+        """Measure candidate ADC ``block_rows`` with single-launch timings
+        (one launch, one forced readback each) and optionally apply the
+        fastest as this index's default scan tile.
+
+        This is the kernel family where the static cost model
+        (``default_adc_block_rows``) missed worst in practice: on the
+        4-bit biased path its auto pick of 3072 ran **77× slower** than
+        the measured best 1024 (``benchmarks/RESULTS.md`` §4-bit IVF-PQ)
+        — a silent Mosaic VMEM-spill cliff that only a timed launch
+        exposes. The default candidate list includes the static model's
+        own pick so the report shows whether it was right.
+
+        ``**search_kw`` reaches :meth:`search` (e.g. ``rerank=``,
+        ``int8_lut=``, ``backend=``) so the measured configuration is the
+        served one. A VMEM-OOMing candidate records ``ms=inf`` and its
+        error instead of the kernel's silently-halved retry tiling.
+        ``apply=True`` sets :attr:`adc_block_rows`; ``persist=True``
+        additionally writes it into the source file's PerformanceHints
+        (``hints["tuned"][space]["adc"]``) — requires an index built via
+        :meth:`from_space` on a file-backed space."""
+        from ..ops.adc_kernel import default_adc_block_rows
+        from ..utils.tune import measure_candidates
+
+        if persist and self._host_space is None:
+            raise ValueError(
+                "persist requires an index built from a file-backed "
+                "VectorSpace (PQIndex.from_space)"
+            )
+        if queries is None:
+            queries = np.random.default_rng(0).standard_normal(
+                (batch, self.dim)
+            ).astype(np.float32)
+        if block_rows_candidates is None:
+            model_pick = default_adc_block_rows(
+                self.m, self.ksub,
+                exact_lut=bool(search_kw.get("exact_lut", True))
+                and not search_kw.get("int8_lut", False),
+                packed4=self.packed4,
+            )
+            block_rows_candidates = sorted(
+                {512, 1024, 2048, 4096, model_pick}
+            )
+        candidates = [{"block_rows": int(br)} for br in block_rows_candidates]
+
+        def run_with(cfg):
+            def run():
+                # search returns host arrays — the readback is inherent
+                self.search(queries, k=k, block_rows=cfg["block_rows"],
+                            **search_kw)
+            return run
+
+        self._vmem_retry = False
+        try:
+            results = measure_candidates(candidates, run_with, iters)
+        finally:
+            self._vmem_retry = True
+        if apply and results and np.isfinite(results[0]["ms"]):
+            self.adc_block_rows = results[0]["block_rows"]
+            if persist:
+                from ..utils.tune import persist_tuned
+
+                persist_tuned(
+                    self._host_space, "adc",
+                    {"block_rows": self.adc_block_rows},
+                )
+        elif persist:
+            raise RuntimeError(
+                "nothing persisted: no finite-time winner to apply "
+                f"(apply={apply})"
+            )
+        return results

@@ -263,12 +263,16 @@ def fused_adc_topk(
     group_ids=None,
     int8_lut: bool = False,
     packed4: bool = False,
+    vmem_retry: bool = True,
 ):
     """VMEM-robust front end: retries with halved ``block_rows`` on Mosaic
-    scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`)."""
+    scoped-VMEM rejections (same policy as :func:`.topk_kernel.fused_topk`).
+    ``vmem_retry=False`` re-raises the first OOM instead — autotune uses it
+    so a failing candidate records an error rather than a silently-halved
+    relabeled measurement."""
     bn = block_rows
     last_exc = None
-    for _ in range(5):
+    for _ in range(5 if vmem_retry else 1):
         try:
             return _fused_adc_topk(
                 queries, codes, codebooks, recon_norms, num_valid, k, metric,

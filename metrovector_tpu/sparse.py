@@ -324,6 +324,16 @@ class SparseSearchEngine:
         )
         self.name = space.name
         self.host_ids = space.ids()
+        # ELL scan tile override (None = the per-call ~400 MB-bound static
+        # pick in :meth:`search`). Set explicitly, by :meth:`autotune`, or
+        # adopted from tilings persisted in the file's PerformanceHints.
+        from .utils.tune import tuned_hints
+
+        self.block_rows: int | None = None
+        h = tuned_hints(space, "sparse")
+        if h.get("block_rows"):
+            self.block_rows = int(h["block_rows"])
+        self._host_space = space
 
     @property
     def nbytes(self) -> int:
@@ -398,10 +408,19 @@ class SparseSearchEngine:
             fdev = self._put(full)
             eff_valid = fdev if eff_valid is None else eff_valid * fdev
         if self.formulation == "ell":
-            # block size: bound the [B·R, Q] gather tile to ~400 MB
-            b = _ELL_ROW_PAD
-            while b > 1024 and b * self.r_cap * nq * 4 > 400e6:
-                b //= 2
+            if self.block_rows is not None:
+                b = int(self.block_rows)
+                n_pad = int(self._norms.shape[0])
+                if b <= 0 or n_pad % b:
+                    raise ValueError(
+                        f"block_rows {b} must divide the padded row count "
+                        f"{n_pad} (powers of two up to {_ELL_ROW_PAD})"
+                    )
+            else:
+                # block size: bound the [B·R, Q] gather tile to ~400 MB
+                b = _ELL_ROW_PAD
+                while b > 1024 and b * self.r_cap * nq * 4 > 400e6:
+                    b //= 2
             s, i = _sparse_topk_ell(
                 self._put(qk), self._cols_ell, self._vals_ell,
                 self._ovf_cols, self._ovf_rows, self._ovf_vals,
@@ -431,3 +450,67 @@ class SparseSearchEngine:
         return SearchResult(indices=i, scores=s, distances=dist,
                             metric=self.metric,
                             ids=ids_for_rows(self.host_ids, i))
+
+    def autotune(self, queries=None, k: int = 10, batch: int = 128,
+                 block_rows_candidates=None, iters: int = 3,
+                 apply: bool = True, persist: bool = False) -> list[dict]:
+        """Measure candidate ELL scan tiles with single-launch timings and
+        optionally apply/persist the fastest (:attr:`block_rows`;
+        ``hints["tuned"][space]["sparse"]``). ELL formulation only (the
+        COO segment-sum path has no row tile). Candidates must divide the
+        padded row count — the defaults (powers of two up to the 8192 row
+        pad) always do. The static per-call pick bounds the [B·R, Q]
+        gather tile to ~400 MB; measurement replaces that guess with this
+        corpus's actual sweet spot (gather issue rate is the measured
+        bound — ``benchmarks/RESULTS.md`` r4 sparse)."""
+        from .utils.tune import measure_candidates
+
+        if self.formulation != "ell":
+            raise ValueError(
+                "autotune applies to the ELL formulation only"
+            )
+        if persist and self._host_space is None:
+            raise ValueError("persist requires a file-backed space")
+        if queries is None:
+            rng = np.random.default_rng(0)
+            queries = rng.standard_normal((batch, self.dim)).astype(
+                np.float32
+            )
+        if block_rows_candidates is None:
+            block_rows_candidates = [1024, 2048, 4096, 8192]
+        n_pad = int(self._norms.shape[0])
+        candidates = []
+        for br in block_rows_candidates:
+            cfg: dict = {"block_rows": int(br)}
+            if br <= 0 or n_pad % br:
+                cfg["skipped"] = (
+                    f"block_rows {br} does not divide padded rows {n_pad}"
+                )
+            candidates.append(cfg)
+
+        def run_with(cfg):
+            def run():
+                saved = self.block_rows
+                self.block_rows = cfg["block_rows"]
+                try:
+                    self.search(queries, k=k)  # returns host arrays
+                finally:
+                    self.block_rows = saved
+            return run
+
+        results = measure_candidates(candidates, run_with, iters)
+        if apply and results and np.isfinite(results[0]["ms"]):
+            self.block_rows = results[0]["block_rows"]
+            if persist:
+                from .utils.tune import persist_tuned
+
+                persist_tuned(
+                    self._host_space, "sparse",
+                    {"block_rows": self.block_rows},
+                )
+        elif persist:
+            raise RuntimeError(
+                "nothing persisted: no finite-time winner to apply "
+                f"(apply={apply})"
+            )
+        return results

@@ -94,7 +94,15 @@ def test_cli_tune(mixed_file, capsys):
     report = [r for r in lines if "block_rows" in r]
     assert len(report) == 2
     assert report == sorted(report, key=lambda r: r["ms"])
-    assert any("apply" in r for r in lines)
+    assert any("applied" in r for r in lines)
 
-    # sparse space refused cleanly
-    assert main(["tune", path, "-s", "sp"]) == 1
+    # sparse spaces route to the ELL engine's autotune (round-5)
+    assert main([
+        "tune", path, "-s", "sp", "-k", "2", "--batch", "4",
+        "--block-rows", "8192",
+    ]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert any("applied" in r for r in lines)
+
+    # --index without a persisted PQ/IVF-PQ sidecar is refused cleanly
+    assert main(["tune", path, "-s", "dense", "--index"]) == 1
