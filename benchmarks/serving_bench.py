@@ -14,9 +14,16 @@ Prints one JSON line per mode:
   {"mode": "pipelined"|"plain", "qps": ..., "p50_ms": ..., "p99_ms": ...,
    "occupancy": ..., "batches": ..., "requests": ...}
 
+The "filtered" mode measures per-request predicate serving (round-5):
+each client carries one of MVT_SB_PREDICATES prepared metadata filters
+(selectivity ~1/P each) and requests coalesce by predicate group —
+the datapoint is how much QPS survives 2-4 live predicates splitting
+every drain window into per-group launches.
+
 Env knobs: MVT_SB_N (corpus rows, default 1_000_000), MVT_SB_THREADS
 (default 64), MVT_SB_SECONDS (timed window per mode, default 8),
-MVT_SB_MODES ("pipelined,plain"), MVT_SB_MAX_BATCH (default 256).
+MVT_SB_MODES ("pipelined,plain"; also "filtered"), MVT_SB_MAX_BATCH
+(default 256), MVT_SB_PREDICATES (filtered mode, default 4).
 """
 
 from __future__ import annotations
@@ -93,8 +100,25 @@ def main() -> None:
         log(f"warm batch {s}: done at +{time.perf_counter() - t0:.1f}s")
 
     queries = rng.integers(0, 256, (4096, d)).astype(np.float32)
+    n_pred = int(os.environ.get("MVT_SB_PREDICATES", 4))
+    prepared = None
+    if any(m.strip() == "filtered" for m in modes):
+        # P disjoint ~1/P-selectivity predicates (a tenant/shard column),
+        # prepared once — the recommended per-request serving shape
+        labels = rng.integers(0, n_pred, n)
+        prepared = [eng.prepare_filter(labels == p) for p in range(n_pred)]
+        # the masked kernel is a distinct executable per rung: warm it
+        for sz in ladder:
+            q = rng.integers(0, 256, (sz, d)).astype(np.float32)
+            np.asarray(
+                eng.search(q, k=k, filter_mask=prepared[0]).indices
+            )
+        log(f"warm filtered ladder: done at "
+            f"+{time.perf_counter() - t0:.1f}s")
+
     for mode in modes:
-        pipelined = mode.strip() == "pipelined"
+        mode = mode.strip()
+        pipelined = mode == "pipelined"
         mb = MicroBatcher(
             eng, k=k, max_batch=max_batch, max_wait_ms=1.0,
             pipeline=pipelined,
@@ -105,9 +129,12 @@ def main() -> None:
 
         def client(i: int):
             j = i
+            fm = prepared[i % n_pred] if mode == "filtered" else None
             while not stop.is_set():
                 t = time.monotonic()
-                mb.search(queries[j % len(queries)], timeout=120)
+                mb.submit(
+                    queries[j % len(queries)], filter_mask=fm
+                ).result(timeout=120)
                 lats[i].append((time.monotonic() - t) * 1e3)
                 counts[i] += 1
                 j += threads
@@ -128,17 +155,20 @@ def main() -> None:
         s = mb.stats()
         lat = sorted(x for li in lats for x in li)
         out = {
-            "mode": "pipelined" if pipelined else "plain",
+            "mode": mode,
             "qps": round(done / dt, 1),
             "p50_ms": round(lat[len(lat) // 2], 2) if lat else None,
             "p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))], 2)
             if lat else None,
             "occupancy": round(s.occupancy, 3),
             "batches": s.batches,
+            "windows": s.windows,
             "requests": s.requests,
             "threads": threads,
             "backend": backend,
         }
+        if mode == "filtered":
+            out["predicates"] = n_pred
         print(json.dumps(out), flush=True)
 
 

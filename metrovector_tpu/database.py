@@ -391,6 +391,30 @@ class Database:
                 mask = m if mask is None else (mask & m)
         return MicroBatcher(eng, k=k, filter_mask=mask, **kw)
 
+    def prepare_where(self, space: str | None = None,
+                      where: tuple | list[tuple] | None = None,
+                      mode: str = "auto"):
+        """Build a metadata predicate mask and prepare it on the space's
+        serving engine — the per-request predicate shape for
+        :meth:`batcher`: prepare each hot predicate once, then
+        ``batcher.submit(q, filter_mask=prepared)``; same-predicate
+        requests coalesce into the same batch
+        (:meth:`~.serving.MicroBatcher.submit`). ``where`` follows
+        :meth:`search` (a ``(column, op, value)`` tuple or an
+        AND-combined list); ``mode`` must match the batcher's routing so
+        the prepared plane fits the engine that will consume it."""
+        if where is None:
+            raise ValueError("prepare_where needs at least one predicate")
+        eng = self.engine(space, mode=mode)
+        name = space if space is not None else self.space_names[0]
+        preds = [where] if isinstance(where, tuple) else list(where)
+        mask = None
+        for col, op, value in preds:
+            m = self.column_mask(name, col, op, value)
+            mask = m if mask is None else (mask & m)
+        prep = getattr(eng, "prepare_filter", None)
+        return prep(mask) if prep else mask
+
     def pq_index(self, space: str, **kw):
         """Reattach (or build) the space's PQ index — persisted codebooks
         /codes/norms load without retraining (``PQIndex.from_space``)."""

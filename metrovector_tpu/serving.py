@@ -71,6 +71,12 @@ class BatcherStats:
     requests: int = 0
     rows: int = 0
     batches: int = 0
+    # Coalescing windows drained by the worker. Without per-request
+    # predicates ``windows == batches``; with them, one window launches
+    # one batch per distinct predicate group it gathered — so
+    # ``batches / windows`` is the live predicate diversity and
+    # coalescing is healthy while ``rows / batches`` stays large.
+    windows: int = 0
     padded_rows: int = 0
     p50_ms: float = 0.0
     p99_ms: float = 0.0
@@ -86,6 +92,11 @@ class _Request:
     k: int
     future: Future
     t_submit: float
+    # Predicate-group key: None = the batcher's shared filter; requests
+    # coalesce only within their group (same mask ⇒ same batch).
+    group: Any = None
+    # The request's own filter payload (PreparedFilter or raw mask).
+    fmask: Any = None
 
 
 _LAT_SAMPLE_CAP = 8192
@@ -117,11 +128,11 @@ class MicroBatcher:
         coalescing-by-time (each drain takes whatever is already queued).
     filter_mask:
         Optional shared ``[num_vectors]`` row predicate applied to every
-        request (e.g. a tenant filter); prepared once on-device via
-        ``engine.prepare_filter`` when the engine supports it. Per-request
-        masks are deliberately unsupported — they would defeat coalescing;
-        run distinct predicates through distinct batchers or prepared
-        filters on direct ``search`` calls.
+        request that doesn't carry its own (e.g. a tenant filter);
+        prepared once on-device via ``engine.prepare_filter`` when the
+        engine supports it. Per-request predicates go through
+        :meth:`submit`'s ``filter_mask=`` and coalesce **by predicate
+        group** — see there.
     buckets:
         Ascending batch-size ladder to pad drained batches onto. Default:
         powers of two from 1 to ``max_batch``. Batches larger than the top
@@ -197,6 +208,10 @@ class MicroBatcher:
         # directly and are accepted as engines themselves
         self._dim = int(getattr(engine, "space", engine).dim)
         self._search_kwargs = dict(search_kwargs or {})
+        # raw per-request masks, prepared on-device once per predicate
+        # group (worker thread only) and LRU-capped
+        self._fcache: dict = {}
+        self._fcache_cap = 32
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._closed = False
         self._lock = threading.Lock()
@@ -209,12 +224,27 @@ class MicroBatcher:
 
     # -- client surface ---------------------------------------------------
 
-    def submit(self, query, k: int | None = None) -> Future:
+    def submit(self, query, k: int | None = None,
+               filter_mask=None) -> Future:
         """Enqueue one query (``[dim]``) or query group (``[m, dim]``);
         returns a future resolving to that request's own
         :class:`~.engine.SearchResult` (``[1, k]`` rows for a bare vector).
         Shape errors raise here, immediately — a malformed request never
-        reaches the worker, so it cannot fail other callers' batch."""
+        reaches the worker, so it cannot fail other callers' batch.
+
+        ``filter_mask``: optional per-request row predicate — a
+        ``PreparedFilter`` (from ``engine.prepare_filter``; the fast
+        serving shape for a set of hot predicates) or a raw
+        ``[num_vectors]`` boolean/int mask. Requests coalesce **by
+        predicate group**: same prepared filter object (or byte-identical
+        raw mask) ⇒ same batch; a drain window holding several distinct
+        predicates launches one batch per group, so coalescing survives a
+        handful of live predicates (``stats().windows`` vs ``batches``
+        shows the diversity). Raw masks are prepared on-device once per
+        group and LRU-cached. A per-request mask **replaces** the
+        batcher's shared ``filter_mask`` for that request — AND them
+        host-side first if both must apply. Results are bit-identical to
+        a direct ``engine.search(..., filter_mask=...)`` call."""
         if self._closed:
             raise BatcherClosedError("submit() after close()")
         kk = self.k if k is None else int(k)
@@ -233,8 +263,29 @@ class MicroBatcher:
             )
         if q.shape[0] == 0:
             raise ValueError("empty query group")
+        group = fmask = None
+        if filter_mask is not None:
+            if hasattr(filter_mask, "mask"):  # prepared: identity-keyed
+                group, fmask = ("prep", id(filter_mask)), filter_mask
+            else:
+                fm = np.asarray(filter_mask)
+                n = getattr(
+                    getattr(self.engine, "space", None), "num_valid", None
+                )
+                if n is None:
+                    n = getattr(self.engine, "num_vectors", None)
+                if n is not None and fm.shape != (int(n),):
+                    # validate HERE so a malformed mask can never fail an
+                    # innocent batch in the worker
+                    raise DimensionMismatchError(
+                        expected=int(n),
+                        actual=fm.shape[0] if fm.ndim == 1
+                        else tuple(fm.shape),
+                    )
+                fm = np.ascontiguousarray(fm, dtype=bool)
+                group, fmask = ("mask", hash(fm.tobytes())), fm
         fut: Future = Future()
-        req = _Request(q, kk, fut, time.monotonic())
+        req = _Request(q, kk, fut, time.monotonic(), group, fmask)
         self._q.put(req)  # blocks when full: backpressure
         with self._lock:
             self._stats.requests += 1
@@ -329,7 +380,10 @@ class MicroBatcher:
                     req = self._q.get()
                     if req is None:
                         return
-                batch = [req]
+                # one drain window, grouped by predicate: same-mask
+                # requests coalesce into one batch; distinct masks launch
+                # as separate (smaller) batches from the same window
+                groups: dict = {req.group: [req]}
                 rows = req.rows.shape[0]
                 deadline = time.monotonic() + self.max_wait_s
                 stop = False
@@ -349,16 +403,23 @@ class MicroBatcher:
                         # next batch so launched shapes stay on the ladder
                         carry = nxt
                         break
-                    batch.append(nxt)
+                    groups.setdefault(nxt.group, []).append(nxt)
                     rows += nxt.rows.shape[0]
-                if fq is not None:
-                    inflight = self._launch(batch, rows)
-                    if inflight is not None:
-                        fq.put(inflight)  # depth 1: blocks while i-1 reads back
-                else:
-                    self._execute(batch, rows)
+                with self._lock:
+                    self._stats.windows += 1
+                for batch in groups.values():
+                    nrows = sum(r.rows.shape[0] for r in batch)
+                    if fq is not None:
+                        inflight = self._launch(batch, nrows)
+                        if inflight is not None:
+                            # depth 1: blocks while i-1 reads back
+                            fq.put(inflight)
+                    else:
+                        self._execute(batch, nrows)
                 if stop:
                     if carry is not None:
+                        with self._lock:
+                            self._stats.windows += 1
                         if fq is not None:
                             inflight = self._launch([carry], carry.rows.shape[0])
                             if inflight is not None:
@@ -406,12 +467,34 @@ class MicroBatcher:
             except Exception:  # cancelled or already resolved elsewhere
                 pass
 
+    def _group_filter(self, batch: list[_Request]):
+        """The device filter for one predicate group (worker thread
+        only). ``group=None`` → the batcher's shared filter; prepared
+        per-request filters pass through; raw masks are prepared once per
+        group via ``engine.prepare_filter`` and LRU-cached (engines
+        without ``prepare_filter`` take the raw mask per launch)."""
+        r = batch[0]
+        if r.group is None:
+            return self._filter
+        if hasattr(r.fmask, "mask"):  # already prepared by the caller
+            return r.fmask
+        cached = self._fcache.get(r.group)
+        if cached is None:
+            prep = getattr(self.engine, "prepare_filter", None)
+            cached = prep(r.fmask) if prep else r.fmask
+            if len(self._fcache) >= self._fcache_cap:
+                # drop the oldest entry (insertion order ≈ LRU here:
+                # hot predicates are usually caller-prepared anyway)
+                self._fcache.pop(next(iter(self._fcache)))
+            self._fcache[r.group] = cached
+        return cached
+
     def _launch(self, batch: list[_Request], rows: int):
         """Pipelined mode: upload + launch without forcing a readback;
         returns the in-flight tuple (or None if the launch failed)."""
         try:
             q, padded = self._assemble(batch, rows)
-            pending = self.engine._launch(q, self.k, self._filter)
+            pending = self.engine._launch(q, self.k, self._group_filter(batch))
             return (batch, pending, padded)
         except BaseException as e:  # noqa: BLE001 — delivered to callers
             self._fail(batch, e)
@@ -436,8 +519,9 @@ class MicroBatcher:
         try:
             q, padded = self._assemble(batch, rows)
             kw = dict(self._search_kwargs)
-            if self._filter is not None:
-                kw["filter_mask"] = self._filter
+            fmask = self._group_filter(batch)
+            if fmask is not None:
+                kw["filter_mask"] = fmask
             res = self.engine.search(q, k=self.k, **kw)
             self._deliver(batch, res, padded)
         except BaseException as e:  # noqa: BLE001 — delivered to callers
