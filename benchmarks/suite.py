@@ -366,6 +366,34 @@ def bench_gist1m(interpret):
             "in-kernel bf16x3 'high' precision (3 MXU passes)",
         )
 
+        # Verified-'high' (r5): the bf16x3 scan over-fetches k+margin and
+        # a microscopic exact (f32 HIGHEST) pass rescores just those
+        # candidates — recall 1.000 at ≈'high' throughput. This is the
+        # device work of SearchEngine(precision="high_verified"); the
+        # host-side certification (a [qb] compare against the fetch
+        # boundary + eps) costs ~µs and its sub-ulp fallback fires ~never
+        # (engine tests plant the degenerate ties).
+        from metrovector_tpu.ops.distances import rescore_topk
+
+        margin = 8
+
+        def run4(q):
+            _, cand = fused_topk(q, db_d, norms_d, np.int32(n), k + margin,
+                                 DistanceMetric.COSINE, block_rows=1024,
+                                 precision="high")
+            return rescore_topk(q, db_d, norms_d, cand, k,
+                                DistanceMetric.COSINE)
+
+        got4 = np.asarray(run4(jax.device_put(qc))[1])
+        recall4 = _recall(got4, oi, k)
+        dt4 = _measure(run4, mk2, iters=15)
+        _report(
+            f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=1024,high_verified)",
+            qb2 / dt4, dt4 * 1e3, recall4,
+            f"'high' scan fetch k+{margin} + exact f32 rescore "
+            "(engine precision=high_verified)",
+        )
+
 
 def bench_deep10m(interpret):
     import jax
@@ -610,6 +638,38 @@ def bench_sift1m_pq4(interpret):
             f"sift1m-pq4(n={n},m=32,ksub=16,rerank={rr},k=10,{qb}q)",
             qb / dt, dt * 1e3, recall,
             "4-bit nibble-packed ADC + f32 exact re-rank, 16 B/row codes",
+        )
+
+    # Filtered 4-bit PQ (r5): a metadata predicate rides the ADC kernel's
+    # validity plane (PQIndex.search(filter_mask=...) — the candidates the
+    # re-rank sees are all filter-passing), at the recall-1.0 operating
+    # point. Oracle is masked-f64 over the ORIGINAL vectors, so recall
+    # includes quantization loss within the filtered subset.
+    rr = 400
+    for sel in (0.5, 0.01):
+        fmask = rng.random(n) < sel
+        eff = idx._effective_mask(idx.prepare_filter(fmask))
+        jax.block_until_ready(eff)
+
+        def runf(q, eff=eff):
+            _, cand = fused_adc_topk(
+                q, idx.codes, books, idx.recon_norms, nvalid, rr,
+                DistanceMetric.L2, valid_mask=eff, exact_lut=False,
+                int8_lut=not interpret, packed4=True, interpret=interpret,
+            )
+            return _rerank(q, idx.db, idx.db_norms, cand, k,
+                           DistanceMetric.L2)
+
+        got = np.asarray(runf(jax.device_put(qc))[1])
+        d2f = d2.copy()
+        d2f[:, ~fmask] = np.inf
+        oif = np.argsort(d2f, 1, kind="stable")[:, :k]
+        recall = _recall(got, oif, k)
+        dt = _measure(runf, lambda: mkq(qb), iters=5 if interpret else 20)
+        _report(
+            f"sift1m-pq4-filtered(n={n},rerank={rr},k=10,{qb}q,sel={sel})",
+            qb / dt, dt * 1e3, recall,
+            "metadata predicate in the ADC kernel mask + filtered re-rank",
         )
 
 
