@@ -15,6 +15,9 @@ scans); this demonstrates how the engines compose in a service:
 5. **Request coalescing** — ``MicroBatcher`` turns concurrent
    single-query callers into shared batched launches on a fixed shape
    ladder (futures per request, bit-identical results).
+6. **Multi-tenant predicates in one batcher** — each request carries its
+   own prepared metadata predicate (``Database.prepare_where``) and
+   coalescing survives by grouping requests per predicate.
 
 Run:  python examples/serving.py
 """
@@ -112,6 +115,27 @@ def main():
     s = mb.stats()
     print(f"microbatcher: {s.requests} requests in {s.batches} launches "
           f"(occupancy {s.occupancy:.0%}, p50 {s.p50_ms:.1f} ms)")
+
+    # 6. multi-tenant serving: each request carries its own prepared
+    #    predicate; same-tenant requests coalesce into the same batch,
+    #    distinct tenants launch separately from the same drain window
+    #    (stats().windows vs .batches shows the live diversity)
+    db = mvt.Database.open(path)
+    prepared = {
+        t: db.prepare_where("emb", where=("tenant", "==", t), mode="exact")
+        for t in ("t0", "t1", "t2")
+    }
+    with db.batcher("emb", k=5, max_wait_ms=5.0, mode="exact") as mb:
+        futs2 = [
+            mb.submit(qs[i], filter_mask=prepared[f"t{i % 3}"])
+            for i in range(24)
+        ]
+        for i, f in enumerate(futs2):
+            got = f.result(120)
+            assert all(tenants[j] == f"t{i % 3}" for j in got.indices[0] if j >= 0)
+    s2 = mb.stats()
+    print(f"per-request predicates: {s2.requests} requests, 3 tenants -> "
+          f"{s2.batches} launches over {s2.windows} drain windows")
 
 
 if __name__ == "__main__":
