@@ -114,16 +114,28 @@ GATE_TOLERANCE = 0.25  # measured ratio may sit this far below the floor
 
 
 def _gate_probe(interpret):
-    """Fixed small exact-search workload, measured with the pipelined
-    methodology: ~100k x 128 f32 top-10 (2k rows under interpret). Small
-    enough to add seconds to a session, large enough to be kernel-bound."""
+    """Fixed exact-search probe workload, measured with the pipelined
+    methodology: 1M x 128 f32 top-10 at batch 256 (2k rows / batch 64
+    under interpret) — the headline kernel shape, so the executable is
+    already in the persistent compile cache and the probe adds ~20 s to
+    a session.
+
+    The probe must be COMPUTE-bound to be a valid normalizer: the r5
+    session measured a 100k x 64q probe swinging −28% session-to-session
+    (per-launch dispatch latency through the dev relay) while the
+    compute-bound configs moved +8% — ratios against a dispatch-bound
+    probe would false-fail a healthy future session. At 1M x 256q the
+    per-batch kernel time (~4–5 ms) dominates dispatch, so the ratio
+    tracks kernel health, which is what the gate protects."""
     import jax
 
     from metrovector_tpu.format.constants import DistanceMetric
     from metrovector_tpu.ops.topk_kernel import fused_topk
 
     rng = np.random.default_rng(42)
-    n, d, k, qb = (100_000 if not interpret else 2_000), 128, 10, 64
+    n, d, k, qb = (
+        (1_000_000, 128, 10, 256) if not interpret else (2_000, 128, 10, 64)
+    )
     db = rng.standard_normal((n, d)).astype(np.float32)
     norms = np.einsum("ij,ij->i", db, db, dtype=np.float64).astype(np.float32)
     db_d, norms_d = _put_chunked(db), jax.device_put(norms)

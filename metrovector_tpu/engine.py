@@ -910,7 +910,8 @@ class SearchEngine:
                 # ≤ boundary + eps where eps bounds |bf16x3 − HIGHEST|.
                 boundary = scores[:, -1]
                 scores, idx = rescore_topk(
-                    qdev, sp.data, sp.norms, idx, k_eff, sp.metric
+                    qdev, sp.data, sp.norms, idx, k_eff, sp.metric,
+                    interpret=self.interpret,
                 )
                 if k_fetch < sp.num_valid:
                     vcheck = (

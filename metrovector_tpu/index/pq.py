@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format.constants import DistanceMetric
-from ..ops.distances import distances_np
+from ..ops.distances import _gather_auto, distances_np
 from ..utils.transfer import put_chunked
 from .ivf import train_kmeans
 
@@ -284,14 +284,41 @@ def _adc_search(
     return best_s, best_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _rerank(q, db, db_norms, cand_idx, k: int, metric: DistanceMetric):
     """Exact rescoring of PQ candidates: gather candidate rows and run the
     engine's f32-HIGHEST score algebra over the tiny ``[Q, R]`` candidate
-    set. Invalid candidates (idx −1) are masked to −inf."""
-    metric = DistanceMetric(metric)
+    set. Invalid candidates (idx −1) are masked to −inf.
+
+    The row gather routes through the DMA kernel
+    (:func:`~..ops.gather_kernel.gather_rows`) only in its measured win
+    region — wide rows and a small candidate set
+    (:func:`~..ops.gather_kernel.auto_select`). At SIFT-like D=128 the
+    XLA gather amortizes better at rerank row counts (RESULTS.md r5),
+    so typical PQ re-ranks stay on ``jnp.take``; a wide-D corpus with a
+    shallow rerank picks up the DMA win automatically."""
+    use_dma = _gather_auto(db, int(np.prod(cand_idx.shape)))
+    return _rerank_impl(
+        q, db, db_norms, cand_idx, k, DistanceMetric(metric), use_dma, False
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pallas_gather", "interpret")
+)
+def _rerank_impl(
+    q, db, db_norms, cand_idx, k: int, metric: DistanceMetric,
+    pallas_gather, interpret=False,
+):
     safe = jnp.maximum(cand_idx, 0)
-    vecs = jnp.take(db, safe.reshape(-1), axis=0).reshape(
+    if pallas_gather:
+        from ..ops.gather_kernel import gather_rows
+
+        vecs = gather_rows(
+            db, safe.reshape(-1).astype(jnp.int32), interpret=interpret
+        )
+    else:
+        vecs = jnp.take(db, safe.reshape(-1), axis=0)
+    vecs = vecs.reshape(
         cand_idx.shape[0], cand_idx.shape[1], db.shape[1]
     )
     nrm = jnp.take(db_norms, safe.reshape(-1), axis=0).reshape(cand_idx.shape)

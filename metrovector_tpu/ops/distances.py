@@ -41,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..format.constants import DistanceMetric
 
@@ -48,6 +49,12 @@ from ..format.constants import DistanceMetric
 # XLA backend at import time, breaking jax.distributed.initialize
 # in multi-process programs. Weak-typed, so traced uses are identical.
 _NEG_INF = float("-inf")
+
+
+def _gather_auto(db, r: int, interpret: bool = False) -> bool:
+    from .gather_kernel import auto_select
+
+    return auto_select(db, r, interpret=interpret)
 
 
 def scores_block(
@@ -220,7 +227,6 @@ def exact_topk_xla(
     return best_s, jnp.where(jnp.isneginf(best_s), -1, best_i)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
 def rescore_topk(
     queries: jax.Array,
     db: jax.Array,
@@ -228,6 +234,9 @@ def rescore_topk(
     cand_idx: jax.Array,
     k: int,
     metric: DistanceMetric,
+    *,
+    pallas_gather: bool | None = None,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact (f32 HIGHEST) re-scoring of a small candidate set, returning
     the verified top-k — the second stage of the engine's
@@ -245,12 +254,43 @@ def rescore_topk(
     scan, so the exact pass costs ~nothing while the scan itself runs at
     bf16x3 speed. Ties break to the lowest row index (two-key
     ``lax.sort``), matching :func:`numpy_oracle` exactly.
+
+    ``pallas_gather`` selects the row-gather backend: ``True`` routes it
+    through :func:`~.gather_kernel.gather_rows` (in-flight hardware
+    DMAs); ``None`` auto-picks the DMA kernel exactly in its measured
+    win region — wide rows, small candidate count, TPU-resident corpus
+    (see :func:`~.gather_kernel.auto_select`; at D=1024/R=4608 it cuts
+    this pass from 3.63 to 2.93 ms, RESULTS.md r5). The gathered rows
+    are bit-identical either way; the returned ranks match exactly,
+    while scores may differ in the last ulp at wide D because XLA can
+    tile the downstream dot differently per program.
     """
-    metric = DistanceMetric(metric)
+    if pallas_gather is None:
+        pallas_gather = _gather_auto(db, int(np.prod(cand_idx.shape)), interpret)
+    return _rescore_topk(
+        queries, db, db_norms, cand_idx, k, DistanceMetric(metric),
+        bool(pallas_gather), interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "pallas_gather", "interpret")
+)
+def _rescore_topk(
+    queries, db, db_norms, cand_idx, k, metric, pallas_gather, interpret
+):
     q = queries.astype(jnp.float32)
     valid = cand_idx >= 0
     safe = jnp.where(valid, cand_idx, 0)
-    cand = jnp.take(db, safe, axis=0).astype(jnp.float32)  # [Q, m, D]
+    if pallas_gather:
+        from .gather_kernel import gather_rows
+
+        nq, m = safe.shape
+        cand = gather_rows(
+            db, safe.reshape(-1).astype(jnp.int32), interpret=interpret
+        ).reshape(nq, m, db.shape[1]).astype(jnp.float32)
+    else:
+        cand = jnp.take(db, safe, axis=0).astype(jnp.float32)  # [Q, m, D]
     dots = jax.lax.dot_general(
         q,
         cand,
