@@ -19,10 +19,16 @@ at a time on many threads. :class:`MicroBatcher` bridges the two shapes:
   behind this environment's remote-compile tunnel costs seconds);
 * each caller's future resolves to a :class:`~.engine.SearchResult` holding
   exactly its own rows, bit-identical to a direct
-  :meth:`~.engine.SearchEngine.search` call with the same arguments.
+  :meth:`~.engine.SearchEngine.search` call on the same coalesced batch.
 
-Exactness is unchanged — batching composes queries, never corpus rows, and
-the kernels are deterministic per query row. A per-request ``k`` below the
+Exactness is unchanged — batching composes queries, never corpus rows,
+and the kernels are deterministic per query row. Precisely: ranks always
+match a direct call with any batching; scores are bit-identical to a
+direct call of the same batch shape, but on the ``xla`` backend a
+*differently shaped* direct call (e.g. the query alone) can differ in
+the last ulp because XLA tiles the scoring matmul per batch shape (the
+Pallas backend processes fixed query tiles, which makes it
+shape-independent). A per-request ``k`` below the
 batcher's ``k`` is served by prefix-slicing (exact top-k is
 prefix-consistent: the best ``k'<k`` of a query are the first ``k'`` of its
 best ``k``).
@@ -283,7 +289,13 @@ class MicroBatcher:
                         else tuple(fm.shape),
                     )
                 fm = np.ascontiguousarray(fm, dtype=bool)
-                group, fmask = ("mask", hash(fm.tobytes())), fm
+                # group key = the mask BYTES, not their hash: dict
+                # equality makes hash collisions harmless, where a
+                # colliding 64-bit digest would silently serve one
+                # group's requests under the other's predicate (the
+                # bytes were already materialized for hashing either
+                # way; the LRU cap bounds retained copies)
+                group, fmask = ("mask", fm.tobytes()), fm
         fut: Future = Future()
         req = _Request(q, kk, fut, time.monotonic(), group, fmask)
         self._q.put(req)  # blocks when full: backpressure
