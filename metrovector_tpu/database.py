@@ -18,6 +18,9 @@ import numpy as np
 from .engine import SearchEngine, SearchResult
 from .errors import MetadataColumnNotFoundError
 from .format.reader import Reader
+from .utils.log import get_logger
+
+_log = get_logger("database")
 
 _OPS = {
     "==": operator.eq,
@@ -50,6 +53,13 @@ class IndexEngine:
         self.search_kwargs = dict(search_kwargs or {})
         self.dim = int(
             getattr(index, "dim", 0) or index.rows.shape[1]  # HNSW
+        )
+        # row count for callers that validate [num_vectors] filter masks
+        # up front (MicroBatcher.submit fails malformed masks at submit
+        # time instead of poisoning a drained batch in the worker)
+        nv = getattr(index, "num_vectors", None)
+        self.num_vectors = int(
+            nv if nv is not None else index.rows.shape[0]  # HNSW
         )
 
     @property
@@ -113,6 +123,7 @@ class Database:
         self.hbm_budget = hbm_budget
         # sidecar detection is pure manifest metadata — cache per space
         self._kind_cache: dict[str, str | None] = {}
+        self._routed_notice: set[str] = set()
 
     @classmethod
     def open(cls, path: str | os.PathLike, backend: str = "pallas",
@@ -335,6 +346,17 @@ class Database:
         kind = None
         if mode != "exact":
             kind = self.index_kind(space)
+            if kind is not None and mode == "auto" and space not in self._routed_notice:
+                # one-time notice: auto routing trades the brute-force
+                # oracle-exactness contract for the sidecar's
+                # recall/latency profile — visible under MVT_LOG=info,
+                # silent otherwise (mode="exact" opts out entirely)
+                self._routed_notice.add(space)
+                _log.info(
+                    "space %r: serving through its persisted %s sidecar "
+                    "(mode='auto'); pass mode='exact' for brute-force "
+                    "oracle-exact results", space, kind,
+                )
             if kind is None and mode == "index":
                 raise ValueError(
                     f"space {space!r} persists no index sidecar; build one "

@@ -681,15 +681,12 @@ class SearchEngine:
         language filter applied to every request). The prepared mask is
         invalidated by corpus growth (``add_rows`` re-pads the corpus);
         re-prepare after mutation that changes the row count."""
+        from .utils.filters import padded_filter_plane
+
         sp = self.space
-        fm = np.asarray(filter_mask)
-        if fm.shape != (sp.num_valid,):
-            raise DimensionMismatchError(
-                expected=sp.num_valid,
-                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-            )
-        full = np.zeros(sp.data.shape[0], np.float32)
-        full[: sp.num_valid] = fm.astype(bool)
+        full = padded_filter_plane(
+            filter_mask, sp.num_valid, sp.data.shape[0]
+        )
         return PreparedFilter(
             mask=jax.device_put(full), num_valid=sp.num_valid
         )
@@ -827,24 +824,18 @@ class SearchEngine:
         k_eff = min(k, sp.num_valid)
         eff_mask = sp.valid_mask
         if filter_mask is not None:
+            from .utils.filters import checked_prepared_mask, padded_filter_plane
+
             if isinstance(filter_mask, PreparedFilter):
-                if filter_mask.num_valid != sp.num_valid or (
-                    filter_mask.mask.shape[0] != sp.data.shape[0]
-                ):
-                    raise DimensionMismatchError(
-                        expected=sp.num_valid, actual=filter_mask.num_valid
-                    )
-                fdev = filter_mask.mask
+                fdev = checked_prepared_mask(
+                    filter_mask, sp.num_valid, sp.data.shape[0]
+                )
             else:
-                fm = np.asarray(filter_mask)
-                if fm.shape != (sp.num_valid,):
-                    raise DimensionMismatchError(
-                        expected=sp.num_valid,
-                        actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
+                fdev = jax.device_put(
+                    padded_filter_plane(
+                        filter_mask, sp.num_valid, sp.data.shape[0]
                     )
-                full = np.zeros(sp.data.shape[0], np.float32)
-                full[: sp.num_valid] = fm.astype(bool)
-                fdev = jax.device_put(full)
+                )
             eff_mask = fdev if eff_mask is None else eff_mask * fdev
 
         vcheck = None  # verified-'high' certification info (pallas f32 only)

@@ -926,9 +926,11 @@ def rewrite_hints(path: str | os.PathLike, updates: dict[str, Any]) -> None:
     ``SparseSearchEngine.autotune``) land under ``hints["tuned"][space]``
     and engines reattached from the file adopt them by default — the same
     consume-from-hints pattern as ``stream_chunk_rows``
-    (``parallel/streaming.py``). Merge is one-level-deep: dict values
-    merge key-wise (so tuning one space keeps other spaces' entries),
-    everything else replaces.
+    (``parallel/streaming.py``). Merge is recursive: dict values merge
+    key-wise at every depth (so tuning one space keeps other spaces'
+    entries, and one kernel family's tilings keep its siblings' —
+    ``test_rewrite_hints_merges_recursively``), everything else
+    replaces.
 
     Reference anchor: the ``PerformanceHints`` table exists in the schema
     (``schema/core.fbs``) but the reference never reads or writes it.

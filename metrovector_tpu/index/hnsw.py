@@ -550,15 +550,11 @@ class HNSWIndex:
 
         keep_all = self.valid
         if filter_mask is not None:
-            from ..errors import DimensionMismatchError
+            from ..utils.filters import padded_filter_plane
 
-            fm = np.asarray(filter_mask)
-            if fm.shape != (n_rows,):
-                raise DimensionMismatchError(
-                    expected=n_rows,
-                    actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-                )
-            fm = fm.astype(bool)
+            fm = padded_filter_plane(
+                filter_mask, n_rows, n_rows, dtype=bool
+            )
             keep_all = fm if keep_all is None else (keep_all & fm)
         if max_ef is None:
             max_ef = (

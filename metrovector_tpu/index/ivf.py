@@ -532,17 +532,13 @@ class IVFIndex:
         indexed by ORIGINAL row position (bucket row ids), so it stays
         valid across bucket re-layouts at the same row count."""
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import padded_filter_plane
 
-        fm = np.asarray(filter_mask)
-        if fm.shape != (self.num_vectors,):
-            raise DimensionMismatchError(
-                expected=self.num_vectors,
-                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-            )
+        full = padded_filter_plane(
+            filter_mask, self.num_vectors, self.num_vectors
+        )
         return PreparedFilter(
-            mask=jax.device_put(fm.astype(bool).astype(np.float32)),
-            num_valid=self.num_vectors,
+            mask=jax.device_put(full), num_valid=self.num_vectors
         )
 
     def _filter_device(self, filter_mask):
@@ -551,14 +547,10 @@ class IVFIndex:
         if filter_mask is None:
             return None
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import checked_prepared_mask
 
         if isinstance(filter_mask, PreparedFilter):
-            if filter_mask.num_valid != self.num_vectors:
-                raise DimensionMismatchError(
-                    expected=self.num_vectors, actual=filter_mask.num_valid
-                )
-            return filter_mask.mask
+            return checked_prepared_mask(filter_mask, self.num_vectors)
         return self.prepare_filter(filter_mask).mask
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 8,

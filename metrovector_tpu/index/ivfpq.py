@@ -676,16 +676,11 @@ class IVFPQIndex:
         :class:`~metrovector_tpu.engine.PreparedFilter`; invalidated by
         :meth:`add_rows` (capacity growth changes the padded length)."""
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import padded_filter_plane
 
-        fm = np.asarray(filter_mask)
-        if fm.shape != (self.num_vectors,):
-            raise DimensionMismatchError(
-                expected=self.num_vectors,
-                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-            )
-        full = np.zeros(int(self.codes_row.shape[0]), np.float32)
-        full[: self.num_vectors] = fm.astype(bool)
+        full = padded_filter_plane(
+            filter_mask, self.num_vectors, self.codes_row.shape[0]
+        )
         return PreparedFilter(
             mask=jax.device_put(full), num_valid=self.num_vectors
         )
@@ -697,16 +692,12 @@ class IVFPQIndex:
         if filter_mask is None:
             return None
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import checked_prepared_mask
 
         if isinstance(filter_mask, PreparedFilter):
-            if filter_mask.num_valid != self.num_vectors or (
-                int(filter_mask.mask.shape[0]) != int(self.codes_row.shape[0])
-            ):
-                raise DimensionMismatchError(
-                    expected=self.num_vectors, actual=filter_mask.num_valid
-                )
-            return filter_mask.mask
+            return checked_prepared_mask(
+                filter_mask, self.num_vectors, self.codes_row.shape[0]
+            )
         return self.prepare_filter(filter_mask).mask
 
     def _masked_scan(self, qdev, fetch: int, nprobe: int, interpret: bool,

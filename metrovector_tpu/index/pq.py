@@ -678,16 +678,11 @@ class PQIndex:
         made after preparation are still honored. Invalidated by
         :meth:`add_rows` (capacity growth changes the padded length)."""
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import padded_filter_plane
 
-        fm = np.asarray(filter_mask)
-        if fm.shape != (self.num_vectors,):
-            raise DimensionMismatchError(
-                expected=self.num_vectors,
-                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-            )
-        full = np.zeros(int(self.codes.shape[0]), np.int32)
-        full[: self.num_vectors] = fm.astype(bool)
+        full = padded_filter_plane(
+            filter_mask, self.num_vectors, self.codes.shape[0], np.int32
+        )
         return PreparedFilter(
             mask=jax.device_put(full), num_valid=self.num_vectors
         )
@@ -698,16 +693,12 @@ class PQIndex:
         if filter_mask is None:
             return self.valid
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import checked_prepared_mask
 
         if isinstance(filter_mask, PreparedFilter):
-            if filter_mask.num_valid != self.num_vectors or (
-                int(filter_mask.mask.shape[0]) != int(self.codes.shape[0])
-            ):
-                raise DimensionMismatchError(
-                    expected=self.num_vectors, actual=filter_mask.num_valid
-                )
-            fdev = filter_mask.mask
+            fdev = checked_prepared_mask(
+                filter_mask, self.num_vectors, self.codes.shape[0]
+            )
         else:
             fdev = self.prepare_filter(filter_mask).mask
         if self.valid is None:

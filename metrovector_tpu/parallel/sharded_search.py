@@ -553,20 +553,13 @@ class ShardedDeviceSpace:
         mesh once (``P(axis)``, riding the same row partitioning as the
         corpus) for reuse across :meth:`search` calls. Returns a
         :class:`~metrovector_tpu.engine.PreparedFilter`."""
-        import numpy as np
-
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import padded_filter_plane
         from .mesh import shard_rows
 
-        fm = np.asarray(filter_mask)
-        if fm.shape != (self.num_valid,):
-            raise DimensionMismatchError(
-                expected=self.num_valid,
-                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-            )
-        full = np.zeros(self._host_rows, np.float32)
-        full[: self.num_valid] = fm.astype(bool)
+        full = padded_filter_plane(
+            filter_mask, self.num_valid, self._host_rows
+        )
         return PreparedFilter(
             mask=shard_rows(full, self.mesh, self.axis,
                             sublane=self._sublane),
@@ -579,14 +572,10 @@ class ShardedDeviceSpace:
         if filter_mask is None:
             return self.valid_mask
         from ..engine import PreparedFilter
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import checked_prepared_mask
 
         if isinstance(filter_mask, PreparedFilter):
-            if filter_mask.num_valid != self.num_valid:
-                raise DimensionMismatchError(
-                    expected=self.num_valid, actual=filter_mask.num_valid
-                )
-            fdev = filter_mask.mask
+            fdev = checked_prepared_mask(filter_mask, self.num_valid)
         else:
             fdev = self.prepare_filter(filter_mask).mask
         if self.valid_mask is None:

@@ -106,17 +106,12 @@ class StreamingSearcher:
         host multiply, no resident device state)."""
         if filter_mask is None:
             return self._mask
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import padded_filter_plane
 
         sp = self.space
-        fm = np.asarray(filter_mask)
-        if fm.shape != (sp.num_vectors,):
-            raise DimensionMismatchError(
-                expected=sp.num_vectors,
-                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-            )
-        full = np.zeros(sp.padded_rows, np.float32)
-        full[: sp.num_vectors] = fm.astype(bool)
+        full = padded_filter_plane(
+            filter_mask, sp.num_vectors, sp.padded_rows
+        )
         return full if self._mask is None else self._mask * full
 
     def search(self, queries, k: int = 10, filter_mask=None):
@@ -574,17 +569,12 @@ class ShardedStreamingSearcher:
         result, like the data chunks themselves."""
         if filter_mask is None:
             return self._mask
-        from ..errors import DimensionMismatchError
+        from ..utils.filters import padded_filter_plane
 
         sp = self.space
-        fm = np.asarray(filter_mask)
-        if fm.shape != (sp.num_vectors,):
-            raise DimensionMismatchError(
-                expected=sp.num_vectors,
-                actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-            )
-        full = np.zeros(sp.padded_rows, np.float32)
-        full[: sp.num_vectors] = fm.astype(bool)
+        full = padded_filter_plane(
+            filter_mask, sp.num_vectors, sp.padded_rows
+        )
         return full if self._mask is None else self._mask * full
 
     # -- search ---------------------------------------------------------------

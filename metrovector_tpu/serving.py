@@ -467,8 +467,16 @@ class MicroBatcher:
         padded = self._bucket(rows)
         q = np.concatenate([r.rows for r in batch], axis=0)
         if padded > rows:
+            # Pad by REPLICATING the last real query, not with zeros: the
+            # pad rows' results are discarded either way, but a zero
+            # query is degenerate for every metric (all scores 0.0), so
+            # under precision="high_verified" it fails the per-query
+            # certificate (0 > 0 + eps) and would force a full-HIGHEST
+            # relaunch of EVERY off-rung batch — silently negating the
+            # feature's throughput win in serving. A replicated real row
+            # certifies exactly like its original.
             q = np.concatenate(
-                [q, np.zeros((padded - rows, q.shape[1]), q.dtype)], axis=0
+                [q, np.repeat(q[-1:], padded - rows, axis=0)], axis=0
             )
         return q, padded
 
@@ -495,10 +503,13 @@ class MicroBatcher:
             prep = getattr(self.engine, "prepare_filter", None)
             cached = prep(r.fmask) if prep else r.fmask
             if len(self._fcache) >= self._fcache_cap:
-                # drop the oldest entry (insertion order ≈ LRU here:
-                # hot predicates are usually caller-prepared anyway)
+                # evict the least-recently-USED entry (hits below
+                # re-insert, so dict order is true LRU — a hot raw-mask
+                # predicate used every window is never the one dropped)
                 self._fcache.pop(next(iter(self._fcache)))
-            self._fcache[r.group] = cached
+        else:
+            self._fcache.pop(r.group)  # LRU touch: re-insert as newest
+        self._fcache[r.group] = cached
         return cached
 
     def _launch(self, batch: list[_Request], rows: int):

@@ -393,18 +393,15 @@ class SparseSearchEngine:
         k_eff = min(k, self.num_vectors)
         eff_valid = self._valid
         if filter_mask is not None:
-            fm = np.asarray(filter_mask)
-            if fm.shape != (self.num_vectors,):
-                raise DimensionMismatchError(
-                    expected=self.num_vectors,
-                    actual=fm.shape[0] if fm.ndim == 1 else tuple(fm.shape),
-                )
+            from .utils.filters import padded_filter_plane
+
             mask_len = (
                 self._norms.shape[0] if self.formulation == "ell"
                 else self.num_vectors
             )
-            full = np.zeros(mask_len, np.float32)
-            full[: self.num_vectors] = fm.astype(bool)
+            full = padded_filter_plane(
+                filter_mask, self.num_vectors, mask_len
+            )
             fdev = self._put(full)
             eff_valid = fdev if eff_valid is None else eff_valid * fdev
         if self.formulation == "ell":

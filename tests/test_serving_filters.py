@@ -186,3 +186,58 @@ def test_filter_cache_is_bounded():
             res = mb.submit(data[0], filter_mask=mask).result(timeout=120)
             assert mask[res.indices[0, 0]]
         assert len(mb._fcache) <= mb._fcache_cap
+
+
+def test_filter_cache_is_lru_not_fifo():
+    """A hot raw-mask predicate used between one-off masks must survive
+    eviction: cache hits refresh recency (true LRU), so the entry the
+    worker touches every window is never the one popped."""
+    db, data, langs = _db()
+    from metrovector_tpu.serving import MicroBatcher
+
+    eng = db.engine("docs", mode="exact")
+    n = data.shape[0]
+    hot = np.zeros(n, bool)
+    hot[:7] = True
+    hot_key = ("mask", np.ascontiguousarray(hot, bool).tobytes())
+    with MicroBatcher(eng, k=2, max_wait_ms=0.0) as mb:
+        rng = np.random.default_rng(4)
+        mb.submit(data[0], filter_mask=hot).result(timeout=120)
+        for i in range(mb._fcache_cap + 5):
+            oneoff = np.zeros(n, bool)
+            oneoff[rng.choice(n, size=50, replace=False)] = True
+            mb.submit(data[0], filter_mask=oneoff).result(timeout=120)
+            # keep the hot predicate live between one-offs
+            res = mb.submit(data[0], filter_mask=hot).result(timeout=120)
+            assert res.indices[0, 0] < 7
+        assert hot_key in mb._fcache  # survived > cap one-off insertions
+
+
+def test_indexed_batcher_validates_masks_at_submit():
+    """Database.batcher over an auto-routed index sidecar still fails a
+    malformed raw mask at submit time (IndexEngine exposes num_vectors),
+    not in the worker at drain time."""
+    from metrovector_tpu import Builder, Database
+    from metrovector_tpu.errors import DimensionMismatchError
+    from metrovector_tpu.index import encode_pq, train_pq
+
+    rng = np.random.default_rng(12)
+    n, d = 240, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    b = Builder()
+    b.add_vector_space("docs", dim=d)
+    b.add_vectors("docs", data)
+    cb = train_pq(data, m=4, ksub=16, iters=5, seed=0)
+    b.set_pq_index("docs", cb, encode_pq(data, cb))
+    path = os.path.join(tempfile.mkdtemp(), "f.mvt")
+    b.build().save(path)
+    db = Database.open(path, interpret=True)
+    assert db.index_kind("docs") == "pq"
+    with db.batcher("docs", k=2, max_wait_ms=0.0) as mb:
+        assert mb.engine.num_vectors == n
+        with pytest.raises(DimensionMismatchError):
+            mb.submit(data[0], filter_mask=np.ones(7, bool))
+        ok = np.zeros(n, bool)
+        ok[:11] = True
+        res = mb.submit(data[0], filter_mask=ok).result(timeout=120)
+        assert res.indices[0, 0] < 11

@@ -169,3 +169,27 @@ def test_rescore_topk_all_invalid():
     )
     assert (np.asarray(i) == -1).all()
     assert np.isneginf(np.asarray(s)).all()
+
+
+@pytest.mark.parametrize(
+    "metric",
+    [DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.INNER_PRODUCT],
+)
+def test_verified_high_serving_pad_rows_certify(tmp_path, rng, metric):
+    """MicroBatcher pads off-rung batches by replicating a real query —
+    a zero pad row is degenerate (all scores 0.0, certificate 0 > 0+eps
+    fails) and would force a full-HIGHEST relaunch of every padded
+    batch, silently negating high_verified's serving throughput."""
+    from metrovector_tpu.serving import MicroBatcher
+
+    data = rng.standard_normal((500, 64)).astype(np.float32)
+    eng = _engine(tmp_path, data, metric)
+    q = rng.standard_normal((3, 64)).astype(np.float32)  # pads 3 -> 4
+    with MicroBatcher(eng, k=5, max_wait_ms=20.0) as mb:
+        futs = [mb.submit(q[i]) for i in range(3)]
+        got = [f.result(timeout=300) for f in futs]
+    _, oi = numpy_oracle(q, data, 5, metric)
+    for i in range(3):
+        np.testing.assert_array_equal(got[i].indices[0], oi[i])
+    assert eng.verify_stats["fallbacks"] == 0
+    assert eng.verify_stats["certified"] >= 4  # incl. the pad row
