@@ -364,16 +364,18 @@ def bench_gist1m(interpret):
         # HBM): within noise at D=128, but at D=960 the matmul dominates
         # and it measured +26% (500k-row probe, r3). Recall-gated — the
         # mode is sub-ulp-exact, not bit-exact, on float data.
+        # br=768 is the r5 single-launch sweep winner for this kernel
+        # (+10% over 1024 pipelined; the VMEM cliff starts at 1280).
         def run3(q):
             return fused_topk(q, db_d, norms_d, np.int32(n), k,
-                              DistanceMetric.COSINE, block_rows=1024,
+                              DistanceMetric.COSINE, block_rows=768,
                               precision="high")
 
         got3 = np.asarray(run3(jax.device_put(qc))[1])
         recall3 = _recall(got3, oi, k)
         dt3 = _measure(run3, mk2, iters=15)
         _report(
-            f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=1024,high)",
+            f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=768,high)",
             qb2 / dt3, dt3 * 1e3, recall3,
             "in-kernel bf16x3 'high' precision (3 MXU passes)",
         )
@@ -391,7 +393,7 @@ def bench_gist1m(interpret):
 
         def run4(q):
             _, cand = fused_topk(q, db_d, norms_d, np.int32(n), k + margin,
-                                 DistanceMetric.COSINE, block_rows=1024,
+                                 DistanceMetric.COSINE, block_rows=768,
                                  precision="high")
             return rescore_topk(q, db_d, norms_d, cand, k,
                                 DistanceMetric.COSINE)
@@ -400,7 +402,7 @@ def bench_gist1m(interpret):
         recall4 = _recall(got4, oi, k)
         dt4 = _measure(run4, mk2, iters=15)
         _report(
-            f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=1024,high_verified)",
+            f"gist1m(n={n},960d,cos,k=10,{qb2}q,br=768,high_verified)",
             qb2 / dt4, dt4 * 1e3, recall4,
             f"'high' scan fetch k+{margin} + exact f32 rescore "
             "(engine precision=high_verified)",

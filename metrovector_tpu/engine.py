@@ -737,7 +737,10 @@ class SearchEngine:
                 (batch, sp.dim)
             ).astype(np.float32)
         if block_rows_candidates is None:
-            block_rows_candidates = [512, 1024, 2048, 4096]
+            # 768 earns its slot: the r5 sweep measured it +10% over both
+            # 512 (the static model's pick) and 1024 for the bf16x3
+            # 'high' kernel at D=1024, with the VMEM cliff at 1280
+            block_rows_candidates = [512, 768, 1024, 2048, 4096]
         if query_tile_candidates is None:
             query_tile_candidates = [128, 256]
         from .utils.tune import measure_candidates
